@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Table catalog + readers for the engine.
+  *
+  * Schemas are declared explicitly (never inferred at scale — schema
+  * inference forces an extra pass over 100 TB of input). The reference
+  * infers CSV schemas at runtime (`src/etl_2016.py:4-10`,
+  * `src/etl_2020.py:79-84`); here every source is a typed, pruned,
+  * pushdown-capable Parquet/CSV scan.
+  */
+object Sources {
+
+  // ---- explicit schemas for the star-schema test tables (FIXTURES) ----
+
+  val region: StructType = StructType(Seq(
+    StructField("r_regionkey", IntegerType),
+    StructField("r_name", StringType)))
+
+  val nation: StructType = StructType(Seq(
+    StructField("n_nationkey", IntegerType),
+    StructField("n_name", StringType),
+    StructField("n_regionkey", IntegerType)))
+
+  val customer: StructType = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  val supplier: StructType = StructType(Seq(
+    StructField("s_suppkey", LongType),
+    StructField("s_name", StringType),
+    StructField("s_nationkey", IntegerType),
+    StructField("s_acctbal", DoubleType)))
+
+  val part: StructType = StructType(Seq(
+    StructField("p_partkey", LongType),
+    StructField("p_name", StringType),
+    StructField("p_brand", StringType),
+    StructField("p_type", StringType),
+    StructField("p_size", IntegerType),
+    StructField("p_retailprice", DoubleType)))
+
+  val orders: StructType = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampType),
+    StructField("o_orderpriority", StringType)))
+
+  val lineitem: StructType = StructType(Seq(
+    StructField("l_orderkey", LongType),
+    StructField("l_partkey", LongType),
+    StructField("l_suppkey", LongType),
+    StructField("l_linenumber", IntegerType),
+    StructField("l_quantity", DoubleType),
+    StructField("l_extendedprice", DoubleType),
+    StructField("l_discount", DoubleType),
+    StructField("l_tax", DoubleType),
+    StructField("l_returnflag", StringType),
+    StructField("l_linestatus", StringType),
+    StructField("l_shipdate", TimestampType)))
+
+  val events: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  val documents: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  val embeddings: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Parquet scan of one named table under a scale-factor directory.
+    * Plain `spark.read.parquet` so Catalyst gets predicate pushdown,
+    * column pruning and partition pruning for free; works unchanged
+    * against s3a:// URIs on a real cluster (`src/etl_2025.py:53-84`'s
+    * S3 download step disappears into the DataSource layer).
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** CSV reader with an explicit schema — the engine analog of the
+    * reference's header-based CSV extract (`src/etl_2016.py:4-10`,
+    * `src/etl_2018.py:38-48`). Never `inferSchema` in production: it
+    * costs a full extra scan of the input.
+    */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+          header: Boolean = true): DataFrame =
+    spark.read
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .schema(schema)
+      .csv(path)
+
+  /** Multi-file glob scan with a filename filter — the engine analog of
+    * `glob('*.csv')` + skip-output / keep-`input_*` filtering at
+    * `src/etl_2020.py:147-154` and `src/etl_2022.py:238-244`. Spark
+    * unions the matched files implicitly as input splits (no driver-side
+    * concat), so this scales to millions of files.
+    */
+  def csvGlob(spark: SparkSession, dir: String, globFilter: String,
+              schema: StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("pathGlobFilter", globFilter)
+      .schema(schema)
+      .csv(dir)
+
+  /** JSON-lines reader (reference parses SQS JSON bodies one message at
+    * a time, `src/etl_2025.py:243`; here it is a parallel scan).
+    */
+  def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+}
