@@ -1,13 +1,397 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 (the declared query
+  * inventory) and §7 (build plan).
+  *
+  * Every implemented operator registers here twice: a Spark plan in
+  * [[queries]] and, when SQL-expressible, the equivalent DuckDB SQL in
+  * [[oracleSql]]. Column names and row order match exactly between the
+  * two (the driver hash-compares values after sorting columns by
+  * name), and all numerics follow the determinism rules in SURVEY §7.4
+  * (decimal-exact sums, exact percentiles, NULLS FIRST orderings —
+  * see [[graft.ops.Num]]).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. TPC-H-Q1-shaped: pushed scan filter → hash agg → sort
+    * (the reference's whole 2016–2020 capability in one plan).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Aggregates.aggGroup(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S: scans
+    "src_scan" -> (Transforms.srcScan _),
+    // P: projections
+    "proj_upper" -> (Transforms.projUpper _),
+    "proj_cast" -> (Transforms.projCast _),
+    "proj_datefmt" -> (Transforms.projDatefmt _),
+    "quality_score" -> (Transforms.qualityScore _),
+    // F: filters / validation
+    "filter_valid" -> (Transforms.filterValid _),
+    "filter_invalid" -> (Transforms.filterInvalid _),
+    "filter_like" -> (Transforms.filterLike _),
+    "outlier_iqr" -> (Transforms.outlierIqr _),
+    // D: dedup + imputation
+    "dedup_rows" -> (Transforms.dedupRows _),
+    "agg_dup_count" -> (Transforms.aggDupCount _),
+    "fillna_const" -> (Transforms.fillnaConst _),
+    "fillna_mean" -> (Transforms.fillnaMean _),
+    // U: set ops
+    "union_all" -> (Transforms.unionAll _),
+    "set_except" -> (Relational.setExcept _),
+    // A: aggregations
+    "agg_null_counts" -> (Aggregates.aggNullCounts _),
+    "agg_distinct" -> (Aggregates.aggDistinct _),
+    "agg_profile" -> (Aggregates.aggProfile _),
+    "agg_rates" -> (Aggregates.aggRates _),
+    "agg_having" -> (Aggregates.aggHaving _),
+    "agg_group" -> (Aggregates.aggGroup _),
+    "agg_rollup" -> (Aggregates.aggRollup _),
+    // J: joins
+    "join_dim" -> (Relational.joinDim _),
+    "join_fact" -> (Relational.joinFact _),
+    "join_semi" -> (Relational.joinSemi _),
+    "join_anti" -> (Relational.joinAnti _),
+    "join_outer" -> (Relational.joinOuter _),
+    // O/W: sort + windows
+    "sort_topk" -> (Relational.sortTopk _),
+    "window_rank" -> (Relational.windowRank _),
+    "window_running" -> (Relational.windowRunning _),
+    // X: scalar function surface
+    "str_funcs" -> (Relational.strFuncs _),
+    "date_funcs" -> (Relational.dateFuncs _),
+    "json_extract" -> (Relational.jsonExtract _),
+    // T: time ops (batch equivalents; streams are unit-tested)
+    "stream_tumbling" -> (TimeOps.streamTumbling _),
+    "sessionize" -> (TimeOps.sessionize _),
+    // L: LLM-pipeline ops
+    "text_tokens" -> (TextSim.textTokens _),
+    "text_stats" -> (TextSim.textStats _),
+    "dedup_text" -> (TextSim.dedupText _),
+    "sim_search" -> ((s, d) => TextSim.simSearch(s, d)),
+    "multimodal_join" -> (TextSim.multimodalJoin _),
+    "lang_id" -> (TextSim.langId _),
+    "text_quality" -> (TextSim.textQuality _),
+    "tok_count" -> (TextSim.tokCount _),
+    "dedup_ngram" -> ((s, d) => NearDup.dedupNgram(s, d)),
+    // no-oracle ops (driver records rows-only checks)
+    "dedup_minhash" -> (NearDup.dedupMinhash _),
+    "dedup_simhash" -> (NearDup.dedupSimhash _),
+    "doc_fingerprint" -> (TextSim.docFingerprint _),
+    "sim_ann_lsh" -> ((s, d) => Ann.simAnnLsh(s, d)),
+    "multimodal_features" -> (Multimodal.multimodalFeatures _),
+  )
+
+  /** The F1–F4 validity predicate, shared by three oracle queries. */
+  private val validSql =
+    "user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL " +
+      "AND trim(event_type) <> '' AND value IS NOT NULL " +
+      "AND value BETWEEN 0 AND 300"
+
+  /** Exact decimal sum cast back to double — the SQL mirror of
+    * [[graft.ops.Num.dsum]].
+    */
+  private def dsumSql(c: String, scale: Int = 4): String =
+    s"CAST(SUM(CAST($c AS DECIMAL(18,$scale))) AS DOUBLE)"
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (minhash/simhash/fingerprint/ANN/binary decode) → rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "src_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "proj_upper" ->
+      "SELECT c_custkey, upper(c_name) AS c_name_upper FROM customer ORDER BY c_custkey",
+
+    "proj_cast" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INTEGER) AS qty_int,
+        |CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "proj_datefmt" ->
+      "SELECT o_orderkey, strftime(o_orderdate, '%Y%m%d') AS batch_id FROM orders ORDER BY o_orderkey",
+
+    "quality_score" ->
+      """SELECT event_id, CAST(1.0 AS DOUBLE) - CAST(
+        |(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) +
+        |(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) +
+        |(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) +
+        |(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) +
+        |(CASE WHEN value IS NULL THEN 1 ELSE 0 END) +
+        |(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(6.0 AS DOUBLE)
+        |AS quality_score FROM events ORDER BY event_id""".stripMargin,
+
+    "filter_valid" ->
+      s"""SELECT event_id, user_id, event_type, value FROM events
+         |WHERE $validSql ORDER BY event_id""".stripMargin,
+
+    "filter_invalid" ->
+      s"""SELECT event_id, CASE
+         |WHEN user_id IS NULL THEN 'missing_user_id'
+         |WHEN ts IS NULL THEN 'missing_ts'
+         |WHEN event_type IS NULL OR trim(event_type) = '' THEN 'blank_event_type'
+         |WHEN value IS NULL THEN 'missing_value'
+         |ELSE 'value_out_of_range' END AS reason
+         |FROM events WHERE NOT ($validSql) ORDER BY event_id""".stripMargin,
+
+    "filter_like" ->
+      "SELECT p_partkey, p_name, p_type FROM part WHERE p_type LIKE '%AR%' ORDER BY p_partkey",
+
+    "outlier_iqr" ->
+      """WITH b AS (SELECT quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3 FROM events)
+        |SELECT event_id, value FROM events, b
+        |WHERE value < q1 - (q3 - q1) * 1.5 OR value > q3 + (q3 - q1) * 1.5
+        |ORDER BY event_id""".stripMargin,
+
+    "dedup_rows" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id NULLS FIRST, event_type NULLS FIRST""".stripMargin,
+
+    "agg_dup_count" ->
+      """SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS dup_count FROM
+        |(SELECT count(*) AS c FROM events GROUP BY user_id, event_type HAVING count(*) > 1) t""".stripMargin,
+
+    "fillna_const" ->
+      """SELECT event_id, COALESCE(event_type, 'UNKNOWN') AS event_type_filled,
+        |COALESCE(props, '{}') AS props_filled FROM events ORDER BY event_id""".stripMargin,
+
+    "fillna_mean" ->
+      """SELECT event_id, COALESCE(value, m.mean_value) AS value_filled FROM events,
+        |(SELECT CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(value) AS mean_value FROM events) m
+        |ORDER BY event_id""".stripMargin,
+
+    "union_all" ->
+      s"""SELECT o_orderstatus, count(*) AS n_orders, ${dsumSql("o_totalprice")} AS total_price
+         |FROM (SELECT * FROM orders WHERE o_orderkey % 2 = 0
+         |      UNION ALL SELECT * FROM orders WHERE o_orderkey % 2 = 1) t
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "set_except" ->
+      """SELECT * FROM (SELECT o_orderkey FROM orders EXCEPT SELECT l_orderkey FROM lineitem)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "agg_null_counts" ->
+      """SELECT count(*) - count(event_id) AS nulls_event_id,
+        |count(*) - count(ts) AS nulls_ts,
+        |count(*) - count(user_id) AS nulls_user_id,
+        |count(*) - count(event_type) AS nulls_event_type,
+        |count(*) - count(value) AS nulls_value,
+        |count(*) - count(props) AS nulls_props
+        |FROM events""".stripMargin,
+
+    "agg_distinct" ->
+      """SELECT count(DISTINCT user_id) AS distinct_users,
+        |count(DISTINCT event_type) AS distinct_types FROM events""".stripMargin,
+
+    "agg_profile" -> {
+      def p(c: String) =
+        s"""SELECT '$c' AS col_name, count($c) AS n,
+           |${dsumSql(c)} / count($c) AS mean,
+           |quantile_cont($c, 0.5) AS median,
+           |round(stddev_samp($c), 4) AS std,
+           |min($c) AS min_val, max($c) AS max_val FROM lineitem""".stripMargin
+      s"""SELECT * FROM (${p("l_quantity")} UNION ALL ${p("l_extendedprice")}
+         |UNION ALL ${p("l_discount")}) t ORDER BY col_name""".stripMargin
+    },
+
+    "agg_rates" ->
+      s"""SELECT valid_count, invalid_count,
+         |CAST(valid_count AS DOUBLE) / CAST(valid_count + invalid_count AS DOUBLE) AS valid_rate
+         |FROM (SELECT
+         |CAST(SUM(CASE WHEN $validSql THEN 1 ELSE 0 END) AS BIGINT) AS valid_count,
+         |CAST(SUM(CASE WHEN $validSql THEN 0 ELSE 1 END) AS BIGINT) AS invalid_count
+         |FROM events) t""".stripMargin,
+
+    "agg_having" ->
+      """SELECT event_type, count(*) AS n_events FROM events
+        |GROUP BY event_type HAVING count(*) > 1900 ORDER BY event_type""".stripMargin,
+
+    "agg_group" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |${dsumSql("l_quantity")} AS sum_qty,
+         |${dsumSql("l_extendedprice")} AS sum_base_price,
+         |${dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS sum_disc_price,
+         |${dsumSql("(l_extendedprice * (1 - l_discount)) * (1 + l_tax)", 6)} AS sum_charge,
+         |${dsumSql("l_quantity")} / count(*) AS avg_qty,
+         |${dsumSql("l_extendedprice")} / count(*) AS avg_price,
+         |${dsumSql("l_discount")} / count(*) AS avg_disc,
+         |count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_rollup" ->
+      s"""SELECT r_name, n_name, ${dsumSql("o_totalprice")} AS revenue, count(*) AS n_orders
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP (r_name, n_name)
+         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "join_dim" ->
+      s"""SELECT r_name, n_name, count(*) AS n_customers, ${dsumSql("c_acctbal")} AS total_acctbal
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "join_fact" ->
+      s"""SELECT o_orderkey, o_orderpriority,
+         |${dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS revenue,
+         |count(*) AS n_items
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderkey, o_orderpriority ORDER BY o_orderkey""".stripMargin,
+
+    "join_semi" ->
+      """SELECT o_orderkey FROM orders
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem) ORDER BY o_orderkey""".stripMargin,
+
+    "join_anti" ->
+      """SELECT o_orderkey FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "join_outer" ->
+      """SELECT o_orderkey, COALESCE(c_custkey, -1) AS matched_custkey,
+        |COALESCE(c_name, 'NONE') AS matched_name
+        |FROM orders LEFT JOIN
+        |(SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING') c
+        |ON o_custkey = c_custkey ORDER BY o_orderkey""".stripMargin,
+
+    "sort_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |SELECT o_custkey, o_orderkey, o_totalprice,
+        |row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |FROM orders) t WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "str_funcs" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len,
+        |upper(lang) AS lang_upper, lower(source) AS source_lower,
+        |substring(text, 1, 10) AS text_prefix,
+        |concat(lang, ':', source) AS lang_source,
+        |split_part(text, ' ', 1) AS first_word
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "date_funcs" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |CAST(day(o_orderdate) AS INTEGER) AS dom,
+        |strftime(o_orderdate, '%Y-%m') AS ym,
+        |CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "json_extract" ->
+      """SELECT k_value, count(*) AS n FROM
+        |(SELECT json_extract_string(props, '$.k') AS k_value FROM events) t
+        |GROUP BY k_value ORDER BY k_value NULLS FIRST""".stripMargin,
+
+    "stream_tumbling" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+        |event_type, count(*) AS n FROM events
+        |GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+
+    "sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |g AS (SELECT user_id, event_id, ts,
+        |CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) + INTERVAL 30 MINUTE
+        |THEN 1 ELSE 0 END AS new_sess FROM e)
+        |SELECT user_id, event_id, CAST(SUM(new_sess) OVER (
+        |PARTITION BY user_id ORDER BY ts, event_id
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |FROM g ORDER BY user_id, event_id""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT token, count(*) AS n FROM
+        |(SELECT unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents) t
+        |WHERE token <> '' GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+
+    "text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |CAST(SUM(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+        |min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |CAST(SUM(CAST(length(text) AS BIGINT)) AS DOUBLE) / count(*) AS avg_len
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "dedup_text" ->
+      """SELECT text_hash, count(*) AS n_docs, min(doc_id) AS first_doc FROM
+        |(SELECT doc_id, sha256(trim(lower(text))) AS text_hash FROM documents) t
+        |GROUP BY text_hash ORDER BY n_docs DESC, text_hash""".stripMargin,
+
+    "sim_search" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT vec_id, round(list_dot_product(v, qv) /
+        |(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
+        |FROM e, q WHERE vec_id <> 0 ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "multimodal_join" ->
+      """SELECT label, count(*) AS n_docs,
+        |CAST(SUM(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+        |round(SUM(CAST(embedding[1] AS DOUBLE)) / count(*), 4) AS avg_e0
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |GROUP BY label ORDER BY label""".stripMargin,
+
+    "lang_id" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents),
+        |agg AS (SELECT doc_id, count(*) AS n_tokens,
+        |CAST(SUM(CASE WHEN token IN ('the','a','of','and','to','in') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+        |FROM tok WHERE token <> '' GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+        |CASE WHEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.05
+        |THEN 'en' ELSE 'und' END AS predicted_lang
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id, n_tokens, avg_token_len,
+        |(n_tokens BETWEEN 10 AND 500) AND avg_token_len < 8.0 AS quality_ok FROM
+        |(SELECT doc_id,
+        |CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) /
+        |CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS avg_token_len
+        |FROM documents) t ORDER BY doc_id""".stripMargin,
+
+    "tok_count" ->
+      """SELECT doc_id,
+        |CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+        |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_ish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_ngram" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+        |idx AS (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i FROM t),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS gram FROM idx),
+        |rare AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 20),
+        |rg AS (SELECT g.doc_id, g.gram FROM g JOIN rare USING (gram)),
+        |sizes AS (SELECT doc_id, count(*) AS n_grams FROM rg GROUP BY doc_id),
+        |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |FROM rg a JOIN rg b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT * FROM (SELECT doc_a, doc_b,
+        |round(CAST(shared AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - shared AS DOUBLE), 4) AS jaccard
+        |FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b) p
+        |WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b""".stripMargin,
+  )
 }

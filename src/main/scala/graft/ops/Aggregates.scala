@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Aggregations A1–A9 — the reference's DataQualityChecker /
+  * DataProfiler / ETLMetrics reductions (etl_2022.py:46-121,
+  * etl_2020.py:20-34) plus the grouped/rollup extensions mandated by
+  * the star-schema test data.
+  *
+  * Scale notes: every op here is a single-scan multi-aggregate (the
+  * reference's "single-pass combined checks", etl_2022.py:74-79) —
+  * Spark plans one partial (map-side) + one final hash aggregate, so
+  * at 100 TB the shuffle carries one row per group, not per input row.
+  * Exact `percentile` is the one exception (holds per-group values);
+  * at true scale swap `approx_percentile` — kept exact here because
+  * the DuckDB oracle (and pandas `quantile`) are exact.
+  */
+object Aggregates {
+  import Num._
+
+  /** `agg_null_counts` — A2, per-column null counts
+    * (`df.isnull().sum()`, etl_2022.py:52-54), one scan.
+    */
+  def aggNullCounts(s: SparkSession, dir: String): DataFrame = {
+    val ev = Sources.table(s, dir, "events")
+    val aggs = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+      .map(c => (count(lit(1)) - count(col(c))).as(s"nulls_$c"))
+    ev.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** `agg_distinct` — A3, `nunique()` (etl_2022.py:94). Exact distinct;
+    * at 100 TB prefer `approx_count_distinct` (HLL) — kept exact for
+    * the oracle.
+    */
+  def aggDistinct(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "events")
+      .agg(countDistinct(col("user_id")).as("distinct_users"),
+        countDistinct(col("event_type")).as("distinct_types"))
+
+  /** `agg_profile` — A1/A4/A5, per-column profile (etl_2022.py:98-105):
+    * count/mean/median/std/min/max for each numeric, one row per
+    * column (all three single-scan aggregates, unioned).
+    * pandas semantics preserved: exact median, sample stddev (ddof=1).
+    */
+  def aggProfile(s: SparkSession, dir: String): DataFrame = {
+    val li = Sources.table(s, dir, "lineitem")
+    def profile(c: String): DataFrame =
+      li.agg(
+        count(col(c)).as("n"),
+        davg(col(c)).as("mean"),
+        expr(s"percentile($c, 0.5)").as("median"),
+        round(stddev_samp(col(c)), 4).as("std"),
+        min(col(c)).as("min_val"),
+        max(col(c)).as("max_val"))
+        .select(lit(c).as("col_name"), col("n"), col("mean"), col("median"),
+          col("std"), col("min_val"), col("max_val"))
+    profile("l_quantity")
+      .unionByName(profile("l_extendedprice"))
+      .unionByName(profile("l_discount"))
+      .orderBy("col_name")
+  }
+
+  /** `agg_rates` — A6, valid/invalid counts + rate (etl_2020.py:20-34,
+    * etl_2022.py:34-44) via conditional aggregation, one scan.
+    */
+  def aggRates(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "events")
+      .agg(
+        sum(when(Transforms.validEvent, 1L).otherwise(0L)).as("valid_count"),
+        sum(when(Transforms.validEvent, 0L).otherwise(1L)).as("invalid_count"))
+      .select(col("valid_count"), col("invalid_count"),
+        (col("valid_count").cast(DoubleType) /
+          (col("valid_count") + col("invalid_count")).cast(DoubleType))
+          .as("valid_rate"))
+
+  /** `agg_having` — A7, alert thresholds over aggregates
+    * (etl_2022.py:111-121) as a HAVING filter.
+    */
+  def aggHaving(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .filter(col("n_events") > 1900)
+      .orderBy("event_type")
+
+  /** `agg_group` — A8, the flagship TPC-H-Q1-shaped grouped aggregate:
+    * scan → pushed filter on l_shipdate → partial+final hash agg on
+    * (l_returnflag, l_linestatus) → sort. All sums decimal-exact;
+    * averages are exact-sum / count (see Num).
+    */
+  def aggGroup(s: SparkSession, dir: String): DataFrame = {
+    val li = Sources.table(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast(TimestampType))
+    val discPrice = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val charge = discPrice * (lit(1) + col("l_tax"))
+    li.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(discPrice, 6).as("sum_disc_price"),
+        dsum(charge, 6).as("sum_charge"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** `agg_rollup` — A9, revenue by (region, nation) with ROLLUP
+    * subtotals. nation/region are true dims (bounded size at any SF) →
+    * explicit broadcast; orders⋈customer is left to AQE, which
+    * broadcasts at test scale and sort-merge-joins at 100 TB where
+    * customer is billions of rows.
+    */
+  def aggRollup(s: SparkSession, dir: String): DataFrame = {
+    val orders = Sources.table(s, dir, "orders")
+    val customer = Sources.table(s, dir, "customer")
+      .select("c_custkey", "c_nationkey")
+    val nation = Sources.table(s, dir, "nation")
+    val region = Sources.table(s, dir, "region")
+    orders.as("o")
+      .join(customer.as("c"), col("o.o_custkey") === col("c.c_custkey"))
+      .join(broadcast(nation).as("n"),
+        col("c.c_nationkey") === col("n.n_nationkey"))
+      .join(broadcast(region).as("r"),
+        col("n.n_regionkey") === col("r.r_regionkey"))
+      .select(col("r.r_name"), col("n.n_name"), col("o.o_totalprice"))
+      // Column refs, not names: string-based rollup after a multi-join
+      // trips Spark's ambiguous-self-join detection (the Expand node
+      // re-exposes the grouping attrs under the same names)
+      .rollup(col("r_name"), col("n_name"))
+      .agg(dsum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("r_name", "n_name")
+  }
+}

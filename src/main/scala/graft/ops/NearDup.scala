@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Near-duplicate detection at corpus scale — MinHash+LSH, SimHash,
+  * and n-gram Jaccard. All three follow the same 100 TB rule: generate
+  * candidates via a bucketed shuffle (band hash / simhash band /
+  * shared rare shingle), never an all-pairs crossJoin. Pair work is
+  * bounded by bucket sizes, not N².
+  *
+  * Reference analog: the corpus-level generalization of
+  * drop_duplicates (/root/reference/src/etl_2022.py:178) — the
+  * reference only removes exact dups; these catch near-dups.
+  */
+object NearDup {
+
+  /** Distinct lowercased tokens per document — the set whose Jaccard
+    * similarity all three methods approximate.
+    */
+  private def tokenSets(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "documents")
+      .select(col("doc_id"),
+        array_distinct(split(lower(col("text")), "\\s+")).as("tokens"))
+      .filter(size(col("tokens")) > 0)
+
+  /** `dedup_minhash` — MinHash+LSH (banded) near-dup summary.
+    *
+    * Pipeline: token set → sparse binary vector (HashingTF, 2^18
+    * dims) → MinHashLSH (8 tables, fixed seed) → banded
+    * approxSimilarityJoin at Jaccard distance ≤ 0.6. The LSH join
+    * shuffles on (band, hash) buckets, so candidate generation is
+    * linear-ish in corpus size. Output is a 1-row summary (pair count
+    * + mean similarity) so the result is non-empty and deterministic
+    * even when the corpus has no near-dups.
+    */
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val df = tokenSets(s, dir)
+    val tf = new HashingTF().setInputCol("tokens").setOutputCol("features")
+      .setNumFeatures(1 << 18).setBinary(true)
+    val feat = tf.transform(df)
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(8).setSeed(42L)
+    val model = lsh.fit(feat)
+    val pairs = model.approxSimilarityJoin(feat, feat, 0.6, "jaccard_dist")
+      .filter(col("datasetA.doc_id") < col("datasetB.doc_id"))
+    pairs.agg(
+      count(lit(1)).as("n_candidate_pairs"),
+      coalesce(round(avg(lit(1.0) - col("jaccard_dist")), 4), lit(0.0))
+        .as("avg_jaccard_sim"))
+  }
+
+  /** Per-document 64-bit SimHash over token hashes: bit b of the
+    * signature is the sign of Σ_tokens (±1 by bit b of xxhash64(tok)).
+    * Computed as explode → (doc, bit) vote agg → doc agg: two hash
+    * aggregations, shuffle volume 64 rows/doc then 1 row/doc — no
+    * pairwise work. Near-dup candidates share a 16-bit band
+    * (`band0..band3`), the standard Hamming-space blocking.
+    */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val bits = (0 until 64).map(lit(_))
+    val th = Sources.table(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(split(lower(col("text")), "\\s+"))).as("token"))
+      .filter(col("token") =!= "")
+      .select(col("doc_id"), xxhash64(col("token")).as("h"))
+      .select(col("doc_id"), col("h"), explode(array(bits: _*)).as("bit"))
+    th.groupBy("doc_id", "bit")
+      .agg(sum(when(expr("(h >> bit) & 1") === 1, 1L).otherwise(-1L))
+        .as("vote"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("vote") > 0, expr("shiftleft(1L, bit)"))
+        .otherwise(0L)).as("simhash"))
+      .select(col("doc_id"), col("simhash"),
+        expr("(simhash >> 48) & 65535").as("band0"),
+        expr("(simhash >> 32) & 65535").as("band1"),
+        expr("(simhash >> 16) & 65535").as("band2"),
+        expr("simhash & 65535").as("band3"))
+      .orderBy("doc_id")
+  }
+
+  /** `dedup_simhash` — the declared-query wrapper around [[simhash]]. */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    simhash(s, dir)
+
+  /** Near-dup candidate pairs from simhash band collisions, with exact
+    * Hamming distance ≤ `maxHamming`. Join is on the band value —
+    * bucketed, not all-pairs.
+    */
+  def simhashPairs(s: SparkSession, dir: String,
+                   maxHamming: Int = 8): DataFrame = {
+    val sh = simhash(s, dir).select("doc_id", "simhash", "band0", "band1",
+      "band2", "band3")
+    val bands = (0 to 3).map { b =>
+      sh.select(col("doc_id"), col("simhash"), col(s"band$b").as("band"),
+        lit(b).as("band_idx"))
+    }.reduce(_ unionByName _)
+    val a = bands.select(col("doc_id").as("doc_a"),
+      col("simhash").as("sh_a"), col("band"), col("band_idx"))
+    val b = bands.select(col("doc_id").as("doc_b"),
+      col("simhash").as("sh_b"), col("band"), col("band_idx"))
+    a.join(b, Seq("band", "band_idx"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(expr("sh_a ^ sh_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** `dedup_ngram` — exact Jaccard over *distinctive* 3-token shingles
+    * (document frequency ≤ `maxDf`). Candidates come from an
+    * inverted-index self-join on the shingle — the df cutoff bounds
+    * every posting list, so join fan-out is ≤ maxDf² per shingle
+    * regardless of corpus size (the standard common-shingle pruning).
+    */
+  def dedupNgram(s: SparkSession, dir: String, n: Int = 3,
+                 maxDf: Int = 20, minJaccard: Double = 0.2): DataFrame = {
+    val grams = Sources.table(s, dir, "documents")
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        s"CASE WHEN size(toks) >= $n THEN transform(sequence(1, size(toks) - ${n - 1})," +
+          s" i -> concat_ws(' ', slice(toks, i, $n))) ELSE array() END")).as("gram"))
+      .distinct()
+    val rare = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("gram")
+    val rareGrams = grams.join(rare, "gram")
+    val sizes = rareGrams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val shared = rareGrams.select(col("doc_id").as("doc_a"), col("gram"))
+      .join(rareGrams.select(col("doc_id").as("doc_b"), col("gram")), "gram")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_grams").as("na")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_grams").as("nb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("shared").cast(DoubleType) /
+          (col("na") + col("nb") - col("shared")).cast(DoubleType), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .orderBy("doc_a", "doc_b")
+  }
+}

@@ -1,0 +1,167 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational extensions J1–J4, O1, W1–W2, U2, X1–X4 (SURVEY.md
+  * §2.6–§2.9). The reference never joins (single-table pipelines);
+  * these are mandated by the star-schema test data.
+  *
+  * Join strategy for 100 TB:
+  *  - true dimension tables (region/nation — bounded cardinality) are
+  *    explicitly `broadcast()`;
+  *  - fact⋈fact joins (lineitem⋈orders) shuffle on the join key and
+  *    rely on AQE for skew handling — never broadcast;
+  *  - top-k is `orderBy().limit(k)` which Spark plans as
+  *    TakeOrderedAndProject: per-partition heaps + driver merge of k
+  *    rows, no global sort shuffle.
+  */
+object Relational {
+  import Num._
+
+  /** `join_dim` — J1, customer⋈nation⋈region with broadcast dims. */
+  def joinDim(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "customer")
+      .join(broadcast(Sources.table(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Sources.table(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        dsum(col("c_acctbal")).as("total_acctbal"))
+      .orderBy("r_name", "n_name")
+
+  /** `join_fact` — J2, lineitem⋈orders shuffle equi-join; revenue per
+    * order. Both sides pruned to join keys + needed columns before the
+    * shuffle.
+    */
+  def joinFact(s: SparkSession, dir: String): DataFrame = {
+    val li = Sources.table(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("disc_price"))
+    val o = Sources.table(s, dir, "orders")
+      .select("o_orderkey", "o_orderpriority")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey", "o_orderpriority")
+      .agg(dsum(col("disc_price"), 6).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderkey")
+  }
+
+  /** `join_semi` — J3, orders that have lineitems. Semi joins ship no
+    * payload columns from the right side — the cheapest existence test
+    * at scale.
+    */
+  def joinSemi(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "orders")
+      .join(Sources.table(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select("o_orderkey")
+      .orderBy("o_orderkey")
+
+  /** `join_anti` — J3, orders with no lineitems. */
+  def joinAnti(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "orders")
+      .join(Sources.table(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .select("o_orderkey")
+      .orderBy("o_orderkey")
+
+  /** `join_outer` — J4, orders LEFT JOIN a filtered customer slice so
+    * the null-extended side is actually exercised; nulls are coalesced
+    * to sentinels so the oracle compares stable non-null types.
+    */
+  def joinOuter(s: SparkSession, dir: String): DataFrame = {
+    val building = Sources.table(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey", "c_name")
+    Sources.table(s, dir, "orders")
+      .join(building, col("o_custkey") === col("c_custkey"), "left")
+      .select(col("o_orderkey"),
+        coalesce(col("c_custkey"), lit(-1L)).as("matched_custkey"),
+        coalesce(col("c_name"), lit("NONE")).as("matched_name"))
+      .orderBy("o_orderkey")
+  }
+
+  /** `sort_topk` — O1, top-20 orders by price; plans as
+    * TakeOrderedAndProject (no full sort shuffle). Ties broken by key.
+    */
+  def sortTopk(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+
+  /** `window_rank` — W1, top order per customer via row_number. */
+  def windowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Sources.table(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") === 1)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey")
+  }
+
+  /** `window_running` — W2, running revenue per customer by date.
+    * The running sum is decimal-exact (order-fixed frame, see Num).
+    */
+  def windowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Sources.table(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w)
+          .cast(DoubleType).as("running_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** `set_except` — U2, order keys that never shipped a lineitem. */
+  def setExcept(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "orders").select("o_orderkey")
+      .except(Sources.table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey")))
+      .orderBy("o_orderkey")
+
+  /** `str_funcs` — X1, string function surface over `documents`
+    * (upper/lower/length/substring/concat/split_part/trim).
+    */
+  def strFuncs(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        length(col("text")).cast(LongType).as("text_len"),
+        upper(col("lang")).as("lang_upper"),
+        lower(col("source")).as("source_lower"),
+        substring(col("text"), 1, 10).as("text_prefix"),
+        concat(col("lang"), lit(":"), col("source")).as("lang_source"),
+        expr("split_part(text, ' ', 1)").as("first_word"))
+      .orderBy("doc_id")
+
+  /** `date_funcs` — X2, date/time function surface over `orders`. */
+  def dateFuncs(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("due_date"))
+      .orderBy("o_orderkey")
+
+  /** `json_extract` — X4, key extraction from the JSON `props` column,
+    * grouped and counted (etl-style tag histogram).
+    */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "events")
+      .select(get_json_object(col("props"), "$.k").as("k_value"))
+      .groupBy("k_value")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("k_value")
+}

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, input_file_name}
 import org.apache.spark.sql.types._
 
 /** Table catalog + readers for the engine.
@@ -50,7 +51,7 @@ object Sources {
     StructField("o_custkey", LongType),
     StructField("o_orderstatus", StringType),
     StructField("o_totalprice", DoubleType),
-    StructField("o_orderdate", TimestampType),
+    StructField("o_orderdate", TimestampNTZType),
     StructField("o_orderpriority", StringType)))
 
   val lineitem: StructType = StructType(Seq(
@@ -64,7 +65,7 @@ object Sources {
     StructField("l_tax", DoubleType),
     StructField("l_returnflag", StringType),
     StructField("l_linestatus", StringType),
-    StructField("l_shipdate", TimestampType)))
+    StructField("l_shipdate", TimestampNTZType)))
 
   val events: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -91,9 +92,19 @@ object Sources {
     * column pruning and partition pruning for free; works unchanged
     * against s3a:// URIs on a real cluster (`src/etl_2025.py:53-84`'s
     * S3 download step disappears into the DataSource layer).
+    *
+    * `events.ts` is TIMESTAMP(NANOS) in the driver's Parquet, which
+    * Spark's reader rejects outright; it is read as a nanosecond long
+    * (`nanosAsLong`) and truncated to a µs TimestampType — the same
+    * truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP, so
+    * both engines see identical values.
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** CSV reader with an explicit schema — the engine analog of the
     * reference's header-based CSV extract (`src/etl_2016.py:4-10`,
@@ -101,12 +112,24 @@ object Sources {
     * costs a full extra scan of the input.
     */
   def csv(spark: SparkSession, path: String, schema: StructType,
-          header: Boolean = true): DataFrame =
-    spark.read
+          header: Boolean = true, mode: String = "PERMISSIVE",
+          corruptRecordCol: Option[String] = None): DataFrame = {
+    val (s2, reader) = corruptRecordCol match {
+      // Corrupt-row accounting: malformed rows land in a dedicated
+      // column instead of silently becoming all-null rows — the
+      // extract-time data-quality signal the reference tracks
+      // (etl_2022.py DataQualityMetrics).
+      case Some(c) =>
+        (schema.add(c, StringType),
+          spark.read.option("columnNameOfCorruptRecord", c))
+      case None => (schema, spark.read)
+    }
+    reader
       .option("header", header.toString)
-      .option("mode", "PERMISSIVE")
-      .schema(schema)
+      .option("mode", mode)
+      .schema(s2)
       .csv(path)
+  }
 
   /** Multi-file glob scan with a filename filter — the engine analog of
     * `glob('*.csv')` + skip-output / keep-`input_*` filtering at
@@ -115,12 +138,19 @@ object Sources {
     * concat), so this scales to millions of files.
     */
   def csvGlob(spark: SparkSession, dir: String, globFilter: String,
-              schema: StructType): DataFrame =
-    spark.read
-      .option("header", "true")
+              schema: StructType, header: Boolean = true,
+              excludeFiles: String = ""): DataFrame = {
+    val df = spark.read
+      .option("header", header.toString)
       .option("pathGlobFilter", globFilter)
       .schema(schema)
       .csv(dir)
+    // pathGlobFilter only supports positive globs, so "everything
+    // except prior job output" (the reference skips output.csv,
+    // etl_2020.py:147-154) needs a negative filter on the file name.
+    if (excludeFiles.isEmpty) df
+    else df.filter(!input_file_name().rlike(excludeFiles))
+  }
 
   /** JSON-lines reader (reference parses SQS JSON bodies one message at
     * a time, `src/etl_2025.py:243`; here it is a parallel scan).

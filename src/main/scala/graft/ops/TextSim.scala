@@ -1,0 +1,196 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis and similarity operators (SURVEY.md §2.11, L1–L6) —
+  * the LLM-training-data-pipeline surface over `documents` and
+  * `embeddings`.
+  *
+  * Scale design:
+  *  - token/stat ops are explode → hash-agg: one shuffle keyed on the
+  *    token/group, map-side partial aggregation keeps shuffle volume
+  *    ∝ distinct keys, not rows;
+  *  - exact dedup is a shuffle on a content hash — never an all-pairs
+  *    compare (the reference analog is drop_duplicates,
+  *    /root/reference/src/etl_2022.py:178);
+  *  - `sim_search` broadcasts the single query vector and does a
+  *    per-partition scan + TakeOrderedAndProject top-k — NOT a
+  *    self-join; brute force over N vectors is one pass, and the
+  *    LSH-bucketed variant (see Ann.scala) is the sub-linear path.
+  */
+object TextSim {
+  import Num._
+
+  private def docs(s: SparkSession, dir: String) =
+    Sources.table(s, dir, "documents")
+
+  /** Whitespace tokenization of lowercased text — the shared L1 step. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** `text_tokens` — L1, top-50 tokens by frequency (X8 generator
+    * path: explode). Deterministic tie-break on the token itself.
+    */
+  def textTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(50)
+
+  /** `text_stats` — L2, per-language document statistics. */
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("n_chars")).cast(DoubleType) / count(lit(1)))
+          .as("avg_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        (sum(length(col("text")).cast(LongType)).cast(DoubleType) /
+          count(lit(1))).as("avg_len"))
+      .orderBy("lang")
+
+  /** `dedup_text` — L3, exact near-dup detection: normalize → sha256 →
+    * group. The 100 TB-safe shape: the shuffle key is the 32-byte
+    * hash, so identical documents land in one reducer regardless of
+    * corpus size.
+    */
+  def dedupText(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        sha2(trim(lower(col("text"))), 256).as("text_hash"))
+      .groupBy("text_hash")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .orderBy(col("n_docs").desc, col("text_hash"))
+
+  /** Sequential dot product over two double arrays via higher-order
+    * functions — stays inside codegen, no UDF (SURVEY §4.2).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Embedding column cast FLOAT→DOUBLE so all similarity arithmetic
+    * is double on both engine and oracle sides.
+    */
+  private def vecAsDouble(c: Column): Column =
+    transform(c, x => x.cast(DoubleType))
+
+  /** `sim_search` — L5, brute-force cosine top-k against a broadcast
+    * query vector. Plan shape: 1-row aggregate (the query vector) →
+    * broadcast nested-loop join (1×N, i.e. a map) → per-partition
+    * top-k via TakeOrderedAndProject. No shuffle of the embeddings.
+    */
+  def simSearch(s: SparkSession, dir: String, queryId: Long = 0L,
+                k: Int = 10): DataFrame = {
+    val e = Sources.table(s, dir, "embeddings")
+      .select(col("vec_id"), vecAsDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    e.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dot(col("v"), col("qv")) /
+          (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("qv"), col("qv")))), 4)
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** `multimodal_join` — L6, text ⋈ vectors in one relation: join
+    * `documents` to `embeddings` on id, then per-label stats over both
+    * modalities. Equi-join on the id — shuffle (or broadcast under
+    * AQE when one side is small).
+    */
+  def multimodalJoin(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .join(Sources.table(s, dir, "embeddings"),
+        col("doc_id") === col("vec_id"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("n_chars")).cast(DoubleType) / count(lit(1)))
+          .as("avg_chars"),
+        round(sum(element_at(col("embedding"), 1).cast(DoubleType)) /
+          count(lit(1)), 4).as("avg_e0"))
+      .orderBy("label")
+
+  // ---- text heuristics (north-star extensions, oracle-checked) --------
+
+  /** English stopword lexicon for the n-gram/stopword language-ID
+    * heuristic. Tiny on purpose: it broadcasts as a literal into
+    * codegen, no lookup table or shuffle.
+    */
+  val enStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** `lang_id` — stopword-ratio language identification: the classic
+    * cheap pre-filter in training-data pipelines. Emits the ratio and
+    * a two-class verdict so downstream filters can threshold.
+    */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val isStop = (t: Column) => when(t.isin(enStopwords: _*), 1L).otherwise(0L)
+    docs(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(isStop(col("token"))).as("n_stop"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_stop").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .as("stop_ratio"),
+        when(col("n_stop").cast(DoubleType) /
+          col("n_tokens").cast(DoubleType) >= 0.05, "en")
+          .otherwise("und").as("predicted_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** `text_quality` — length/token-shape quality scoring, the
+    * Gopher-style rule filter: token count, mean token length, and a
+    * keep/drop verdict. Pure per-row expressions — narrow, codegen'd,
+    * no shuffle at all.
+    */
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val nTokens = size(split(trim(col("text")), "\\s+")).cast(LongType)
+    val charLen = length(regexp_replace(col("text"), "\\s", ""))
+      .cast(DoubleType)
+    docs(s, dir)
+      .select(col("doc_id"), nTokens.as("n_tokens"),
+        (charLen / nTokens.cast(DoubleType)).as("avg_token_len"))
+      .withColumn("quality_ok",
+        col("n_tokens").between(10L, 500L) && col("avg_token_len") < 8.0)
+      .orderBy("doc_id")
+  }
+
+  /** `tok_count` — token counting two ways: whitespace words and a
+    * BPE-ish regex (letter runs / digit runs / single symbols), the
+    * standard cheap proxy for LLM token budgets.
+    */
+  def tokCount(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast(LongType)
+          .as("ws_tokens"),
+        expr("regexp_count(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]')")
+          .cast(LongType).as("bpe_ish_tokens"))
+      .orderBy("doc_id")
+
+  /** `doc_fingerprint` — winnowing-style document fingerprint: the
+    * minimum 64-bit hash over the document's 3-token shingles (the
+    * MinHash primitive, num_hashes=1). NO ORACLE: xxhash64 is
+    * Spark-specific. Matching fingerprints ⇒ near-dup candidates.
+    */
+  def docFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val grams = expr(
+      "CASE WHEN size(toks) >= 3 THEN transform(sequence(1, size(toks) - 2)," +
+        " i -> concat_ws(' ', slice(toks, i, 3))) ELSE array() END")
+    docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode_outer(grams).as("gram"))
+      .groupBy("doc_id")
+      .agg(min(xxhash64(col("gram"))).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Time/stream operators T1–T6 (SURVEY.md §2.10).
+  *
+  * The reference's streaming is an SQS-driven micro-batch loop
+  * (/root/reference/src/etl_2025.py:233-263): poll → download →
+  * process → load → archive, at-least-once, no windows or state.
+  * Here that maps to Structured Streaming: a file source feeding the
+  * same batch transforms through `foreachBatch`, plus the windowed
+  * extensions (tumbling/sliding/session, watermarks) the reference
+  * lacks.
+  *
+  * The two DECLARED queries are the deterministic batch equivalents
+  * (streams aren't oracle-checkable); the streaming builders below
+  * them are exercised by MemoryStream unit tests.
+  */
+object TimeOps {
+
+  // ---- declared batch-equivalent queries ------------------------------
+
+  /** `stream_tumbling` — T3 batch equivalent: hourly tumbling counts
+    * via date_trunc. In a real stream this is
+    * `groupBy(window($"ts","1 hour"), $"event_type")` with a
+    * watermark (see [[tumblingCounts]]).
+    */
+  def streamTumbling(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "events")
+      .select(date_trunc("hour", col("ts")).as("hour_start"),
+        col("event_type"))
+      .groupBy("hour_start", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("hour_start", "event_type")
+
+  /** `sessionize` — T5 batch equivalent: 30-minute-gap sessions as
+    * gaps-and-islands (lag + running sum of session starts). The
+    * shuffle partitions by user_id — each user's timeline sorts
+    * locally, so this scales with users, not with total rows.
+    * Streaming analog: `session_window($"ts", "30 minutes")`.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val newSession = when(
+      lag(col("ts"), 1).over(byUser).isNull ||
+        col("ts") > lag(col("ts"), 1).over(byUser) + expr("INTERVAL 30 MINUTES"),
+      1L).otherwise(0L)
+    val runningSum = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Sources.table(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        newSession.as("new_sess"))
+      .select(col("user_id"), col("event_id"),
+        sum(col("new_sess")).over(runningSum).as("session_id"))
+      .orderBy("user_id", "event_id")
+  }
+
+  // ---- streaming builders (T1–T6, unit-tested via MemoryStream) -------
+
+  /** T1 — event-driven file ingestion: the engine analog of the SQS
+    * poll loop (etl_2025.py:233-263). New files in `dir` become
+    * micro-batches; `cleanSource archive` replaces the manual move to
+    * `processed/` (etl_2025.py:255-257).
+    */
+  def fileStream(s: SparkSession, dir: String, schema: StructType,
+                 archiveDir: Option[String] = None): DataFrame = {
+    val r = s.readStream.schema(schema)
+    val withClean = archiveDir match {
+      case Some(a) => r.option("cleanSource", "archive")
+        .option("sourceArchiveDir", a)
+      case None => r
+    }
+    withClean.parquet(dir)
+  }
+
+  /** T3 — tumbling-window counts with a watermark. */
+  def tumblingCounts(events: DataFrame, width: String = "1 hour",
+                     watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"))
+
+  /** T4 — sliding-window counts. */
+  def slidingCounts(events: DataFrame, width: String = "1 hour",
+                    slide: String = "15 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"))
+
+  /** T5 — native session windows (30-minute gap). */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n"))
+
+  /** T6 — at-least-once upgrade: drop duplicate event ids within the
+    * watermark (the reference has no dedup at all — etl_2025.py
+    * re-processes on redelivery).
+    */
+  def dedupWithinWatermark(events: DataFrame,
+                           watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** T2 — micro-batch sink: foreachBatch running an arbitrary batch
+    * transform, idempotent per batchId (the engine analog of the
+    * transactional batch insert at etl_2025.py:144-156). Parquet's
+    * atomic commit protocol replaces the SQL transaction.
+    */
+  def foreachBatchSink(df: DataFrame, outDir: String, checkpoint: String)(
+      transform: DataFrame => DataFrame)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        transform(batch)
+          .write.mode("overwrite")
+          .parquet(s"$outDir/batch_id=$batchId"): Unit
+      }
+}

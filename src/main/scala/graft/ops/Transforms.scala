@@ -1,0 +1,194 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Projections (P1–P5), validation filters (F1–F6) and cleaning ops
+  * (D1–D4) — the reference's 2016–2022 per-row transform surface,
+  * re-expressed as declarative Column expressions so Catalyst gets
+  * pushdown/pruning and whole-stage codegen for free.
+  *
+  * Reference behavior reproduced (see SURVEY.md §2.2–§2.4):
+  *  - uppercase/cast/enrich: /root/reference/src/etl_2016.py:12-18,
+  *    src/etl_2022.py:186-188
+  *  - validate-and-split with reject reasons: src/etl_2018.py:14-36,
+  *    src/etl_2020.py:36-62
+  *  - IQR outliers: src/etl_2022.py:60-72
+  *  - dedup + constant/mean imputation: src/etl_2022.py:178-183
+  *  - row quality score: src/etl_2022.py:216
+  *
+  * Everything here is a narrow, codegen-friendly plan except the two
+  * ops that need a global scalar (IQR bounds, mean imputation): those
+  * compute a 1-row aggregate and broadcast it — the 100 TB-safe analog
+  * of the reference computing them globally in pandas.
+  */
+object Transforms {
+  import Num._
+
+  // ---- S3: multi-file scan, projected + ordered ----------------------
+
+  /** `src_scan` — parquet scan with column pruning; the projection
+    * reaches the reader (ReadSchema has only 3 columns).
+    */
+  def srcScan(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // ---- P1/P2/P4: projections -----------------------------------------
+
+  /** `proj_upper` — P1, `upper(name)` (etl_2016.py:16). */
+  def projUpper(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "customer")
+      .select(col("c_custkey"), upper(col("c_name")).as("c_name_upper"))
+      .orderBy("c_custkey")
+
+  /** `proj_cast` — P2, int/decimal casts (etl_2016.py:33,
+    * etl_2022.py:187). The decimal cast round-trips to double for the
+    * output so the oracle compares a stable type.
+    */
+  def projCast(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast(IntegerType).as("qty_int"),
+        col("l_extendedprice").cast(DecimalType(12, 2)).cast(DoubleType)
+          .as("price_dec"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** `proj_datefmt` — P4, batch-id string from a timestamp
+    * (etl_2022.py:217), derived from a data column for determinism.
+    */
+  def projDatefmt(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "orders")
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyyMMdd").as("batch_id"))
+      .orderBy("o_orderkey")
+
+  /** `quality_score` — P5, per-row 1 − nulls/ncols (etl_2022.py:216). */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val nullCnt = cols.map(c => when(col(c).isNull, 1).otherwise(0))
+      .reduce(_ + _)
+    Sources.table(s, dir, "events")
+      .select(col("event_id"),
+        (lit(1.0) - nullCnt.cast(DoubleType) / lit(6.0)).as("quality_score"))
+      .orderBy("event_id")
+  }
+
+  // ---- F1–F5: validation split ---------------------------------------
+
+  /** The combined F1–F4 validity predicate over `events` — required
+    * fields present, non-blank type after trim, value in range; the
+    * engine analog of DataValidator.validate_row (etl_2018.py:14-36).
+    */
+  val validEvent: Column =
+    col("user_id").isNotNull && col("ts").isNotNull &&
+      col("event_type").isNotNull && trim(col("event_type")) =!= "" &&
+      col("value").isNotNull && col("value").between(0d, 300d)
+
+  /** First-failing-check reject reason (etl_2018.py:34-36 logs one
+    * reason per bad row).
+    */
+  val rejectReason: Column =
+    when(col("user_id").isNull, "missing_user_id")
+      .when(col("ts").isNull, "missing_ts")
+      .when(col("event_type").isNull || trim(col("event_type")) === "",
+        "blank_event_type")
+      .when(col("value").isNull, "missing_value")
+      .otherwise("value_out_of_range")
+
+  /** `filter_valid` — rows passing the F1–F4 conjunction. */
+  def filterValid(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "events")
+      .filter(validEvent)
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+
+  /** `filter_invalid` — F5, the rejected branch with reasons. */
+  def filterInvalid(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "events")
+      .filter(!validEvent)
+      .select(col("event_id"), rejectReason.as("reason"))
+      .orderBy("event_id")
+
+  /** `filter_like` — F4-style pattern predicate; pushed to the scan. */
+  def filterLike(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "part")
+      .filter(col("p_type").like("%AR%"))
+      .select("p_partkey", "p_name", "p_type")
+      .orderBy("p_partkey")
+
+  /** `outlier_iqr` — F6, exact Q1/Q3 (etl_2022.py:60-72). The bounds
+    * are a 1-row aggregate broadcast into the scan — one extra pass,
+    * no driver-side collect, scales to any row count.
+    */
+  def outlierIqr(s: SparkSession, dir: String): DataFrame = {
+    val ev = Sources.table(s, dir, "events")
+    val bounds = ev.agg(
+      expr("percentile(value, 0.25)").as("q1"),
+      expr("percentile(value, 0.75)").as("q3"))
+    ev.crossJoin(broadcast(bounds))
+      .filter(col("value") < col("q1") - (col("q3") - col("q1")) * 1.5 ||
+        col("value") > col("q3") + (col("q3") - col("q1")) * 1.5)
+      .select("event_id", "value")
+      .orderBy("event_id")
+  }
+
+  // ---- D1–D4: dedup + imputation ---------------------------------------
+
+  /** `dedup_rows` — D1, dropDuplicates (etl_2022.py:178). A shuffle on
+    * the full row hash — the only scale-correct exact dedup.
+    */
+  def dedupRows(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "events")
+      .select("user_id", "event_type")
+      .dropDuplicates()
+      .orderBy("user_id", "event_type")
+
+  /** `agg_dup_count` — D2, how many rows are duplicates
+    * (etl_2022.py:56-58): Σ(group count − 1) over groups with >1 row.
+    */
+  def aggDupCount(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "events")
+      .groupBy("user_id", "event_type").count()
+      .filter(col("count") > 1)
+      .agg(coalesce(sum(col("count") - 1), lit(0L)).as("dup_count"))
+
+  /** `fillna_const` — D3, constant imputation (etl_2022.py:181-183). */
+  def fillnaConst(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "events")
+      .select(col("event_id"),
+        coalesce(col("event_type"), lit("UNKNOWN")).as("event_type_filled"),
+        coalesce(col("props"), lit("{}")).as("props_filled"))
+      .orderBy("event_id")
+
+  /** `fillna_mean` — D4, mean imputation (etl_2022.py:182). The mean is
+    * an exact decimal-sum mean (bit-identical across engines, see Num)
+    * computed as a 1-row broadcast — never collected to the driver.
+    */
+  def fillnaMean(s: SparkSession, dir: String): DataFrame = {
+    val ev = Sources.table(s, dir, "events")
+    val m = ev.agg(davg(col("value")).as("mean_value"))
+    ev.crossJoin(broadcast(m))
+      .select(col("event_id"),
+        coalesce(col("value"), col("mean_value")).as("value_filled"))
+      .orderBy("event_id")
+  }
+
+  /** `union_all` — U1, pd.concat analog (etl_2020.py:156-158):
+    * unionByName of two disjoint slices, re-aggregated. unionByName is
+    * schema-evolution-safe, matching `ignore_index=True` semantics.
+    */
+  def unionAll(s: SparkSession, dir: String): DataFrame = {
+    val o = Sources.table(s, dir, "orders")
+    val even = o.filter(col("o_orderkey") % 2 === 0)
+    val odd = o.filter(col("o_orderkey") % 2 === 1)
+    even.unionByName(odd)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.ops.TimeOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+/** Structured Streaming coverage T1–T6 (SURVEY §2.10): MemoryStream
+  * micro-batches through the windowed/sessionized/deduped transforms
+  * the reference's SQS loop (etl_2025.py:233-263) lacks, plus the
+  * foreachBatch sink and file-source ingestion loop it has.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  private def runToCompletion(events: Seq[Ev],
+                              build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                              mode: String = "append"): Array[org.apache.spark.sql.Row] = {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Ev]
+    stream.addData(events)
+    val name = s"sink_${System.nanoTime()}"
+    val q = build(stream.toDF()).writeStream
+      .format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).collect()
+  }
+
+  private val sample = Seq(
+    Ev(1, t("2024-01-01 00:05:00"), 1, "click", 1.0),
+    Ev(2, t("2024-01-01 00:20:00"), 1, "click", 2.0),
+    Ev(3, t("2024-01-01 01:10:00"), 1, "view", 3.0),
+    Ev(4, t("2024-01-01 00:40:00"), 2, "click", 4.0))
+
+  test("T3 tumbling window counts per hour bucket") {
+    val rows = runToCompletion(sample,
+      df => TimeOps.tumblingCounts(df), mode = "complete")
+    val byKey = rows.map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(byKey((t("2024-01-01 00:00:00"), "click")) == 3L)
+    assert(byKey((t("2024-01-01 01:00:00"), "view")) == 1L)
+  }
+
+  test("T4 sliding window produces overlapping buckets") {
+    val rows = runToCompletion(sample,
+      df => TimeOps.slidingCounts(df, "1 hour", "15 minutes"),
+      mode = "complete")
+    // an event at 00:05 falls in sliding windows starting 23:15..00:00
+    val clickWindows = rows.filter(_.getString(1) == "click")
+      .map(_.getTimestamp(0)).distinct
+    assert(clickWindows.length > 3,
+      s"expected overlapping windows, got ${clickWindows.toSeq}")
+  }
+
+  test("T5 session window closes after the 30-minute gap") {
+    val rows = runToCompletion(sample,
+      df => TimeOps.sessionCounts(df, "30 minutes"), mode = "complete")
+    val u1 = rows.filter(_.getLong(1) == 1L)
+    // user 1: events at 00:05/00:20 merge (gap 15m), 01:10 is a new session
+    assert(u1.length == 2, s"expected 2 sessions for user 1, got ${u1.toSeq}")
+    assert(u1.map(_.getLong(2)).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("T6 dropDuplicatesWithinWatermark removes redelivered events") {
+    val dup = sample ++ Seq(Ev(1, t("2024-01-01 00:05:00"), 1, "click", 1.0))
+    val rows = runToCompletion(dup, df => TimeOps.dedupWithinWatermark(df))
+    assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("T1+T2 file source feeds foreachBatch sink (micro-batch ETL loop)") {
+    import spark.implicits._
+    val inDir = java.nio.file.Files.createTempDirectory("graft-in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    sample.toDF().write.mode("append").parquet(inDir)
+    val schema = sample.toDF().schema
+    val stream = TimeOps.fileStream(spark, inDir, schema)
+    val q = TimeOps.foreachBatchSink(stream, outDir, ckpt)(
+      b => b.withColumn("event_type", upper(col("event_type")))).start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$outDir/batch_id=0")
+    assert(out.count() == sample.length)
+    assert(out.filter(col("event_type") === "CLICK").count() == 3)
+  }
+}

@@ -1,0 +1,28 @@
+package graft
+
+import graft.ops.{Sources, TimeOps}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch-equivalent time ops: sessionize's gaps-and-islands invariants. */
+class TimeOpsSpec extends SparkSpec {
+
+  test("sessionize ids start at 1 and are monotone per user") {
+    val s = TimeOps.sessionize(spark, sf)
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    val bad = s.withColumn("prev", lag(col("session_id"), 1, 1L).over(w))
+      .filter(col("session_id") < col("prev") ||
+        col("session_id") > col("prev") + 1)
+      .count()
+    assert(bad == 0, "session ids must be nondecreasing, stepping by ≤1")
+    val mins = s.groupBy("user_id").agg(min("session_id").as("m"))
+      .filter(col("m") =!= 1L).count()
+    assert(mins == 0, "every user's first session is 1")
+  }
+
+  test("stream_tumbling buckets cover every event exactly once") {
+    val n = TimeOps.streamTumbling(spark, sf)
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(n == Sources.table(spark, sf, "events").count())
+  }
+}
