@@ -81,7 +81,7 @@ object SparkEntry {
     "tok_count" -> (TextSim.tokCount _),
     "dedup_ngram" -> ((s, d) => NearDup.dedupNgram(s, d)),
     // no-oracle ops (driver records rows-only checks)
-    "dedup_minhash" -> (NearDup.dedupMinhash _),
+    "dedup_minhash" -> ((s, d) => NearDup.dedupMinhash(s, d)),
     "dedup_simhash" -> (NearDup.dedupSimhash _),
     "doc_fingerprint" -> (TextSim.docFingerprint _),
     "sim_ann_lsh" -> ((s, d) => Ann.simAnnLsh(s, d)),
