@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
   *
   * Design: sign-random-projection LSH built from deterministic
   * hash-derived hyperplanes (no RNG, no fitted model — the "planes"
-  * are a pure function of (table id, dimension), so the query is
+  * are a pure function of (plane id, dimension), so the query is
   * reproducible and needs no persisted state). Vectors land in a
   * 2^nBits-bucket code; the query probes only its own bucket and its
   * single-bit-flip neighbors (multi-probe), so the scan touches
@@ -19,30 +19,37 @@ import org.apache.spark.sql.types._
 object Ann {
 
   /** Deterministic pseudo-random hyperplane component for (plane p,
-    * dim d): a hash mapped to [-1, 1]. xxhash64 gives i.i.d.-ish signs
-    * without any RNG state.
+    * dim d): a splitmix64-style integer mix mapped to [-1, 1] — fixed,
+    * engine-independent, no RNG state.
     */
   private def planeComponent(p: Int, d: Int): Double = {
-    // splitmix64-style integer mix — fixed, engine-independent
     var z = (p.toLong * 1000003L + d.toLong) + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
     z = z ^ (z >>> 31)
-    (z.toDouble / Long.MaxValue.toDouble)
+    z.toDouble / Long.MaxValue.toDouble
   }
 
-  /** The LSH bucket code of an embedding column: bit p = sign of
-    * ⟨v, plane_p⟩, computed as a codegen'd expression (no UDF).
+  /** All `nBits` hyperplanes as one literal array-of-arrays column —
+    * a single constant in the plan (vs unrolling nBits × dims terms
+    * into SQL text, which bloated codegen enough to dominate runtime
+    * at small scale).
     */
-  def bucketCode(s: SparkSession, vecCol: String, dims: Int,
-                 nBits: Int): org.apache.spark.sql.Column = {
-    val bits = (0 until nBits).map { p =>
-      val dotExpr = (0 until dims).map { d =>
-        s"CAST(element_at($vecCol, ${d + 1}) AS DOUBLE) * ${planeComponent(p, d)}"
-      }.mkString(" + ")
-      s"CASE WHEN ($dotExpr) >= 0 THEN ${1L << p}L ELSE 0L END"
-    }
-    expr(bits.mkString(" + "))
+  private def planesLit(nBits: Int, dims: Int): Column =
+    typedLit((0 until nBits).map(p =>
+      (0 until dims).map(d => planeComponent(p, d))))
+
+  /** The LSH bucket code of a double-array embedding column:
+    * bit p = sign of ⟨v, plane_p⟩. Pure higher-order functions —
+    * zip_with/aggregate stay inside codegen, no UDF.
+    */
+  def bucketCode(vec: Column, dims: Int, nBits: Int): Column = {
+    val signBits = zip_with(
+      planesLit(nBits, dims),
+      sequence(lit(0), lit(nBits - 1)),
+      (plane, p) => when(TextSim.dot(vec, plane) >= 0d,
+        call_function("shiftleft", lit(1L), p)).otherwise(0L))
+    aggregate(signBits, lit(0L), (acc, b) => acc + b)
   }
 
   /** `sim_ann_lsh` — LSH-bucketed cosine top-k for the query vector
@@ -58,7 +65,7 @@ object Ann {
     val e = Sources.table(s, dir, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-      .withColumn("bucket", bucketCode(s, "v", dims, nBits))
+      .withColumn("bucket", bucketCode(col("v"), dims, nBits))
     val q = e.filter(col("vec_id") === queryId)
       .select(col("v").as("qv"), col("bucket").as("qbucket"))
     e.filter(col("vec_id") =!= queryId)

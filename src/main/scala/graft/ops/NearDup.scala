@@ -152,22 +152,29 @@ object NearDup {
   }
 
   /** `dedup_ngram` — exact Jaccard over *distinctive* 3-token shingles
-    * (document frequency ≤ `maxDf`). Candidates come from an
-    * inverted-index self-join on the shingle — the df cutoff bounds
-    * every posting list, so join fan-out is ≤ maxDf² per shingle
-    * regardless of corpus size (the standard common-shingle pruning).
+    * (document frequency ≤ `maxDf`). Candidates come from an inverted
+    * index: one groupBy builds the posting list per shingle, the df
+    * cutoff drops stop-shingles, and pairs are generated INSIDE each
+    * posting list (≤ maxDf²/2 combinations, array ops in codegen) —
+    * one shuffle on the shingle, no self-join, fan-out bounded per
+    * shingle regardless of corpus size.
     */
   def dedupNgram(s: SparkSession, dir: String, n: Int = 3,
                  maxDf: Int = 20, minJaccard: Double = 0.2): DataFrame = {
     val grams = shingles(s, dir, n).withColumnRenamed("token", "gram")
-    val rare = grams.groupBy("gram").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-      .select("gram")
-    val rareGrams = grams.join(rare, "gram")
-    val sizes = rareGrams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val shared = rareGrams.select(col("doc_id").as("doc_a"), col("gram"))
-      .join(rareGrams.select(col("doc_id").as("doc_b"), col("gram")), "gram")
-      .filter(col("doc_a") < col("doc_b"))
+    // posting lists, reused by two branches (pair gen + doc sizes):
+    // persist so the explode+distinct+groupBy pipeline runs once
+    val posts = grams.groupBy("gram")
+      .agg(collect_list(col("doc_id")).as("docs"))
+      .filter(size(col("docs")) <= maxDf)
+      .persist()
+    val sizes = posts.select(explode(col("docs")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val shared = posts.select(explode(expr(
+        "filter(flatten(transform(docs, a -> transform(docs," +
+          " b -> struct(a AS doc_a, b AS doc_b)))), p -> p.doc_a < p.doc_b)"))
+        .as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("shared"))
     shared
