@@ -90,8 +90,10 @@ object Multimodal {
                   stride: Int = 64): DataFrame =
     df.select(col("doc_id"), col("format"),
       posexplode(expr(
-        s"transform(sequence(0, greatest(CAST(n_bytes AS INT) / $stride - 1, 0))," +
-          s" i -> substr(media, i * $stride + 1, $frameBytes))"))
+        // `div`, not `/`: SQL `/` is double division and sequence()
+        // requires integral bounds
+        s"transform(sequence(0L, greatest(n_bytes div $stride - 1, 0L))," +
+          s" i -> substr(media, CAST(i * $stride + 1 AS INT), $frameBytes))"))
         .as(Seq("frame_idx", "frame_bytes")))
 
   /** `multimodal_features` — the declared (rows-only) query: media
