@@ -155,6 +155,29 @@ object Relational {
         (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("due_date"))
       .orderBy("o_orderkey")
 
+  /** Skew-safe equi-join for a hot-keyed fact table: spread each join
+    * key of the skewed side over `salts` sub-keys (deterministic hash
+    * of the whole row — no RNG, reproducible plans) and replicate the
+    * other side once per salt, so one hot key's rows land on `salts`
+    * reducers instead of one. Row-for-row equivalent to
+    * `skewed.join(other, key)`.
+    *
+    * At 100 TB this is the manual fallback when AQE's skew-join split
+    * (`spark.sql.adaptive.skewJoin.enabled`, on by default) can't
+    * kick in — e.g. a skewed *broadcast-ineligible* aggregation input
+    * or a join AQE sees only post-shuffle. Replication factor of the
+    * small side is `salts`, so keep it modest (8–32).
+    */
+  def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
+                 salts: Int = 16): DataFrame = {
+    val saltCol = pmod(
+      xxhash64(struct(skewed.columns.map(col).toSeq: _*)), lit(salts))
+    val left = skewed.withColumn("_salt", saltCol)
+    val right = other.withColumn("_salt",
+      explode(sequence(lit(0L), lit(salts - 1L))))
+    left.join(right, Seq(key, "_salt")).drop("_salt")
+  }
+
   /** `json_extract` — X4, key extraction from the JSON `props` column,
     * grouped and counted (etl-style tag histogram).
     */
