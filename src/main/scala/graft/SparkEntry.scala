@@ -80,8 +80,10 @@ object SparkEntry {
     "text_quality" -> (TextSim.textQuality _),
     "tok_count" -> (TextSim.tokCount _),
     "dedup_ngram" -> ((s, d) => NearDup.dedupNgram(s, d)),
+    "dedup_embed" -> ((s, d) => TextSim.dedupEmbed(s, d)),
     // no-oracle ops (driver records rows-only checks)
     "dedup_minhash" -> ((s, d) => NearDup.dedupMinhash(s, d)),
+    "agg_distinct_approx" -> (Aggregates.aggDistinctApprox _),
     "dedup_simhash" -> (NearDup.dedupSimhash _),
     "doc_fingerprint" -> (TextSim.docFingerprint _),
     "sim_ann_lsh" -> ((s, d) => Ann.simAnnLsh(s, d)),
@@ -379,6 +381,15 @@ object SparkEntry {
         |CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
         |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_ish_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_embed" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |round(list_dot_product(a.v, b.v) /
+        |(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
 
     "dedup_ngram" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),

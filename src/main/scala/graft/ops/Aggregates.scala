@@ -39,6 +39,17 @@ object Aggregates {
       .agg(countDistinct(col("user_id")).as("distinct_users"),
         countDistinct(col("event_type")).as("distinct_types"))
 
+  /** `agg_distinct_approx` — the 100 TB variant of A3: HyperLogLog++
+    * sketches instead of exact distinct. Shuffle rows are sketch-sized
+    * (KB) instead of one-per-distinct-value; results are deterministic
+    * (register maxima are order-independent) but engine-specific, so
+    * NO ORACLE — the exact `agg_distinct` is the accuracy baseline.
+    */
+  def aggDistinctApprox(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "events")
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        approx_count_distinct(col("event_type")).as("approx_types"))
+
   /** `agg_profile` — A1/A4/A5, per-column profile (etl_2022.py:98-105):
     * count/mean/median/std/min/max for each numeric, one row per
     * column (all three single-scan aggregates, unioned).

@@ -100,6 +100,38 @@ object TextSim {
       .limit(k)
   }
 
+  /** `dedup_embed` — embedding-cosine near-duplicate pairs: all
+    * (a, b) with cosine ≥ `minSim`. Exact by construction (the oracle
+    * baseline): broadcast one side into a nested-loop join — N·M
+    * dot products, no shuffle of the probe side. This is the
+    * correctness reference for threshold dedup; the corpus-scale path
+    * is LSH-bucketed candidates (Ann.bucketCode as the shuffle key,
+    * cosine only within a bucket neighborhood — see Ann.simAnnLsh),
+    * which trades exact recall for sub-quadratic work.
+    * Filter on the ROUNDED similarity so the engine and the oracle
+    * make the same boundary call.
+    */
+  def dedupEmbed(s: SparkSession, dir: String,
+                 minSim: Double = 0.4): DataFrame = {
+    // norm once per vector (N dots), not once per pair (3·N² dots)
+    val e = Sources.table(s, dir, "embeddings")
+      .select(col("vec_id"), vecAsDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    // repartition the probe side: a small embeddings file is one input
+    // split, which would pin the whole N·M pair scan to a single task
+    val a = e.repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id").as("vec_a"), col("v").as("va"),
+        col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4)
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= minSim)
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** `multimodal_join` — L6, text ⋈ vectors in one relation: join
     * `documents` to `embeddings` on id, then per-label stats over both
     * modalities. Equi-join on the id — shuffle (or broadcast under
