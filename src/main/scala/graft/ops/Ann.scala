@@ -40,14 +40,15 @@ object Ann {
       (0 until dims).map(d => planeComponent(p, d))))
 
   /** The LSH bucket code of a double-array embedding column:
-    * bit p = sign of ⟨v, plane_p⟩. Pure higher-order functions —
-    * zip_with/aggregate stay inside codegen, no UDF.
+    * bit p = sign of ⟨v, plane_p⟩ — one codegen'd dot per plane
+    * against the literal plane matrix, no UDF.
     */
-  def bucketCode(vec: Column, dims: Int, nBits: Int): Column = {
+  def bucketCode(s: SparkSession, vec: Column, dims: Int,
+                 nBits: Int): Column = {
     val signBits = zip_with(
       planesLit(nBits, dims),
       sequence(lit(0), lit(nBits - 1)),
-      (plane, p) => when(TextSim.dot(vec, plane) >= 0d,
+      (plane, p) => when(graft.functions.VectorFunctions.dot(s, vec, plane) >= 0d,
         call_function("shiftleft", lit(1L), p)).otherwise(0L))
     aggregate(signBits, lit(0L), (acc, b) => acc + b)
   }
@@ -62,19 +63,20 @@ object Ann {
     */
   def simAnnLsh(s: SparkSession, dir: String, queryId: Long = 0L,
                 k: Int = 10, nBits: Int = 8, dims: Int = 64): DataFrame = {
+    val nd = (a: Column, b: Column) => graft.functions.VectorFunctions.dot(s, a, b)
     val e = Sources.table(s, dir, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-      .withColumn("bucket", bucketCode(col("v"), dims, nBits))
+      .withColumn("bucket", bucketCode(s, col("v"), dims, nBits))
     val q = e.filter(col("vec_id") === queryId)
       .select(col("v").as("qv"), col("bucket").as("qbucket"))
     e.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .filter(bit_count(expr("bucket ^ qbucket")) <= 1)
       .select(col("vec_id"),
-        round(TextSim.dot(col("v"), col("qv")) /
-          (sqrt(TextSim.dot(col("v"), col("v"))) *
-            sqrt(TextSim.dot(col("qv"), col("qv")))), 4).as("cos_sim"))
+        round(nd(col("v"), col("qv")) /
+          (sqrt(nd(col("v"), col("v"))) * sqrt(nd(col("qv"), col("qv")))), 4)
+          .as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }

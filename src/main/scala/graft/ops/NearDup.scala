@@ -67,7 +67,9 @@ object NearDup {
   def dedupMinhash(s: SparkSession, dir: String, numHashes: Int = 64,
                    bands: Int = 16, minSim: Double = 0.4): DataFrame = {
     val r = numHashes / bands
-    val sigs = minhashSignatures(s, dir, numHashes)
+    // referenced three times (banding + both sides of the estimate
+    // join): persist so the shingle→minhash pipeline runs once
+    val sigs = minhashSignatures(s, dir, numHashes).persist()
     val banded = sigs.select(col("doc_id"), posexplode(expr(
       s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $r + 1, $r)))"))
       .as(Seq("band_idx", "band_hash")))

@@ -68,8 +68,11 @@ object TextSim {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
       .orderBy(col("n_docs").desc, col("text_hash"))
 
-  /** Sequential dot product over two double arrays via higher-order
-    * functions — stays inside codegen, no UDF (SURVEY §4.2).
+  /** Dot product over two double arrays via higher-order functions.
+    * Portable but INTERPRETED (Spark evaluates HOF lambdas per
+    * element) — kept as the reference implementation the codegen'd
+    * [[graft.functions.DotProduct]] is property-tested against; hot
+    * paths use [[graft.functions.VectorFunctions.dot]].
     */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
@@ -87,14 +90,15 @@ object TextSim {
     */
   def simSearch(s: SparkSession, dir: String, queryId: Long = 0L,
                 k: Int = 10): DataFrame = {
+    val nd = (a: Column, b: Column) => graft.functions.VectorFunctions.dot(s, a, b)
     val e = Sources.table(s, dir, "embeddings")
       .select(col("vec_id"), vecAsDouble(col("embedding")).as("v"))
     val q = e.filter(col("vec_id") === queryId).select(col("v").as("qv"))
     e.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(dot(col("v"), col("qv")) /
-          (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("qv"), col("qv")))), 4)
+        round(nd(col("v"), col("qv")) /
+          (sqrt(nd(col("v"), col("v"))) * sqrt(nd(col("qv"), col("qv")))), 4)
           .as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
@@ -114,9 +118,10 @@ object TextSim {
   def dedupEmbed(s: SparkSession, dir: String,
                  minSim: Double = 0.4): DataFrame = {
     // norm once per vector (N dots), not once per pair (3·N² dots)
+    val nd = (a: Column, b: Column) => graft.functions.VectorFunctions.dot(s, a, b)
     val e = Sources.table(s, dir, "embeddings")
       .select(col("vec_id"), vecAsDouble(col("embedding")).as("v"))
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("nrm", sqrt(nd(col("v"), col("v"))))
     // repartition the probe side: a small embeddings file is one input
     // split, which would pin the whole N·M pair scan to a single task
     val a = e.repartition(s.sparkContext.defaultParallelism)
@@ -126,7 +131,7 @@ object TextSim {
       col("nrm").as("nb"))
     a.join(broadcast(b), col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4)
+        round(nd(col("va"), col("vb")) / (col("na") * col("nb")), 4)
           .as("cos_sim"))
       .filter(col("cos_sim") >= minSim)
       .orderBy("vec_a", "vec_b")
