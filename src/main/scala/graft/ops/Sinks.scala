@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row}
+
+/** Write-side surface — the engine analog of the reference's load
+  * phase across eras: SQLite/MySQL batch inserts
+  * (/root/reference/src/etl_2016.py:20-36, src/etl_2020.py:108-138,
+  * src/etl_2025.py:215-231) and report/file outputs
+  * (src/etl_2022.py:161-165).
+  *
+  * Scale posture: columnar formats partitioned by a low-cardinality
+  * column (partition pruning on read), bucketing for shuffle-free
+  * joins on the bucket key, JDBC with batched writes + per-partition
+  * connections. All writers are config only — callers pick the
+  * `.save()` moment.
+  */
+object Sinks {
+
+  /** Parquet writer, optionally hive-partitioned. `partitionBy` on a
+    * low-cardinality column turns downstream equality filters into
+    * directory pruning (no file even opened).
+    */
+  def parquet(df: DataFrame, partitionCols: Seq[String] = Nil,
+              mode: String = "overwrite"): DataFrameWriter[Row] = {
+    val w = df.write.format("parquet").mode(mode)
+    if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*)
+  }
+
+  /** CSV with header — the reference's interchange format
+    * (etl_2016.py's input; output.csv in etl_2020.py).
+    */
+  def csv(df: DataFrame, mode: String = "overwrite"): DataFrameWriter[Row] =
+    df.write.format("csv").mode(mode).option("header", "true")
+
+  /** JSON-lines — the report/document output (etl_2022.py:161-165). */
+  def jsonLines(df: DataFrame, mode: String = "overwrite"): DataFrameWriter[Row] =
+    df.write.format("json").mode(mode)
+
+  /** Bucketed managed table: pre-shuffles rows into `nBuckets` by
+    * `bucketCol` at write time, so later joins/aggregations on that
+    * key read co-located buckets instead of shuffling 100 TB. Pair
+    * with `sortBy` for sort-merge-ready buckets.
+    */
+  def bucketed(df: DataFrame, bucketCol: String, nBuckets: Int,
+               sortCols: Seq[String] = Nil,
+               mode: String = "overwrite"): DataFrameWriter[Row] = {
+    val w = df.write.mode(mode).bucketBy(nBuckets, bucketCol)
+    if (sortCols.isEmpty) w else w.sortBy(sortCols.head, sortCols.tail: _*)
+  }
+
+  /** JDBC writer configured the way the reference's pooled MySQL
+    * loader is (etl_2025.py:128-156): batched inserts, bounded
+    * parallelism (one connection per partition), explicit isolation.
+    * Config-only here — executing needs a live database.
+    */
+  def jdbc(df: DataFrame, url: String, table: String,
+           user: String, password: String,
+           batchSize: Int = 1000, maxConnections: Int = 8,
+           mode: String = "append"): DataFrameWriter[Row] =
+    df.coalesce(maxConnections)
+      .write.mode(mode)
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("user", user)
+      .option("password", password)
+      .option("batchsize", batchSize)
+      .option("isolationLevel", "READ_COMMITTED")
+}

@@ -113,6 +113,48 @@ object TimeOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** One event for stateful sessionization (typed path). */
+  case class SessionEvent(event_id: Long, ts: java.sql.Timestamp,
+                          user_id: Long)
+
+  /** Mutable per-user session state carried across micro-batches. */
+  case class SessionState(sessionId: Long, lastTsMs: Long)
+
+  case class SessionizedEvent(user_id: Long, event_id: Long,
+                              session_id: Long)
+
+  /** T5, streaming-native: per-user sessionization with CUSTOM state
+    * via flatMapGroupsWithState — the KeyValueGroupedDataset path for
+    * semantics `session_window` can't express (monotone session ids
+    * that persist across micro-batches). State is one (sessionId,
+    * lastTs) pair per user — bounded by user count, not event count.
+    * Batch equivalent: [[sessionize]] (lag + running sum).
+    */
+  def statefulSessionize(events: org.apache.spark.sql.Dataset[SessionEvent],
+                         gapMs: Long = 30L * 60 * 1000)
+      : org.apache.spark.sql.Dataset[SessionizedEvent] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionizedEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[SessionEvent],
+         state: GroupState[SessionState]) =>
+          // a micro-batch's group fits in memory (bounded by per-user
+          // batch volume); sort for deterministic session assignment
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+          val out = sorted.map { e =>
+            val t = e.ts.getTime
+            val isNew = st.lastTsMs == Long.MinValue || t - st.lastTsMs > gapMs
+            st = SessionState(if (isNew) st.sessionId + 1 else st.sessionId, t)
+            SessionizedEvent(uid, e.event_id, st.sessionId)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** T2 — micro-batch sink: foreachBatch running an arbitrary batch
     * transform, idempotent per batchId (the engine analog of the
     * transactional batch insert at etl_2025.py:144-156). Parquet's

@@ -73,6 +73,31 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("T5 stateful sessionize carries session ids across micro-batches") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[TimeOps.SessionEvent]
+    val name = s"sess_${System.nanoTime()}"
+    val q = TimeOps.statefulSessionize(stream.toDS()).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    // batch 1: two events 10 min apart -> one session
+    stream.addData(Seq(
+      TimeOps.SessionEvent(1, t("2024-01-01 00:00:00"), 7),
+      TimeOps.SessionEvent(2, t("2024-01-01 00:10:00"), 7)))
+    q.processAllAvailable()
+    // batch 2: one event 5 min later (same session — state carried),
+    // one event 2 hours later (new session)
+    stream.addData(Seq(
+      TimeOps.SessionEvent(3, t("2024-01-01 00:15:00"), 7),
+      TimeOps.SessionEvent(4, t("2024-01-01 02:30:00"), 7)))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table(name)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(sessions == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L),
+      s"got $sessions")
+  }
+
   test("T1+T2 file source feeds foreachBatch sink (micro-batch ETL loop)") {
     import spark.implicits._
     val inDir = java.nio.file.Files.createTempDirectory("graft-in").toString
