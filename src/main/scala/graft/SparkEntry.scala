@@ -87,6 +87,7 @@ object SparkEntry {
     "dedup_simhash" -> (NearDup.dedupSimhash _),
     "doc_fingerprint" -> (TextSim.docFingerprint _),
     "sim_ann_lsh" -> ((s, d) => Ann.simAnnLsh(s, d)),
+    "sim_ann_ivf" -> ((s, d) => Ann.simAnnIvf(s, d)),
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
   )
 

@@ -53,6 +53,55 @@ object Ann {
     aggregate(signBits, lit(0L), (acc, b) => acc + b)
   }
 
+  /** `sim_ann_ivf` — IVF (inverted-file) cosine top-k: the other
+    * classic ANN layout. A fixed set of `nLists` coarse centroids
+    * partitions the corpus (each vector assigned to its nearest
+    * centroid — one argmax over nLists codegen'd dots per vector);
+    * the query scans only the `nProbe` lists nearest to it. At scale
+    * the list id is the partition/cluster key, so a probe touches
+    * nProbe/nLists of the data. Centroids here are deterministic:
+    * the corpus vectors with the lowest ids (a fixed sample — no
+    * k-means state to persist; swap in trained centroids without
+    * changing the query). NO ORACLE (rows-only): list membership is
+    * engine-specific; brute-force `sim_search` is the accuracy
+    * baseline.
+    */
+  def simAnnIvf(s: SparkSession, dir: String, queryId: Long = 0L,
+                k: Int = 10, nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val nd = (a: Column, b: Column) => graft.functions.VectorFunctions.dot(s, a, b)
+    val e = Sources.table(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+    // deterministic coarse centroids: the nLists lowest-id vectors,
+    // L2-normalized so assignment is argmax of cosine = argmax of dot
+    val centroids = e.orderBy("vec_id").limit(nLists)
+      .select(collect_list(col("v")).as("cs"))
+    graft.functions.VectorFunctions.register(s)
+    // assign: index of the centroid with max cosine(v, c)
+    val assigned = e.crossJoin(broadcast(centroids))
+      .withColumn("norms", expr(
+        "transform(cs, c -> graft_dot(v, c) / sqrt(graft_dot(c, c)))"))
+      .withColumn("list_id",
+        expr("array_position(norms, array_max(norms))"))
+      .drop("cs", "norms")
+    val q = assigned.filter(col("vec_id") === queryId)
+      .crossJoin(broadcast(centroids))
+      .select(col("v").as("qv"), expr(
+        "slice(array_sort(zip_with(transform(cs, c -> graft_dot(v, c) / sqrt(graft_dot(c, c))), sequence(1, size(cs)), (sim, i) -> struct(-sim AS negsim, i AS idx)))," +
+          s" 1, $nProbe)").as("probes"))
+      .select(col("qv"), expr("transform(probes, p -> CAST(p.idx AS BIGINT))")
+        .as("probe_lists"))
+    assigned.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .filter(array_contains(col("probe_lists"), col("list_id")))
+      .select(col("vec_id"),
+        round(nd(col("v"), col("qv")) /
+          (sqrt(nd(col("v"), col("v"))) * sqrt(nd(col("qv"), col("qv")))), 4)
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** `sim_ann_lsh` — LSH-bucketed cosine top-k for the query vector
     * `queryId`: code the corpus once, keep only vectors whose bucket
     * is within Hamming distance 1 of the query's bucket (multi-probe),

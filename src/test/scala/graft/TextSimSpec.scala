@@ -35,6 +35,17 @@ class TextSimSpec extends SparkSpec {
     }
   }
 
+  test("sim_ann_ivf scores match brute force for the vectors it returns") {
+    val exact = TextSim.simSearch(spark, sf, queryId = 0L, k = 1000000)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ivf = Ann.simAnnIvf(spark, sf, queryId = 0L, k = 10).collect()
+    assert(ivf.nonEmpty, "query's own probe lists must hold candidates")
+    ivf.foreach { r =>
+      assert(exact(r.getLong(0)) == r.getDouble(1),
+        s"IVF cos_sim for vec ${r.getLong(0)} diverges from brute force")
+    }
+  }
+
   test("lang_id marks mostly-English docs en on a synthetic corpus") {
     import spark.implicits._
     val docs = Seq(
