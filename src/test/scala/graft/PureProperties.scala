@@ -1,0 +1,70 @@
+package graft
+
+import graft.ops.Multimodal
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** ScalaCheck properties for the engine's pure (driver-side) logic —
+  * no SparkSession needed, so these run fast over many generated
+  * cases. The Spark-side invariants (partition of valid/invalid,
+  * dedup idempotence, session monotonicity) live in the ScalaTest
+  * suites over real testdata.
+  */
+object PureProperties extends Properties("graft.pure") {
+
+  // ---- Multimodal.decodeFeatures (the stub decoder contract) --------
+
+  private val bytesGen: Gen[Array[Byte]] =
+    Gen.chooseNum(0, 4096).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+        .map(_.toArray))
+
+  property("decodeFeatures is 8-wide with values in [0,1]") =
+    Prop.forAll(bytesGen) { media =>
+      val f = Multimodal.decodeFeatures(media)
+      f.length == 8 && f.forall(x => x >= 0f && x <= 1f)
+    }
+
+  property("decodeFeatures is deterministic") =
+    Prop.forAll(bytesGen) { media =>
+      Multimodal.decodeFeatures(media).toSeq ==
+        Multimodal.decodeFeatures(media).toSeq
+    }
+
+  property("decodeFeatures handles null and empty payloads") = Prop {
+    Multimodal.decodeFeatures(null).toSeq == Seq.fill(8)(0f) &&
+    Multimodal.decodeFeatures(Array.empty[Byte]).toSeq == Seq.fill(8)(0f)
+  }
+
+  // ---- Quality.alerts (threshold logic, etl_2022.py:111-121) --------
+
+  private val reportGen: Gen[Quality.QualityReport] = for {
+    total <- Gen.chooseNum(1L, 1000000L)
+    valid <- Gen.chooseNum(0L, total)
+    nulls <- Gen.chooseNum(0L, 1000L)
+    dups <- Gen.chooseNum(0L, 200L)
+    outliers <- Gen.chooseNum(0L, 50L)
+  } yield Quality.QualityReport(total, Map("c" -> nulls), dups, outliers,
+    valid)
+
+  property("alerts fire exactly when a threshold is crossed") =
+    Prop.forAll(reportGen) { r =>
+      val t = Quality.Thresholds()
+      val a = Quality.alerts(r, t)
+      val expectLow = r.validRate < t.minValidRate
+      val expectNulls = r.nullCounts.values.sum > t.maxNulls
+      val expectDups = r.dupRows > t.maxDups
+      val expectOut = r.outlierRows > t.maxOutliers
+      (a.exists(_.startsWith("low_valid_rate")) == expectLow) &&
+      (a.exists(_.startsWith("high_null_count")) == expectNulls) &&
+      (a.exists(_.startsWith("high_dup_count")) == expectDups) &&
+      (a.exists(_.startsWith("high_outlier_count")) == expectOut) &&
+      (a.size == Seq(expectLow, expectNulls, expectDups, expectOut)
+        .count(identity))
+    }
+
+  property("validRate is within [0,1] and consistent with counts") =
+    Prop.forAll(reportGen) { r =>
+      r.validRate >= 0.0 && r.validRate <= 1.0 &&
+      r.invalidRows == r.totalRows - r.validRows
+    }
+}
