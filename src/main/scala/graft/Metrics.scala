@@ -1,0 +1,64 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.LongAdder
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Operational metrics — the engine analog of the reference's
+  * Prometheus counters/histograms (`/root/reference/src/etl_2025.py:
+  * 27-29,169,181`: processed-records counter, processing-seconds
+  * histogram, errors counter) and ETLMetrics (`src/etl_2020.py:20-34`).
+  *
+  * A QueryExecutionListener rides every action on the session: query
+  * count, cumulative duration, failure count, plus every named
+  * `observe()` metric (see [[Quality.observed]]) keyed by observation
+  * name. Zero extra scans — observed metrics are executor-side
+  * accumulators the job already carries. Export by scraping
+  * [[MetricsListener.snapshot]] from any reporter (the Prometheus
+  * HTTP server of the reference maps to Spark's metrics servlet on a
+  * real cluster).
+  */
+final class MetricsListener extends QueryExecutionListener {
+
+  private val counters = new ConcurrentHashMap[String, LongAdder]()
+
+  private def add(key: String, v: Long): Unit =
+    counters.computeIfAbsent(key, _ => new LongAdder()).add(v)
+
+  override def onSuccess(funcName: String, qe: QueryExecution,
+                         durationNs: Long): Unit = {
+    add("queries_total", 1L)
+    add("query_seconds_sum_ms", durationNs / 1000000L)
+    qe.observedMetrics.foreach { case (obsName, row) =>
+      row.schema.fieldNames.zipWithIndex.foreach { case (f, i) =>
+        row.get(i) match {
+          case n: Number => add(s"observed.$obsName.$f", n.longValue())
+          case _ => // non-numeric observed metric — skip
+        }
+      }
+    }
+  }
+
+  override def onFailure(funcName: String, qe: QueryExecution,
+                         exception: Exception): Unit =
+    add("errors_total", 1L)
+
+  /** Point-in-time view of all counters. */
+  def snapshot: Map[String, Long] = {
+    val b = Map.newBuilder[String, Long]
+    counters.forEach((k, v) => b += k -> v.sum())
+    b.result()
+  }
+}
+
+object Metrics {
+  /** Install a listener on the session; returns it for scraping. */
+  def install(spark: SparkSession): MetricsListener = {
+    val l = new MetricsListener
+    spark.listenerManager.register(l)
+    l
+  }
+}
