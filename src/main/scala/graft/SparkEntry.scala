@@ -59,6 +59,7 @@ object SparkEntry {
     "join_semi" -> (Relational.joinSemi _),
     "join_anti" -> (Relational.joinAnti _),
     "join_outer" -> (Relational.joinOuter _),
+    "join_multiway" -> ((s, d) => Relational.joinMultiway(s, d)),
     // O/W: sort + windows
     "sort_topk" -> (Relational.sortTopk _),
     "window_rank" -> (Relational.windowRank _),
@@ -270,6 +271,18 @@ object SparkEntry {
         |FROM orders LEFT JOIN
         |(SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING') c
         |ON o_custkey = c_custkey ORDER BY o_orderkey""".stripMargin,
+
+    "join_multiway" ->
+      s"""SELECT n_name, ${dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS revenue,
+         |count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "sort_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders

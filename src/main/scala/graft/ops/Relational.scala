@@ -155,6 +155,41 @@ object Relational {
         (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("due_date"))
       .orderBy("o_orderkey")
 
+  /** `join_multiway` — TPC-H-Q5-shaped local-supplier revenue: six
+    * tables, mixed join strategies chosen by size. The two facts
+    * (lineitem⋈orders) sort-merge/shuffle on the order key; customer
+    * joins on the cust key (AQE picks broadcast at small SF, shuffle
+    * at scale); supplier is matched on BOTH the part-supp key and
+    * same-nation-as-customer (the Q5 "local supplier" predicate);
+    * nation/region broadcast. Region filter applied before the join
+    * so pruning reaches the region scan.
+    */
+  def joinMultiway(s: SparkSession, dir: String,
+                   region: String = "ASIA"): DataFrame = {
+    val li = Sources.table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("disc_price"))
+    val o = Sources.table(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val c = Sources.table(s, dir, "customer")
+      .select("c_custkey", "c_nationkey")
+    val su = Sources.table(s, dir, "supplier")
+      .select("s_suppkey", "s_nationkey")
+    val n = Sources.table(s, dir, "nation")
+    val r = Sources.table(s, dir, "region")
+      .filter(col("r_name") === region)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(dsum(col("disc_price"), 6).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
   /** Skew-safe equi-join for a hot-keyed fact table: spread each join
     * key of the skewed side over `salts` sub-keys (deterministic hash
     * of the whole row — no RNG, reproducible plans) and replicate the
