@@ -382,12 +382,15 @@ object SparkEntry {
         |FROM agg ORDER BY doc_id""".stripMargin,
 
     "text_quality" ->
-      """SELECT doc_id, n_tokens, avg_token_len,
-        |(n_tokens BETWEEN 10 AND 500) AND avg_token_len < 8.0 AS quality_ok FROM
+      """SELECT doc_id, n_tokens, avg_token_len, punct_ratio,
+        |(n_tokens BETWEEN 10 AND 500) AND avg_token_len < 8.0
+        |AND punct_ratio < 0.2 AS quality_ok FROM
         |(SELECT doc_id,
         |CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
         |CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) /
-        |CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS avg_token_len
+        |CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS avg_token_len,
+        |round(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) /
+        |greatest(CAST(length(text) AS DOUBLE), 1.0), 4) AS punct_ratio
         |FROM documents) t ORDER BY doc_id""".stripMargin,
 
     "tok_count" ->

@@ -184,20 +184,24 @@ object TextSim {
       .orderBy("doc_id")
   }
 
-  /** `text_quality` — length/token-shape quality scoring, the
-    * Gopher-style rule filter: token count, mean token length, and a
-    * keep/drop verdict. Pure per-row expressions — narrow, codegen'd,
-    * no shuffle at all.
+  /** `text_quality` — length/punct/token-shape quality scoring, the
+    * Gopher-style rule filter: token count, mean token length,
+    * punctuation ratio, and a keep/drop verdict. Pure per-row
+    * expressions — narrow, codegen'd, no shuffle at all.
     */
   def textQuality(s: SparkSession, dir: String): DataFrame = {
     val nTokens = size(split(trim(col("text")), "\\s+")).cast(LongType)
     val charLen = length(regexp_replace(col("text"), "\\s", ""))
       .cast(DoubleType)
+    val punct = expr("regexp_count(text, '[.,!?;:]')").cast(DoubleType)
     docs(s, dir)
       .select(col("doc_id"), nTokens.as("n_tokens"),
-        (charLen / nTokens.cast(DoubleType)).as("avg_token_len"))
+        (charLen / nTokens.cast(DoubleType)).as("avg_token_len"),
+        round(punct / greatest(length(col("text")).cast(DoubleType),
+          lit(1.0)), 4).as("punct_ratio"))
       .withColumn("quality_ok",
-        col("n_tokens").between(10L, 500L) && col("avg_token_len") < 8.0)
+        col("n_tokens").between(10L, 500L) && col("avg_token_len") < 8.0 &&
+          col("punct_ratio") < 0.2)
       .orderBy("doc_id")
   }
 

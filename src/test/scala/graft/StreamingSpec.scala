@@ -73,6 +73,39 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("T1 cleanSource archive moves consumed files (etl_2025 processed/ analog)") {
+    import spark.implicits._
+    val inDir = java.nio.file.Files.createTempDirectory("graft-arch-in").toString
+    val archDir = java.nio.file.Files.createTempDirectory("graft-arch").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-arch-ck").toString
+    def parquets(d: String): Int = {
+      val f = new java.io.File(d)
+      if (!f.exists()) 0
+      else f.listFiles().count(x => x.isFile && x.getName.endsWith(".parquet")) +
+        f.listFiles().filter(_.isDirectory).map(x => parquets(x.getPath)).sum
+    }
+    sample.toDF().write.mode("append").parquet(inDir)
+    val stream = TimeOps.fileStream(spark, inDir, sample.toDF().schema,
+      archiveDir = Some(archDir))
+    val name = s"arch_${System.nanoTime()}"
+    val q = stream.writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    // the async cleaner archives batch N's files while processing
+    // batch N+1 — feed a second file to trigger it
+    sample.toDF().write.mode("append").parquet(inDir)
+    q.processAllAvailable()
+    val deadline = System.currentTimeMillis() + 10000
+    def archived: Int = parquets(archDir)
+    while (archived == 0 && System.currentTimeMillis() < deadline)
+      Thread.sleep(200)
+    q.stop()
+    assert(spark.table(name).count() >= sample.length)
+    assert(parquets(archDir) > 0,
+      s"consumed input should be archived: in=${parquets(inDir)} arch=${parquets(archDir)}")
+  }
+
   test("T5 stateful sessionize carries session ids across micro-batches") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
