@@ -53,6 +53,7 @@ object SparkEntry {
     "agg_having" -> (Aggregates.aggHaving _),
     "agg_group" -> (Aggregates.aggGroup _),
     "agg_rollup" -> (Aggregates.aggRollup _),
+    "agg_cube" -> (Aggregates.aggCube _),
     // J: joins
     "join_dim" -> (Relational.joinDim _),
     "join_fact" -> (Relational.joinFact _),
@@ -87,6 +88,7 @@ object SparkEntry {
     "agg_distinct_approx" -> (Aggregates.aggDistinctApprox _),
     "dedup_simhash" -> (NearDup.dedupSimhash _),
     "doc_fingerprint" -> (TextSim.docFingerprint _),
+    "doc_winnow" -> (TextSim.docWinnow _),
     "sim_ann_lsh" -> ((s, d) => Ann.simAnnLsh(s, d)),
     "sim_ann_ivf" -> ((s, d) => Ann.simAnnIvf(s, d)),
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
@@ -241,6 +243,12 @@ object SparkEntry {
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY ROLLUP (r_name, n_name)
          |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "agg_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+         |${dsumSql("o_totalprice")} AS total_price
+         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
     "join_dim" ->
       s"""SELECT r_name, n_name, count(*) AS n_customers, ${dsumSql("c_acctbal")} AS total_acctbal

@@ -68,10 +68,115 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Winnowing document fingerprints via a byte-level Rabin-Karp
+  * rolling hash (the standard local fingerprinting scheme: compute
+  * the hash of every k-byte window in one pass, then keep the
+  * minimum of each w-hash window, deduplicating consecutive picks).
+  * Guarantees: identical documents produce identical fingerprint
+  * sets, and any shared substring of length ≥ k+w−1 produces at
+  * least one shared fingerprint — the matching property exact-hash
+  * dedup lacks and shingle-MinHash only approximates.
+  *
+  * One pass over the bytes per row, no per-row allocation beyond the
+  * output array — evaluated via nullSafeEval (this op is per-document
+  * and allocation-bound, not a per-pair hot loop, so interpreted
+  * evaluation is not the bottleneck; the surrounding projection still
+  * codegens around it).
+  */
+case class Winnow(child: Expression, k: Int, w: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(k >= 2 && w >= 1, s"need k >= 2 and w >= 1, got k=$k w=$w")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_winnow requires a string column, got $t")
+    }
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+
+  private val B = 1000003L
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .getBytes
+    val n = bytes.length
+    if (n < k)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Long])
+    // rolling hashes of every k-byte window (unsigned-overflow arith)
+    var bk = 1L // B^k
+    var i = 0
+    while (i < k) { bk *= B; i += 1 }
+    val m = n - k + 1
+    val hashes = new Array[Long](m)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + (bytes(i) & 0xFF); i += 1 }
+    hashes(0) = h
+    i = 1
+    while (i < m) {
+      h = h * B + (bytes(i + k - 1) & 0xFF) - (bytes(i - 1) & 0xFF) * bk
+      hashes(i) = h
+      i += 1
+    }
+    // winnow: minimum of each w-window, dedup consecutive picks
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    var lastPick = -1
+    var start = 0
+    val windows = math.max(m - w + 1, 1)
+    while (start < windows) {
+      var minIdx = start
+      var j = start + 1
+      val end = math.min(start + w, m)
+      while (j < end) {
+        // rightmost minimum, the standard winnowing tie-break
+        if (hashes(j) <= hashes(minIdx)) minIdx = j
+        j += 1
+      }
+      if (minIdx != lastPick) { out += hashes(minIdx); lastPick = minIdx }
+      start += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Winnow =
+    copy(child = c)
+}
+
 /** Registration + Column-level entry points for the native vector
   * expressions.
   */
 object VectorFunctions {
+
+  /** Idempotently register `graft_winnow(text, k, w)` (k and w must
+    * be integer literals — they parameterize the generated operator).
+    */
+  def registerWinnow(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_winnow",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 3,
+          s"graft_winnow expects (text, k, w), got ${exprs.length} args")
+        val k = exprs(1).eval().asInstanceOf[Number].intValue()
+        val w = exprs(2).eval().asInstanceOf[Number].intValue()
+        Winnow(exprs.head, k, w)
+      },
+      "built-in")
+
+  /** Winnowing fingerprints as a Column (k-byte shingles, w-window). */
+  def winnow(spark: SparkSession, c: Column, k: Int = 12,
+             w: Int = 4): Column = {
+    registerWinnow(spark)
+    call_function("graft_winnow", c,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(w))
+  }
 
   /** Idempotently register `graft_dot` in the session's function
     * registry (temp function — session-scoped, no catalog writes).

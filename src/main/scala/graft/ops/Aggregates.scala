@@ -119,6 +119,21 @@ object Aggregates {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** `agg_cube` — A9's other grouping-set shape: order counts by
+    * (orderstatus, orderpriority) with ALL subtotal combinations.
+    * Same Expand-fed partial+final hash aggregate as rollup; output
+    * rows = groups × 4 grouping sets, still bounded by key
+    * cardinalities, never row count.
+    */
+  def aggCube(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "orders")
+      .select("o_orderstatus", "o_orderpriority", "o_totalprice")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
   /** `agg_rollup` — A9, revenue by (region, nation) with ROLLUP
     * subtotals. nation/region are true dims (bounded size at any SF) →
     * explicit broadcast; orders⋈customer is left to AQE, which

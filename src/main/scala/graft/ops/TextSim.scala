@@ -218,6 +218,23 @@ object TextSim {
           .cast(LongType).as("bpe_ish_tokens"))
       .orderBy("doc_id")
 
+  /** `doc_winnow` — full winnowing fingerprints (rolling-hash k-byte
+    * shingles, minimum per w-window — [[graft.functions.Winnow]]):
+    * per-doc fingerprint count plus a stable digest of the set, so
+    * the result is small and deterministic. NO ORACLE (byte-level
+    * rolling hash is engine-specific); the guarantee tests live in
+    * WinnowSpec. Matching fingerprints across docs ⇒ shared substring
+    * of length ≥ k+w−1 — the index key for plagiarism-style dedup.
+    */
+  def docWinnow(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.winnow(s, col("text")).as("fps"))
+      .select(col("doc_id"),
+        size(col("fps")).cast(LongType).as("n_fingerprints"),
+        xxhash64(col("fps")).as("fingerprint_digest"))
+      .orderBy("doc_id")
+
   /** `doc_fingerprint` — winnowing-style document fingerprint: the
     * minimum 64-bit hash over the document's 3-token shingles (the
     * MinHash primitive, num_hashes=1). NO ORACLE: xxhash64 is

@@ -1,0 +1,50 @@
+package graft
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+
+/** The winnowing guarantees: identical text → identical fingerprints;
+  * a shared substring of length ≥ k+w−1 → at least one shared
+  * fingerprint; short/empty text → empty set.
+  */
+class WinnowSpec extends SparkSpec {
+
+  private def fps(texts: Seq[String], k: Int = 12, w: Int = 4): Seq[Set[Long]] = {
+    import spark.implicits._
+    texts.toDF("text")
+      .select(VectorFunctions.winnow(spark, col("text"), k, w).as("f"))
+      .collect().toSeq.map(_.getSeq[Long](0).toSet)
+  }
+
+  test("identical documents yield identical fingerprint sets") {
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    val Seq(a, b) = fps(Seq(t, t))
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("a long shared substring yields shared fingerprints") {
+    val shared = "copied passage that appears verbatim in both documents"
+    val Seq(a, b, c) = fps(Seq(
+      s"unique prefix one $shared unique suffix one",
+      s"totally different beginning $shared and a different end",
+      "no overlap at all with either of the other two documents here"))
+    assert((a intersect b).nonEmpty, "shared substring must collide")
+    assert((a intersect c).isEmpty && (b intersect c).isEmpty,
+      "unrelated text should not collide")
+  }
+
+  test("text shorter than k yields no fingerprints; null yields null") {
+    val Seq(short) = fps(Seq("tiny"))
+    assert(short.isEmpty)
+    import spark.implicits._
+    val r = Seq[Option[String]](None).toDF("text")
+      .select(VectorFunctions.winnow(spark, col("text")).as("f")).collect()(0)
+    assert(r.isNullAt(0))
+  }
+
+  test("doc_winnow is deterministic across runs") {
+    val a = graft.ops.TextSim.docWinnow(spark, sf).collect().toSeq
+    val b = graft.ops.TextSim.docWinnow(spark, sf).collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+}
