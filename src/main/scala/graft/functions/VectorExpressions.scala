@@ -154,6 +154,17 @@ case class Winnow(child: Expression, k: Int, w: Int)
   */
 object VectorFunctions {
 
+  /** Register every graft expression in one call — the library's
+    * session-setup hook (the per-cluster equivalent is injecting these
+    * via SparkSessionExtensions.injectFunction from a
+    * `spark.sql.extensions` class; the builders below are the exact
+    * functions that injection would use).
+    */
+  def registerAll(spark: SparkSession): Unit = {
+    register(spark)
+    registerWinnow(spark)
+  }
+
   /** Idempotently register `graft_winnow(text, k, w)` (k and w must
     * be integer literals — they parameterize the generated operator).
     */
