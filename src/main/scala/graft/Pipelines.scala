@@ -1,0 +1,148 @@
+package graft
+
+import graft.ops.{Sinks, Sources, TimeOps}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's five pipeline generations, each as one composed
+  * engine call — the drop-in replacements a user of
+  * `ironey/ETL-Jobs` would switch to. Every era reuses the operator
+  * modules; nothing here is new logic, only composition:
+  *
+  *  - 2016 (`src/etl_2016.py`): CSV → uppercase/cast → load
+  *  - 2018 (`src/etl_2018.py:14-36,50-63`): + validate-and-split with
+  *    reject reasons, processing timestamp
+  *  - 2020 (`src/etl_2020.py:86-106,147-158`): + multi-file glob,
+  *    union, run metrics (Spark's task model replaces the hand-rolled
+  *    process pool)
+  *  - 2022 (`src/etl_2022.py:46-144,176-188`): + dedup, imputation,
+  *    quality report, threshold alerts, batch id
+  *  - 2025 (`src/etl_2025.py:233-263`): the same transform as a
+  *    Structured Streaming micro-batch loop with archive
+  */
+object Pipelines {
+
+  /** The reference's `users` schema (name, age, email). */
+  val usersSchema: StructType = StructType(Seq(
+    StructField("name", StringType),
+    StructField("age", StringType),    // raw CSV: validated, then cast
+    StructField("email", StringType)))
+
+  /** 2016/2018-era validation predicate (etl_2018.py:14-36 +
+    * etl_2020.py:47-49): required fields, non-blank name, parseable
+    * age in [0, 150], email contains '@'.
+    */
+  /** ANSI-safe age parse: malformed strings become null, mirroring
+    * the reference's try/except int() (etl_2018.py:26-31) — a plain
+    * cast would THROW under Spark 4's ANSI mode.
+    */
+  private val ageInt: Column = expr("try_cast(age AS INT)")
+
+  val validUser: Column =
+    col("name").isNotNull && trim(col("name")) =!= "" &&
+      col("age").isNotNull && ageInt.isNotNull &&
+      ageInt.between(0, 150) &&
+      col("email").isNotNull && col("email").contains("@")
+
+  /** Reject reason, first failing check (etl_2018.py:34-36). */
+  val userRejectReason: Column =
+    when(col("name").isNull || trim(col("name")) === "", "invalid_name")
+      .when(col("age").isNull || ageInt.isNull ||
+        !ageInt.between(0, 150), "invalid_age")
+      .otherwise("invalid_email")
+
+  /** The per-row transform every era applies (etl_2016.py:12-18,
+    * etl_2022.py:186-188): uppercase name, int age, processing
+    * timestamp.
+    */
+  def transformUsers(df: DataFrame): DataFrame =
+    df.select(
+      upper(col("name")).as("name"),
+      expr("try_cast(age AS INT)").as("age"),
+      col("email"),
+      current_timestamp().as("processed_at"))
+
+  /** 2016: extract one CSV, transform, load. Returns rows loaded. */
+  def basic2016(spark: SparkSession, inCsv: String, outDir: String): Long = {
+    val out = transformUsers(Sources.csv(spark, inCsv, usersSchema))
+    Sinks.parquet(out).save(outDir)
+    spark.read.parquet(outDir).count()
+  }
+
+  case class ValidatedLoad(loaded: Long, rejected: Long)
+
+  /** 2018: validate-and-split; valid rows load, rejects land in a
+    * side output with reasons (one cached pass, both branches).
+    */
+  def validated2018(spark: SparkSession, inCsv: String, outDir: String,
+                    rejectDir: String): ValidatedLoad = {
+    val raw = Sources.csv(spark, inCsv, usersSchema).cache()
+    val good = transformUsers(raw.filter(validUser))
+    val bad = raw.filter(!validUser)
+      .withColumn("reason", userRejectReason)
+    Sinks.parquet(good).save(outDir)
+    Sinks.parquet(bad).save(rejectDir)
+    ValidatedLoad(spark.read.parquet(outDir).count(),
+      spark.read.parquet(rejectDir).count())
+  }
+
+  /** 2020: multi-file glob (keep `input_*`, skip prior output),
+    * implicit union, validated transform, metrics via observe() —
+    * the process-pool parallelism of the reference is Spark's own
+    * task model.
+    */
+  def parallel2020(spark: SparkSession, inDir: String,
+                   outDir: String): Map[String, Any] = {
+    val raw = Sources.csvGlob(spark, inDir, "input_*.csv", usersSchema)
+    val (observed, obs) = Quality.observed(raw, validUser,
+      when(validUser, 1.0).otherwise(0.0))
+    val good = transformUsers(observed.filter(validUser))
+    Sinks.parquet(good).save(outDir)
+    obs.get
+  }
+
+  case class QualityRun(loaded: Long, report: Quality.QualityReport,
+                        alerts: Seq[String])
+
+  /** 2022: dedup → impute → quality report → alerts → load with a
+    * data-derived batch id (deterministic analog of
+    * `strftime('%Y%m%d_%H%M%S')`, etl_2022.py:217).
+    */
+  def quality2022(spark: SparkSession, inCsv: String,
+                  outDir: String): QualityRun = {
+    val raw = Sources.csv(spark, inCsv, usersSchema).cache()
+    // report over the PARSED age (percentile would ANSI-throw on a
+    // malformed string); try_cast is idempotent on the int column
+    val typed = raw.withColumn("age", ageInt)
+    val report = Quality.report(typed, validUser,
+      dupKeys = Seq("name", "email"), outlierCol = "age")
+    val alerts = Quality.alerts(report)
+    val meanAge = raw.filter(validUser)
+      .agg(avg(expr("try_cast(age AS INT)"))).collect()(0)
+    val fillAge = if (meanAge.isNullAt(0)) 0 else meanAge.getDouble(0).toInt
+    val cleaned = transformUsers(
+      raw.filter(validUser)
+        .dropDuplicates("name", "email")
+        .na.fill(Map("name" -> "UNKNOWN", "email" -> "unknown@example.com")))
+      .na.fill(Map("age" -> fillAge))
+      .withColumn("quality_score", lit(report.validRate))
+      .withColumn("batch_id", date_format(current_timestamp(),
+        "yyyyMMdd_HHmmss"))
+    Sinks.parquet(cleaned).save(outDir)
+    QualityRun(spark.read.parquet(outDir).count(), report, alerts)
+  }
+
+  /** 2025: the same validated transform as a streaming micro-batch
+    * loop — file source (archive on consume) → foreachBatch →
+    * idempotent parquet per batch. Caller starts/stops the query.
+    */
+  def streaming2025(spark: SparkSession, inDir: String, outDir: String,
+                    checkpoint: String, archiveDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val stream = TimeOps.fileStream(spark, inDir, usersSchema,
+      archiveDir = Some(archiveDir))
+    TimeOps.foreachBatchSink(stream, outDir, checkpoint)(batch =>
+      transformUsers(batch.filter(validUser)))
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Era-parity: each reference pipeline generation runs end-to-end on
+  * reference-shaped users CSV data and reproduces its behavior
+  * (counts, splits, cleaning, metrics, alerts, streaming loop).
+  */
+class PipelinesSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def writeCsv(dir: String, name: String, rows: Seq[String]): String = {
+    val f = new java.io.File(dir, name)
+    val w = new java.io.PrintWriter(f)
+    w.write(("name,age,email" +: rows).mkString("", "\n", "\n"))
+    w.close()
+    f.getPath
+  }
+
+  private val goodRows = Seq(
+    "alice,30,alice@example.com",
+    "bob,41,bob@example.com",
+    "carol,25,carol@example.com")
+  private val badRows = Seq(
+    ",19,missing-name@example.com",   // blank name
+    "dan,notanint,dan@example.com",   // unparseable age
+    "erin,200,erin@example.com",      // age out of range
+    "frank,33,no-at-sign")            // bad email
+
+  test("2016: extract-transform-load uppercases and casts") {
+    val in = writeCsv(tmp("p16"), "users.csv", goodRows)
+    val out = tmp("p16o")
+    assert(Pipelines.basic2016(spark, in, out) == 3)
+    val names = spark.read.parquet(out).select("name")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(names == Seq("ALICE", "BOB", "CAROL"))
+    assert(spark.read.parquet(out).schema("age").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+  }
+
+  test("2018: validation splits valid rows from reasoned rejects") {
+    val in = writeCsv(tmp("p18"), "users.csv", goodRows ++ badRows)
+    val (out, rej) = (tmp("p18o"), tmp("p18r"))
+    val r = Pipelines.validated2018(spark, in, out, rej)
+    assert(r == Pipelines.ValidatedLoad(3, 4))
+    val reasons = spark.read.parquet(rej).select("reason")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(reasons == Seq("invalid_age", "invalid_age", "invalid_email",
+      "invalid_name"))
+  }
+
+  test("2020: glob union + observe metrics count both branches") {
+    val dir = tmp("p20")
+    writeCsv(dir, "input_1.csv", goodRows)
+    writeCsv(dir, "input_2.csv", badRows)
+    writeCsv(dir, "output.csv", Seq("x,1,x@y"))  // skipped by glob
+    val metrics = Pipelines.parallel2020(spark, dir, tmp("p20o"))
+    assert(metrics("n_rows") == 7L)
+    assert(metrics("n_valid") == 3L)
+    assert(metrics("n_invalid") == 4L)
+  }
+
+  test("2022: dedup + impute + report + alerts") {
+    val in = writeCsv(tmp("p22"), "users.csv",
+      goodRows ++ goodRows ++ badRows) // duplicates + rejects
+    val r = Pipelines.quality2022(spark, in, tmp("p22o"))
+    assert(r.loaded == 3, "duplicates must collapse")
+    assert(r.report.totalRows == 10)
+    assert(r.report.validRows == 6)
+    assert(r.report.dupRows == 3)
+    // 60% valid < 90% threshold -> alert fires
+    assert(r.alerts.exists(_.startsWith("low_valid_rate")))
+  }
+
+  test("2025: streaming loop applies the same transform per micro-batch") {
+    val (in, out, ck, arch) = (tmp("p25i"), tmp("p25o"), tmp("p25c"),
+      tmp("p25a"))
+    writeCsv(in, "batchfile.csv", goodRows ++ badRows)
+    // file source reads CSV dirs of matching schema? fileStream is
+    // parquet-based — feed it parquet like the driver's queue would
+    val users = Pipelines.usersSchema
+    spark.read.schema(users).option("header", "true")
+      .csv(s"$in/batchfile.csv").write.mode("overwrite")
+      .parquet(s"$in/stream")
+    val q = Pipelines.streaming2025(spark, s"$in/stream", out, ck, arch)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val loaded = spark.read.parquet(s"$out/batch_id=0")
+    assert(loaded.count() == 3)
+    assert(loaded.filter(col("name") === "ALICE").count() == 1)
+  }
+}
