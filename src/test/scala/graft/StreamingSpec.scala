@@ -67,6 +67,25 @@ class StreamingSpec extends SparkSpec {
     assert(u1.map(_.getLong(2)).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("stream-static join enriches a stream against a batch dimension") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val stream = MemoryStream[Ev]
+    stream.addData(sample)
+    val name = s"ssj_${System.nanoTime()}"
+    val q = stream.toDF()
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"),
+        "left")
+      .writeStream.format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    val tiers = spark.table(name)
+      .collect().map(r => r.getLong(r.fieldIndex("event_id")) ->
+        r.getString(r.fieldIndex("tier"))).toMap
+    assert(tiers(1L) == "gold" && tiers(4L) == "silver")
+  }
+
   test("T6 dropDuplicatesWithinWatermark removes redelivered events") {
     val dup = sample ++ Seq(Ev(1, t("2024-01-01 00:05:00"), 1, "click", 1.0))
     val rows = runToCompletion(dup, df => TimeOps.dedupWithinWatermark(df))
