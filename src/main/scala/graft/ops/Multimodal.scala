@@ -81,6 +81,27 @@ object Multimodal {
     }
   }
 
+  /** Resize: shrink each payload to `targetBytes` by stride-sampling
+    * its bytes — the binary-plumbing shape of an image resize (a real
+    * implementation swaps the sampler for a codec's scale call inside
+    * the same per-partition stage; see [[decodeFeatures]] for the
+    * stub convention). Codegen'd expressions only: the stride is
+    * computed per row, the gather is one transform + substr chain.
+    */
+  def resize(df: DataFrame, targetBytes: Int = 64): DataFrame =
+    df.withColumn("media_resized", expr(
+      // bytes stay BINARY end-to-end (substr of binary is binary,
+      // concat of binaries is binary) — a string round-trip would
+      // corrupt non-UTF8 payloads
+      s"""CASE WHEN n_bytes <= $targetBytes THEN media ELSE
+         |  aggregate(
+         |    transform(sequence(0L, ${targetBytes - 1}L),
+         |      i -> substr(media, CAST(i * (n_bytes div $targetBytes) + 1 AS INT), 1)),
+         |    CAST('' AS BINARY), (acc, x) -> concat(acc, x))
+         |END""".stripMargin))
+      .withColumn("n_bytes_resized",
+        length(col("media_resized")).cast(LongType))
+
   /** Frame/segment sampling: every `stride`-th fixed-size byte window
     * of the payload — the binary-slicing pattern a video frame sampler
     * uses, done with built-in expressions (substr on BINARY), so it

@@ -35,6 +35,24 @@ class MultimodalSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("resize shrinks large payloads to ~target and keeps small ones") {
+    val target = 64
+    val resized = Multimodal.resize(Multimodal.mediaTable(spark, sf), target)
+    // payloads over target shrink to at most target sampled bytes
+    val tooBig = resized.filter(col("n_bytes") > target &&
+      col("n_bytes_resized") > target).count()
+    assert(tooBig == 0)
+    // payloads at or under target pass through untouched
+    val mangledSmall = resized.filter(col("n_bytes") <= target &&
+      col("media_resized") =!= col("media")).count()
+    assert(mangledSmall == 0)
+    // deterministic
+    val a = resized.select("doc_id", "n_bytes_resized").collect().toSeq
+    val b = Multimodal.resize(Multimodal.mediaTable(spark, sf), target)
+      .select("doc_id", "n_bytes_resized").collect().toSeq
+    assert(a == b)
+  }
+
   test("frameSample emits stride-spaced fixed-size windows") {
     val frames = Multimodal.frameSample(
       Multimodal.mediaTable(spark, sf), frameBytes = 16, stride = 64)
