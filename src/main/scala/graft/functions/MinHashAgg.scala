@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.dsl.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, If, IsNull, LambdaFunction, Least, Literal, NamedLambdaVariable, Sequence, UnresolvedNamedLambdaVariable, XxHash64, ZipWith}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** MinHash signature as ONE declarative aggregate: the buffer is the
+  * whole `numHashes`-long signature array, updated per input token
+  * with `zip_with(sig, hashes(token), least)` and merged the same
+  * way. All update/merge logic is Catalyst expressions, so the
+  * aggregate participates in partial (map-side) aggregation and
+  * whole-stage codegen like any built-in — versus the 64-separate-
+  * `min(xxhash64(tok, h))` formulation, this generates one buffer
+  * slot instead of 64 and ~1/10th the aggregate codegen.
+  *
+  * Usage: register via [[VectorFunctions.registerMinHash]] then
+  * `groupBy("doc_id").agg(call_function("graft_minhash", col("token")))`.
+  */
+case class MinHashSigAgg(child: Expression, numHashes: Int)
+    extends DeclarativeAggregate {
+
+  require(numHashes > 0, s"numHashes must be positive, got $numHashes")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_minhash requires a string column, got $t")
+    }
+
+  private lazy val sig: AttributeReference =
+    AttributeReference("sig", ArrayType(LongType, containsNull = false),
+      nullable = false)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(sig)
+
+  override lazy val initialValues: Seq[Expression] = Seq(
+    Literal.create(Array.fill(numHashes)(Long.MaxValue),
+      ArrayType(LongType, containsNull = false)))
+
+  /** hashes(token): [xxhash64(token, 0) … xxhash64(token, n-1)] via a
+    * transform over the seed sequence.
+    */
+  private def tokenHashes: Expression = {
+    val h = NamedLambdaVariable("h", LongType, nullable = false)
+    new org.apache.spark.sql.catalyst.expressions.ArrayTransform(
+      Sequence(Literal(0L), Literal(numHashes - 1L), None,
+        Some(java.time.ZoneOffset.UTC.getId)),
+      LambdaFunction(XxHash64(Seq(child, h), 42L), Seq(h)))
+  }
+
+  private def minwise(a: Expression, b: Expression): Expression = {
+    val x = NamedLambdaVariable("x", LongType, nullable = false)
+    val y = NamedLambdaVariable("y", LongType, nullable = false)
+    ZipWith(a, b, LambdaFunction(Least(Seq(x, y)), Seq(x, y)))
+  }
+
+  override lazy val updateExpressions: Seq[Expression] = Seq(
+    If(IsNull(child), sig, minwise(sig, tokenHashes)))
+
+  override lazy val mergeExpressions: Seq[Expression] = Seq(
+    minwise(sig.left, sig.right))
+
+  override lazy val evaluateExpression: Expression = sig
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MinHashSigAgg =
+    copy(child = newChildren.head)
+}
+
+object MinHashAgg {
+  /** Idempotently register `graft_minhash(token[, numHashes])`. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash",
+      { exprs: Seq[Expression] =>
+        exprs match {
+          case Seq(c) => MinHashSigAgg(c, 64)
+          case Seq(c, n) =>
+            MinHashSigAgg(c, n.eval().asInstanceOf[Number].intValue())
+          case _ => throw new IllegalArgumentException(
+            s"graft_minhash expects (token[, numHashes]), got ${exprs.length} args")
+        }
+      },
+      "built-in")
+}

@@ -31,20 +31,20 @@ object NearDup {
           s" i -> concat_ws(' ', slice(toks, i, $n))) ELSE array() END")).as("token"))
       .distinct()
 
-  /** Per-document MinHash signature: `numHashes` independent hash
-    * functions, each `min(xxhash64(shingle, h))` over the shingle set.
-    * One explode + one map-side-combined groupBy — shuffle volume is
-    * one `numHashes`-long row per document, independent of doc length.
+  /** Per-document MinHash signature via the custom declarative
+    * aggregate [[graft.functions.MinHashSigAgg]]: one array-buffer
+    * minwise-merge per token instead of `numHashes` separate min
+    * aggregates (same result, ~1/10th the aggregate codegen). One
+    * explode + one map-side-combined groupBy — shuffle volume is one
+    * `numHashes`-long row per document, independent of doc length.
     */
   def minhashSignatures(s: SparkSession, dir: String,
                         numHashes: Int = 64): DataFrame = {
-    val exploded = shingles(s, dir)
-    val aggs = (0 until numHashes)
-      .map(h => min(xxhash64(col("token"), lit(h))).as(s"mh$h"))
-    exploded.groupBy("doc_id")
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"),
-        array((0 until numHashes).map(h => col(s"mh$h")): _*).as("sig"))
+    graft.functions.MinHashAgg.register(s)
+    shingles(s, dir)
+      .groupBy("doc_id")
+      .agg(call_function("graft_minhash", col("token"), lit(numHashes))
+        .as("sig"))
   }
 
   /** `dedup_minhash` — banded MinHash+LSH near-dup summary.
