@@ -1,0 +1,70 @@
+package graft
+
+import graft.ops.{Aggregates, Relational, TextSim, Transforms}
+
+/** Physical-plan regression guard: the scale-critical plan properties
+  * recorded in SCALE.md, asserted so a refactor that silently
+  * reintroduces a shuffle / full-width scan / global sort fails here
+  * instead of at 100 TB.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("sort_topk plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan(Relational.sortTopk(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Sort ["), s"unexpected full sort:\n$p")
+  }
+
+  test("src_scan prunes the scan to the 3 projected columns") {
+    val p = plan(Transforms.srcScan(spark, sf))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema"))
+    assert(readSchema.isDefined)
+    assert(readSchema.get.contains("l_orderkey") &&
+      readSchema.get.contains("l_quantity") &&
+      !readSchema.get.contains("l_extendedprice"),
+      s"scan not pruned: ${readSchema.get}")
+  }
+
+  test("agg_group pushes the shipdate filter into the parquet scan") {
+    val p = plan(Aggregates.aggGroup(spark, sf))
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      s"filter not pushed:\n${p.take(2000)}")
+    assert(p.contains("HashAggregate"), "expected hash aggregation")
+  }
+
+  test("join_dim broadcasts both dimension tables") {
+    val p = plan(Relational.joinDim(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"dims must broadcast:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"),
+      "dim join must not fall back to sort-merge")
+  }
+
+  test("sim_search never shuffles the embeddings side") {
+    val p = plan(TextSim.simSearch(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "query vector must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"embeddings must not shuffle:\n${p.take(2000)}")
+  }
+
+  test("join_semi ships no payload columns from the right side") {
+    val p = plan(Relational.joinSemi(spark, sf))
+    val readSchemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    // lineitem side of the semi join must read ONLY the join key
+    assert(readSchemas.exists(l => l.contains("l_orderkey") &&
+      !l.contains("l_quantity") && !l.contains("l_extendedprice")),
+      s"semi-join right side not pruned to the key:\n$readSchemas")
+  }
+
+  test("dedup_text shuffles on the content hash, a single exchange") {
+    val p = plan(TextSim.dedupText(spark, sf))
+    // one partial+final agg pair over the hash; no join, no extra sort
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("Join"), "exact dedup must not compare pairs")
+  }
+}

@@ -20,6 +20,24 @@ class TimeOpsSpec extends SparkSpec {
     assert(mins == 0, "every user's first session is 1")
   }
 
+  test("stateful sessionize agrees with the window-function formulation") {
+    import spark.implicits._
+    val typed = Sources.table(spark, sf, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("event_id"), col("ts"), col("user_id"))
+      .as[TimeOps.SessionEvent]
+    val stateful = TimeOps.statefulSessionize(typed)
+      .collect().map(r => (r.user_id, r.event_id) -> r.session_id).toMap
+    val windowed = TimeOps.sessionize(spark, sf)
+      .filter(col("user_id").isNotNull)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(stateful.keySet == windowed.keySet)
+    val disagree = stateful.count { case (k, v) => windowed(k) != v }
+    assert(disagree == 0,
+      s"$disagree of ${stateful.size} assignments differ between the two implementations")
+  }
+
   test("stream_tumbling buckets cover every event exactly once") {
     val n = TimeOps.streamTumbling(spark, sf)
       .agg(sum("n")).collect()(0).getLong(0)
