@@ -72,8 +72,9 @@ object Ann {
     val e = Sources.table(s, dir, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-    // deterministic coarse centroids: the nLists lowest-id vectors,
-    // L2-normalized so assignment is argmax of cosine = argmax of dot
+    // deterministic coarse centroids: the nLists lowest-id vectors;
+    // assignment divides each dot by the centroid's norm (|v| is
+    // constant across candidates, so this argmax IS argmax of cosine)
     val centroids = e.orderBy("vec_id").limit(nLists)
       .select(collect_list(col("v")).as("cs"))
     graft.functions.VectorFunctions.register(s)

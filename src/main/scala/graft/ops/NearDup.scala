@@ -16,12 +16,14 @@ import org.apache.spark.sql.types._
   */
 object NearDup {
 
-  /** Distinct n-token shingles per document — the set MinHash
-    * approximates Jaccard over. Shingles, not unigrams: token SETS
-    * from a small vocabulary are nearly identical across unrelated
-    * docs (every doc contains most of the vocab), while shingle
-    * overlap between unrelated docs is ~0 — the discrimination that
-    * makes banding produce few candidates.
+  /** n-token shingles per document (NOT deduplicated — both consumers
+    * are duplicate-idempotent: MinHash takes a min, dedupNgram
+    * collects a set, so a distinct here would only add a full extra
+    * shuffle). Shingles, not unigrams: token SETS from a small
+    * vocabulary are nearly identical across unrelated docs (every doc
+    * contains most of the vocab), while shingle overlap between
+    * unrelated docs is ~0 — the discrimination that makes banding
+    * produce few candidates.
     */
   private def shingles(s: SparkSession, dir: String, n: Int = 3): DataFrame =
     Sources.table(s, dir, "documents")
@@ -29,7 +31,6 @@ object NearDup {
       .select(col("doc_id"), explode(expr(
         s"CASE WHEN size(toks) >= $n THEN transform(sequence(1, size(toks) - ${n - 1})," +
           s" i -> concat_ws(' ', slice(toks, i, $n))) ELSE array() END")).as("token"))
-      .distinct()
 
   /** Per-document MinHash signature via the custom declarative
     * aggregate [[graft.functions.MinHashSigAgg]]: one array-buffer
@@ -167,7 +168,9 @@ object NearDup {
     // posting lists, reused by two branches (pair gen + doc sizes):
     // persist so the explode+distinct+groupBy pipeline runs once
     val posts = grams.groupBy("gram")
-      .agg(collect_list(col("doc_id")).as("docs"))
+      // collect_SET: posting lists are distinct doc ids (the input
+      // shingle stream is not deduplicated)
+      .agg(collect_set(col("doc_id")).as("docs"))
       .filter(size(col("docs")) <= maxDf)
       .persist()
     val sizes = posts.select(explode(col("docs")).as("doc_id"))
