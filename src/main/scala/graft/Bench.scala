@@ -10,9 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: absorb executor init + first-job codegen so it isn't
-    // charged to whichever query happens to run first
-    spark.read.parquet(s"$sfDir/lineitem.parquet").count(): Unit
+    // warmup: absorb executor init + first-job codegen + first read
+    // of each hot table so none of it is charged to whichever query
+    // happens to run first
+    Seq("lineitem", "events", "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").count(): Unit
+    }
     // sorted order: deterministic per-query timings across rounds
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

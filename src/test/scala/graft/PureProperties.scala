@@ -35,6 +35,42 @@ object PureProperties extends Properties("graft.pure") {
     Multimodal.decodeFeatures(Array.empty[Byte]).toSeq == Seq.fill(8)(0f)
   }
 
+  // ---- Winnow (rolling-hash fingerprints, evaluated directly) -------
+
+  private def winnowOf(s: String, k: Int = 6, w: Int = 3): Seq[Long] = {
+    val out = graft.functions.Winnow(
+      org.apache.spark.sql.catalyst.expressions.Literal(s), k, w)
+      .eval(null)
+    out.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray().toSeq
+  }
+
+  private val textGen: Gen[String] =
+    Gen.chooseNum(0, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+
+  property("winnow is deterministic and empty below k") =
+    Prop.forAll(textGen) { s =>
+      val a = winnowOf(s)
+      a == winnowOf(s) && (s.length >= 6 || a.isEmpty)
+    }
+
+  property("winnow fingerprint count is bounded by window count") =
+    Prop.forAll(textGen) { s =>
+      val a = winnowOf(s)
+      val m = s.getBytes("UTF-8").length - 6 + 1
+      a.size <= math.max(m, 0)
+    }
+
+  property("a shared long substring always shares a fingerprint") =
+    Prop.forAll(Gen.listOfN(30, Gen.alphaChar).map(_.mkString),
+      textGen, textGen) { (shared, p, q) =>
+      // shared spans ≥ k+w−1 bytes → winnowing guarantees a common pick
+      val a = winnowOf(p + shared + q).toSet
+      val b = winnowOf(q + shared + p).toSet
+      (a intersect b).nonEmpty
+    }
+
   // ---- Quality.alerts (threshold logic, etl_2022.py:111-121) --------
 
   private val reportGen: Gen[Quality.QualityReport] = for {
