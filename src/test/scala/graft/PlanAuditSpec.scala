@@ -61,6 +61,22 @@ class PlanAuditSpec extends SparkSpec {
       s"semi-join right side not pruned to the key:\n$readSchemas")
   }
 
+  test("dedup_embed broadcasts one side and parallelizes the probe side") {
+    val p = plan(TextSim.dedupEmbed(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "pair generation must broadcast, not shuffle-join")
+    assert(p.contains("Exchange RoundRobinPartitioning") ||
+      p.contains("REPARTITION"),
+      s"probe side must be repartitioned off the single input split:\n${p.take(1500)}")
+  }
+
+  test("agg_cube expands grouping sets into one aggregation pass") {
+    val p = plan(Aggregates.aggCube(spark, sf))
+    assert(p.contains("Expand"), "cube must plan through Expand")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial+final aggregation")
+  }
+
   test("dedup_text shuffles on the content hash, a single exchange") {
     val p = plan(TextSim.dedupText(spark, sf))
     // one partial+final agg pair over the hash; no join, no extra sort
