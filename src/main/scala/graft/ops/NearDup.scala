@@ -97,26 +97,23 @@ object NearDup {
   }
 
   /** Per-document 64-bit SimHash over token hashes: bit b of the
-    * signature is the sign of Σ_tokens (±1 by bit b of xxhash64(tok)).
-    * Computed as explode → (doc, bit) vote agg → doc agg: two hash
-    * aggregations, shuffle volume 64 rows/doc then 1 row/doc — no
-    * pairwise work. Near-dup candidates share a 16-bit band
-    * (`band0..band3`), the standard Hamming-space blocking.
+    * signature is the sign of Σ_tokens (±1 by bit b of xxhash64(tok)),
+    * computed by the declarative aggregate
+    * [[graft.functions.SimHashSigAgg]] — ONE hash aggregation, one
+    * row per token map-side and one 64-long vote vector per doc on
+    * the shuffle (the explode-per-bit formulation it replaces put 64
+    * rows per token through the first aggregation). Near-dup
+    * candidates share a 16-bit band (`band0..band3`), the standard
+    * Hamming-space blocking.
     */
   def simhash(s: SparkSession, dir: String): DataFrame = {
-    val bits = (0 until 64).map(lit(_))
-    val th = Sources.table(s, dir, "documents")
+    graft.functions.SimHashAgg.register(s)
+    Sources.table(s, dir, "documents")
       .select(col("doc_id"),
         explode(array_distinct(split(lower(col("text")), "\\s+"))).as("token"))
       .filter(col("token") =!= "")
-      .select(col("doc_id"), xxhash64(col("token")).as("h"))
-      .select(col("doc_id"), col("h"), explode(array(bits: _*)).as("bit"))
-    th.groupBy("doc_id", "bit")
-      .agg(sum(when(expr("(h >> bit) & 1") === 1, 1L).otherwise(-1L))
-        .as("vote"))
       .groupBy("doc_id")
-      .agg(sum(when(col("vote") > 0, expr("shiftleft(1L, bit)"))
-        .otherwise(0L)).as("simhash"))
+      .agg(call_function("graft_simhash", col("token")).as("simhash"))
       .select(col("doc_id"), col("simhash"),
         expr("(simhash >> 48) & 65535").as("band0"),
         expr("(simhash >> 32) & 65535").as("band1"),
