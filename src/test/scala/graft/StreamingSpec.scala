@@ -115,7 +115,9 @@ class StreamingSpec extends SparkSpec {
     // batch N+1 — feed a second file to trigger it
     sample.toDF().write.mode("append").parquet(inDir)
     q.processAllAvailable()
-    val deadline = System.currentTimeMillis() + 10000
+    // generous: the async cleaner competes for CPU on a host that
+    // throttles hard at times
+    val deadline = System.currentTimeMillis() + 30000
     def archived: Int = parquets(archDir)
     while (archived == 0 && System.currentTimeMillis() < deadline)
       Thread.sleep(200)
