@@ -67,28 +67,36 @@ object NearDup {
     */
   def dedupMinhash(s: SparkSession, dir: String, numHashes: Int = 64,
                    bands: Int = 16, minSim: Double = 0.4): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) — trailing " +
+        "signature slots would be silently excluded from banding")
     val r = numHashes / bands
-    // referenced three times (banding + both sides of the estimate
-    // join): persist so the shingle→minhash pipeline runs once
-    val sigs = minhashSignatures(s, dir, numHashes).persist()
-    val banded = sigs.select(col("doc_id"), posexplode(expr(
-      s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $r + 1, $r)))"))
-      .as(Seq("band_idx", "band_hash")))
-    val cands = banded.select(col("doc_id").as("doc_a"),
-        col("band_idx"), col("band_hash"))
+    // Carry the signature THROUGH the banding explode so the bucket
+    // self-join yields both signatures directly: no re-join against a
+    // signature table, and no persist (a .persist() here would be
+    // pinned by the CacheManager for the session lifetime unless the
+    // caller unpersists — wrong shape for a query-returning library
+    // fn). Cost: the banding shuffle carries the sig array per band
+    // row (numHashes longs × bands per doc) — same order as what
+    // MinHashLSH-style banded joins ship.
+    val banded = minhashSignatures(s, dir, numHashes)
+      .select(col("doc_id"), col("sig"), posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $r + 1, $r)))"))
+        .as(Seq("band_idx", "band_hash")))
+    val est = banded.select(col("doc_id").as("doc_a"),
+        col("sig").as("sig_a"), col("band_idx"), col("band_hash"))
       .join(banded.select(col("doc_id").as("doc_b"),
-        col("band_idx"), col("band_hash")), Seq("band_idx", "band_hash"))
+        col("sig").as("sig_b"), col("band_idx"), col("band_hash")),
+        Seq("band_idx", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    val est = cands
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
-        "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
-        "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0))," +
           " 0, (acc, v) -> acc + v)").cast(DoubleType) / numHashes.toDouble)
           .as("est_jaccard"))
+      // a pair may collide in several bands; est_jaccard is identical
+      // for every collision of the same pair, so max = dedup
+      .groupBy("doc_a", "doc_b")
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
       .filter(col("est_jaccard") >= minSim)
     est.agg(
       count(lit(1)).as("n_candidate_pairs"),
