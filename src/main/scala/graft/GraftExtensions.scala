@@ -31,8 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 3,
           s"graft_winnow expects (text, k, w), got ${exprs.length} args")
         Winnow(exprs.head,
-          exprs(1).eval().asInstanceOf[Number].intValue(),
-          exprs(2).eval().asInstanceOf[Number].intValue())
+          graft.functions.VectorFunctions.literalInt(
+            "graft_winnow", "k", exprs(1)),
+          graft.functions.VectorFunctions.literalInt(
+            "graft_winnow", "w", exprs(2)))
       }))
   }
 }

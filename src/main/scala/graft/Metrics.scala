@@ -1,7 +1,7 @@
 package graft
 
 import java.util.concurrent.ConcurrentHashMap
-import java.util.concurrent.atomic.LongAdder
+import java.util.concurrent.atomic.DoubleAdder
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.QueryExecution
@@ -23,19 +23,22 @@ import org.apache.spark.sql.util.QueryExecutionListener
   */
 final class MetricsListener extends QueryExecutionListener {
 
-  private val counters = new ConcurrentHashMap[String, LongAdder]()
+  // DoubleAdder, not LongAdder: observed metrics can be fractional
+  // (e.g. avg_quality in [0, 1] — longValue() would truncate them to
+  // 0); counts stay exact as doubles up to 2^53.
+  private val counters = new ConcurrentHashMap[String, DoubleAdder]()
 
-  private def add(key: String, v: Long): Unit =
-    counters.computeIfAbsent(key, _ => new LongAdder()).add(v)
+  private def add(key: String, v: Double): Unit =
+    counters.computeIfAbsent(key, _ => new DoubleAdder()).add(v)
 
   override def onSuccess(funcName: String, qe: QueryExecution,
                          durationNs: Long): Unit = {
-    add("queries_total", 1L)
-    add("query_seconds_sum_ms", durationNs / 1000000L)
+    add("queries_total", 1.0)
+    add("query_duration_ms_sum", durationNs / 1e6)
     qe.observedMetrics.foreach { case (obsName, row) =>
       row.schema.fieldNames.zipWithIndex.foreach { case (f, i) =>
         row.get(i) match {
-          case n: Number => add(s"observed.$obsName.$f", n.longValue())
+          case n: Number => add(s"observed.$obsName.$f", n.doubleValue())
           case _ => // non-numeric observed metric — skip
         }
       }
@@ -44,11 +47,11 @@ final class MetricsListener extends QueryExecutionListener {
 
   override def onFailure(funcName: String, qe: QueryExecution,
                          exception: Exception): Unit =
-    add("errors_total", 1L)
+    add("errors_total", 1.0)
 
   /** Point-in-time view of all counters. */
-  def snapshot: Map[String, Long] = {
-    val b = Map.newBuilder[String, Long]
+  def snapshot: Map[String, Double] = {
+    val b = Map.newBuilder[String, Double]
     counters.forEach((k, v) => b += k -> v.sum())
     b.result()
   }

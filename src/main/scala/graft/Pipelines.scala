@@ -83,6 +83,8 @@ object Pipelines {
       .withColumn("reason", userRejectReason)
     Sinks.parquet(good).save(outDir)
     Sinks.parquet(bad).save(rejectDir)
+    // both branches are materialized — release the shared scan cache
+    raw.unpersist(blocking = false)
     ValidatedLoad(spark.read.parquet(outDir).count(),
       spark.read.parquet(rejectDir).count())
   }
@@ -130,6 +132,8 @@ object Pipelines {
       .withColumn("batch_id", date_format(current_timestamp(),
         "yyyyMMdd_HHmmss"))
     Sinks.parquet(cleaned).save(outDir)
+    // report, alerts, and the load are all materialized by now
+    raw.unpersist(blocking = false)
     QualityRun(spark.read.parquet(outDir).count(), report, alerts)
   }
 

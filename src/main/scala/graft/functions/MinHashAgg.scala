@@ -86,7 +86,8 @@ object MinHashAgg {
         exprs match {
           case Seq(c) => MinHashSigAgg(c, 64)
           case Seq(c, n) =>
-            MinHashSigAgg(c, n.eval().asInstanceOf[Number].intValue())
+            MinHashSigAgg(c,
+              VectorFunctions.literalInt("graft_minhash", "numHashes", n))
           case _ => throw new IllegalArgumentException(
             s"graft_minhash expects (token[, numHashes]), got ${exprs.length} args")
         }

@@ -21,8 +21,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *
   * Null semantics: null array → null result (standard binary-expression
   * null propagation); array ELEMENTS are assumed non-null (embedding
-  * vectors are dense) — a null element reads as 0.0, matching the
-  * zip_with formulation's behavior of null-poisoning only via the sum.
+  * vectors are dense). On a vector that does contain a null element
+  * the two formulations DIVERGE: `ArrayData.getDouble` reads the null
+  * slot as 0.0 (the element drops out of the sum), while the
+  * zip_with+aggregate formulation null-poisons the whole sum to NULL.
+  * The engine only ever feeds both from `embeddings.embedding` after
+  * a cast that preserves density, so the divergence is unreachable in
+  * the declared queries; DotNullSemanticsSpec documents it.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -154,6 +159,25 @@ case class Winnow(child: Expression, k: Int, w: Int)
   */
 object VectorFunctions {
 
+  /** Guard for function-builder parameters that must be literal at
+    * plan time (they parameterize the generated operator): a
+    * non-foldable argument would otherwise surface as an opaque
+    * NullPointerException/ClassCastException from eval() during
+    * resolution.
+    */
+  private[graft] def literalInt(fn: String, arg: String,
+                                e: Expression): Int = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn: argument '$arg' must be an integer literal, got " +
+          s"non-foldable expression ${e.sql}")
+    e.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument '$arg' must be an integer literal, got $other")
+    }
+  }
+
   /** Register every graft expression in one call — the library's
     * session-setup hook (the per-cluster equivalent is injecting these
     * via SparkSessionExtensions.injectFunction from a
@@ -174,9 +198,9 @@ object VectorFunctions {
       { exprs: Seq[Expression] =>
         require(exprs.length == 3,
           s"graft_winnow expects (text, k, w), got ${exprs.length} args")
-        val k = exprs(1).eval().asInstanceOf[Number].intValue()
-        val w = exprs(2).eval().asInstanceOf[Number].intValue()
-        Winnow(exprs.head, k, w)
+        Winnow(exprs.head,
+          literalInt("graft_winnow", "k", exprs(1)),
+          literalInt("graft_winnow", "w", exprs(2)))
       },
       "built-in")
 

@@ -171,7 +171,10 @@ object NearDup {
                  maxDf: Int = 20, minJaccard: Double = 0.2): DataFrame = {
     val grams = shingles(s, dir, n).withColumnRenamed("token", "gram")
     // posting lists, reused by two branches (pair gen + doc sizes):
-    // persist so the explode+distinct+groupBy pipeline runs once
+    // persist so the explode+distinct+groupBy pipeline runs once. The
+    // cache is released before returning — the result is materialized
+    // through an eager localCheckpoint below, so nothing the caller
+    // holds still depends on these blocks.
     val posts = grams.groupBy("gram")
       // collect_SET: posting lists are distinct doc ids (the input
       // shingle stream is not deduplicated)
@@ -187,7 +190,7 @@ object NearDup {
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("shared"))
-    shared
+    val pairs = shared
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_grams").as("na")),
         "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_grams").as("nb")),
@@ -197,6 +200,15 @@ object NearDup {
           (col("na") + col("nb") - col("shared")).cast(DoubleType), 4)
           .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
-      .orderBy("doc_a", "doc_b")
+      // eager localCheckpoint: runs the pipeline once (through the
+      // posting-list cache) and truncates lineage to the small
+      // pair-level result, so `posts` can be unpersisted immediately
+      // instead of pinning cached blocks for the session lifetime.
+      // The checkpointed blocks are bounded by the surviving pair
+      // count and are released by the ContextCleaner when the
+      // returned DataFrame is dropped.
+      .localCheckpoint()
+    posts.unpersist(blocking = false)
+    pairs.orderBy("doc_a", "doc_b")
   }
 }

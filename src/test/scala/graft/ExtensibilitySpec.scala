@@ -44,6 +44,47 @@ class ExtensibilitySpec extends SparkSpec {
     assert(math.abs(out - 4.0) < 1e-9)
   }
 
+  test("graft_dot vs zip_with: agreement on dense vectors, documented " +
+    "divergence on a null element") {
+    import spark.implicits._
+    val dense = Seq((Seq[java.lang.Double](1.0, 2.0, 3.0),
+      Seq[java.lang.Double](4.0, 5.0, 6.0))).toDF("a", "b")
+    val nd = graft.functions.VectorFunctions.dot(spark, col("a"), col("b"))
+    val hof = graft.ops.TextSim.dot(col("a"), col("b"))
+    val r = dense.select(nd.as("native"), hof.as("hof")).collect()(0)
+    assert(r.getDouble(0) == 32.0 && r.getDouble(1) == 32.0)
+    // null ELEMENT: native reads the slot as 0.0 (element drops out),
+    // zip_with+aggregate null-poisons the whole sum — the divergence
+    // the VectorExpressions scaladoc documents
+    val holey = Seq((Seq[java.lang.Double](1.0, null, 3.0),
+      Seq[java.lang.Double](4.0, 5.0, 6.0))).toDF("a", "b")
+    val h = holey.select(nd.as("native"), hof.as("hof")).collect()(0)
+    assert(h.getDouble(0) == 22.0, "native: null slot contributes 0")
+    assert(h.isNullAt(1), "zip_with formulation null-poisons the sum")
+    // null ARRAY: both propagate null
+    val nullArr = Seq((null.asInstanceOf[Seq[java.lang.Double]],
+      Seq[java.lang.Double](1.0))).toDF("a", "b")
+    val n2 = nullArr.select(nd.as("native"), hof.as("hof")).collect()(0)
+    assert(n2.isNullAt(0) && n2.isNullAt(1))
+  }
+
+  test("function builders reject non-literal operator parameters") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.registerAll(spark)
+    graft.functions.MinHashAgg.register(spark)
+    val df = Seq(("abcdefghijklmnopqrstuvwxyz", 5)).toDF("text", "n")
+    val winnowErr = intercept[Exception] {
+      df.selectExpr("graft_winnow(text, n, 4)").collect()
+    }
+    assert(winnowErr.getMessage.contains("integer literal"),
+      s"unexpected: ${winnowErr.getMessage}")
+    val minhashErr = intercept[Exception] {
+      df.selectExpr("graft_minhash(text, n)").collect()
+    }
+    assert(minhashErr.getMessage.contains("integer literal"),
+      s"unexpected: ${minhashErr.getMessage}")
+  }
+
   test("J5: theta/range join via non-equi condition") {
     import spark.implicits._
     val ranges = Seq(("low", 0.0, 100.0), ("high", 100.0, 1e9))

@@ -17,10 +17,10 @@ class MetricsConfigSpec extends SparkSpec {
       val total = df.count()
       // listener callbacks fire asynchronously after the action
       val deadline = System.nanoTime() + 10000000000L
-      while (listener.snapshot.getOrElse("queries_total", 0L) < 1L &&
+      while (listener.snapshot.getOrElse("queries_total", 0.0) < 1.0 &&
         System.nanoTime() < deadline) Thread.sleep(50)
       val snap = listener.snapshot
-      assert(snap.getOrElse("queries_total", 0L) >= 1L)
+      assert(snap.getOrElse("queries_total", 0.0) >= 1.0)
       val validKey = snap.keys.find(_.matches("observed\\..*\\.n_valid"))
       assert(validKey.isDefined, s"no observed valid counter in $snap")
       val invalidKey = snap.keys.find(_.matches("observed\\..*\\.n_invalid"))
