@@ -2,21 +2,39 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.dsl.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, If, IsNull, LambdaFunction, Least, Literal, NamedLambdaVariable, Sequence, UnresolvedNamedLambdaVariable, XxHash64, ZipWith}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, CreateArray, Expression, If, IsNull, Least, Literal, XxHash64}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
-/** MinHash signature as ONE declarative aggregate: the buffer is the
-  * whole `numHashes`-long signature array, updated per input token
-  * with `zip_with(sig, hashes(token), least)` and merged the same
-  * way. All update/merge logic is Catalyst expressions, so the
-  * aggregate participates in partial (map-side) aggregation and
-  * whole-stage codegen like any built-in — versus the 64-separate-
-  * `min(xxhash64(tok, h))` formulation, this generates one buffer
-  * slot instead of 64 and ~1/10th the aggregate codegen.
+/** MinHash signature as ONE declarative aggregate over `numHashes`
+  * scalar long buffer slots: slot i holds min(xxhash64(token, i)) for
+  * the group, exactly the 64-separate-`min(xxhash64(tok, h))`
+  * formulation fused into a single aggregate function.
   *
-  * Usage: register via [[VectorFunctions.registerMinHash]] then
+  * Scalar slots, not an array buffer, on purpose: every update/merge
+  * expression is a plain `Least(slot, XxHash64(token, i))` — no
+  * higher-order functions, so the whole update participates in
+  * whole-stage codegen and the buffer is fixed-width, which keeps the
+  * aggregation on HashAggregateExec's UnsafeRow fast path (in-place
+  * slot updates, zero per-row allocation). The previous array-buffer
+  * formulation updated via `zip_with(sig, hashes(token), least)`;
+  * higher-order functions are CodegenFallback, so every token paid
+  * interpreted lambda dispatch plus a fresh 64-element array.
+  *
+  * Partial (map-side) aggregation still applies: the shuffle carries
+  * one `numHashes`-slot row per document per map partition, never the
+  * tokens.
+  *
+  * This is the engine's SQL-surface MinHash (`graft_minhash` — one
+  * call, one array column). The batch hot path
+  * ([[graft.ops.NearDup.minhashSignatures]]) instead uses `numHashes`
+  * separate built-in `min` aggregates over a pre-hashed token: fusing
+  * all slot updates into this one function puts them in a single
+  * generated method, which measured 3.6× slower on a 750k-shingle
+  * corpus — consistent with the update method passing the JIT's
+  * huge-method threshold and running unoptimized.
+  *
+  * Usage: register via [[MinHashAgg.register]] then
   * `groupBy("doc_id").agg(call_function("graft_minhash", col("token")))`.
   */
 case class MinHashSigAgg(child: Expression, numHashes: Int)
@@ -37,40 +55,31 @@ case class MinHashSigAgg(child: Expression, numHashes: Int)
         s"graft_minhash requires a string column, got $t")
     }
 
-  private lazy val sig: AttributeReference =
-    AttributeReference("sig", ArrayType(LongType, containsNull = false),
-      nullable = false)()
+  private lazy val slots: IndexedSeq[AttributeReference] =
+    (0 until numHashes).map(i =>
+      AttributeReference(s"sig$i", LongType, nullable = false)())
 
-  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(sig)
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = slots
 
-  override lazy val initialValues: Seq[Expression] = Seq(
-    Literal.create(Array.fill(numHashes)(Long.MaxValue),
-      ArrayType(LongType, containsNull = false)))
+  override lazy val initialValues: Seq[Expression] =
+    Seq.fill(numHashes)(Literal(Long.MaxValue))
 
-  /** hashes(token): [xxhash64(token, 0) … xxhash64(token, n-1)] via a
-    * transform over the seed sequence.
+  /** Slot i's hash: xxhash64(token, i) with the default seed — the
+    * same family the pre-fusion per-hash-min formulation used, so
+    * signatures are reproducible across engine versions.
     */
-  private def tokenHashes: Expression = {
-    val h = NamedLambdaVariable("h", LongType, nullable = false)
-    new org.apache.spark.sql.catalyst.expressions.ArrayTransform(
-      Sequence(Literal(0L), Literal(numHashes - 1L), None,
-        Some(java.time.ZoneOffset.UTC.getId)),
-      LambdaFunction(XxHash64(Seq(child, h), 42L), Seq(h)))
-  }
+  private def slotHash(i: Int): Expression =
+    XxHash64(Seq(child, Literal(i.toLong)), 42L)
 
-  private def minwise(a: Expression, b: Expression): Expression = {
-    val x = NamedLambdaVariable("x", LongType, nullable = false)
-    val y = NamedLambdaVariable("y", LongType, nullable = false)
-    ZipWith(a, b, LambdaFunction(Least(Seq(x, y)), Seq(x, y)))
-  }
+  override lazy val updateExpressions: Seq[Expression] =
+    slots.zipWithIndex.map { case (slot, i) =>
+      If(IsNull(child), slot, Least(Seq(slot, slotHash(i))))
+    }
 
-  override lazy val updateExpressions: Seq[Expression] = Seq(
-    If(IsNull(child), sig, minwise(sig, tokenHashes)))
+  override lazy val mergeExpressions: Seq[Expression] =
+    slots.map(slot => Least(Seq(slot.left, slot.right)))
 
-  override lazy val mergeExpressions: Seq[Expression] = Seq(
-    minwise(sig.left, sig.right))
-
-  override lazy val evaluateExpression: Expression = sig
+  override lazy val evaluateExpression: Expression = CreateArray(slots)
 
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): MinHashSigAgg =

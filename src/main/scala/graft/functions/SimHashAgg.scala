@@ -3,17 +3,27 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
-import org.apache.spark.sql.catalyst.expressions.{Add, AttributeReference, BitwiseAnd, Cast, Expression, GreaterThan, If, IsNull, LambdaFunction, Literal, NamedLambdaVariable, Sequence, ShiftLeft, ShiftRight, XxHash64, ZipWith}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.catalyst.expressions.{Add, AttributeReference, BitwiseAnd, Expression, GreaterThan, If, IsNull, Literal, ShiftRight, XxHash64}
+import org.apache.spark.sql.types.{DataType, LongType}
 
-/** 64-bit SimHash as ONE declarative aggregate. The buffer is the
-  * 64-long vote vector; per token the update adds ±1 per bit of
-  * `xxhash64(token)` via `zip_with(votes, signs(token), +)`, merges
-  * add vote vectors, and the final value packs sign bits into one
-  * long. Versus the explode-per-bit formulation (64 rows per token
-  * before partial aggregation), the map side processes one row per
-  * token and shuffles one 64-long vector per (doc, map task) — the
-  * same shape MinHashSigAgg uses.
+/** 64-bit SimHash as ONE declarative aggregate over 64 scalar long
+  * vote slots: slot p counts +1/−1 per token by bit p of
+  * `xxhash64(token)`; the final value packs positive-vote bits into
+  * one long.
+  *
+  * Scalar slots, not an array buffer, for the same reason as
+  * [[MinHashSigAgg]]: every update/merge is a plain
+  * `slot + (bit ? 1 : −1)` / `left + right` expression — no
+  * higher-order functions (which are CodegenFallback), so updates run
+  * inside whole-stage codegen and the fixed-width buffer stays on
+  * HashAggregateExec's UnsafeRow fast path with in-place updates and
+  * zero per-row allocation. The repeated `xxhash64(token)` across the
+  * 64 update expressions is collapsed by codegen subexpression
+  * elimination.
+  *
+  * Versus the explode-per-bit formulation (64 rows per token before
+  * partial aggregation), the map side processes one row per token and
+  * shuffles one 64-slot row per (doc, map task).
   */
 case class SimHashSigAgg(child: Expression)
     extends DeclarativeAggregate {
@@ -31,55 +41,40 @@ case class SimHashSigAgg(child: Expression)
         s"graft_simhash requires a string column, got $t")
     }
 
-  private lazy val votes: AttributeReference =
-    AttributeReference("votes", ArrayType(LongType, containsNull = false),
-      nullable = false)()
+  private lazy val slots: IndexedSeq[AttributeReference] =
+    (0 until 64).map(p =>
+      AttributeReference(s"votes$p", LongType, nullable = false)())
 
-  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(votes)
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = slots
 
-  override lazy val initialValues: Seq[Expression] = Seq(
-    Literal.create(Array.fill(64)(0L),
-      ArrayType(LongType, containsNull = false)))
+  override lazy val initialValues: Seq[Expression] =
+    Seq.fill(64)(Literal(0L))
 
-  /** signs(token): [±1 by bit p of xxhash64(token)] for p in 0..63. */
-  private def tokenSigns: Expression = {
-    val p = NamedLambdaVariable("p", LongType, nullable = false)
+  /** ±1 by bit p of xxhash64(token). */
+  private def tokenSign(p: Int): Expression = {
     val hash = XxHash64(Seq(child), 42L)
-    val bit = BitwiseAnd(ShiftRight(hash, Cast(p, IntegerType)), Literal(1L))
-    new org.apache.spark.sql.catalyst.expressions.ArrayTransform(
-      Sequence(Literal(0L), Literal(63L), None, None),
-      LambdaFunction(If(GreaterThan(bit, Literal(0L)),
-        Literal(1L), Literal(-1L)), Seq(p)))
+    val bit = BitwiseAnd(ShiftRight(hash, Literal(p)), Literal(1L))
+    If(GreaterThan(bit, Literal(0L)), Literal(1L), Literal(-1L))
   }
 
-  private def vecAdd(a: Expression, b: Expression): Expression = {
-    val x = NamedLambdaVariable("x", LongType, nullable = false)
-    val y = NamedLambdaVariable("y", LongType, nullable = false)
-    ZipWith(a, b, LambdaFunction(Add(x, y), Seq(x, y)))
-  }
+  override lazy val updateExpressions: Seq[Expression] =
+    slots.zipWithIndex.map { case (slot, p) =>
+      If(IsNull(child), slot, Add(slot, tokenSign(p)))
+    }
 
-  override lazy val updateExpressions: Seq[Expression] = Seq(
-    If(IsNull(child), votes, vecAdd(votes, tokenSigns)))
+  override lazy val mergeExpressions: Seq[Expression] =
+    slots.map(slot => Add(slot.left, slot.right))
 
-  override lazy val mergeExpressions: Seq[Expression] = Seq(
-    vecAdd(votes.left, votes.right))
-
-  /** Pack positive-vote bits: Σ_p (votes[p] > 0 ? 1L << p : 0). */
-  override lazy val evaluateExpression: Expression = {
-    val v = NamedLambdaVariable("v", LongType, nullable = false)
-    val p = NamedLambdaVariable("p2", LongType, nullable = false)
-    val acc = NamedLambdaVariable("acc", LongType, nullable = false)
-    val x = NamedLambdaVariable("x2", LongType, nullable = false)
-    val fin = NamedLambdaVariable("fin", LongType, nullable = false)
-    val bits = ZipWith(votes, Sequence(Literal(0L), Literal(63L), None, None),
-      LambdaFunction(If(GreaterThan(v, Literal(0L)),
-        ShiftLeft(Literal(1L), Cast(p, IntegerType)), Literal(0L)),
-        Seq(v, p)))
-    org.apache.spark.sql.catalyst.expressions.ArrayAggregate(
-      bits, Literal(0L),
-      LambdaFunction(Add(acc, x), Seq(acc, x)),
-      LambdaFunction(fin, Seq(fin)))
-  }
+  /** Pack positive-vote bits: Σ_p (votes[p] > 0 ? 1L << p : 0). The
+    * partial sums never overflow (disjoint bit values; the sign-bit
+    * term is added to a value both of whose operands differ in sign),
+    * so the chain is ANSI-safe.
+    */
+  override lazy val evaluateExpression: Expression =
+    slots.zipWithIndex.map { case (slot, p) =>
+      If(GreaterThan(slot, Literal(0L)), Literal(1L << p), Literal(0L))
+        : Expression
+    }.reduce(Add(_, _))
 
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): SimHashSigAgg =

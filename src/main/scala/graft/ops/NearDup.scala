@@ -27,25 +27,41 @@ object NearDup {
     */
   private def shingles(s: SparkSession, dir: String, n: Int = 3): DataFrame =
     Sources.table(s, dir, "documents")
+      // spread the per-token work: a small single-file corpus is one
+      // input split, which would pin the whole shingle+hash stage to a
+      // single task on local[32] (at real scale the input already has
+      // many splits and this shuffle moves only the raw text once)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
       .select(col("doc_id"), explode(expr(
         s"CASE WHEN size(toks) >= $n THEN transform(sequence(1, size(toks) - ${n - 1})," +
           s" i -> concat_ws(' ', slice(toks, i, $n))) ELSE array() END")).as("token"))
 
-  /** Per-document MinHash signature via the custom declarative
-    * aggregate [[graft.functions.MinHashSigAgg]]: one array-buffer
-    * minwise-merge per token instead of `numHashes` separate min
-    * aggregates (same result, ~1/10th the aggregate codegen). One
-    * explode + one map-side-combined groupBy — shuffle volume is one
-    * `numHashes`-long row per document, independent of doc length.
+  /** Per-document MinHash signature: hash each shingle ONCE to a long
+    * (string hashing off the per-slot path), then `numHashes`
+    * independent `min(xxhash64(th, i))` aggregates, re-assembled into
+    * the signature array. One explode + one map-side-combined
+    * groupBy — shuffle volume is one `numHashes`-slot row per
+    * document per map partition, independent of doc length.
+    *
+    * Separate built-in min aggregates on purpose: each generates a
+    * small, independently JIT-compiled update method. The fused
+    * single-aggregate alternative ([[graft.functions.MinHashSigAgg]],
+    * kept as the SQL-surface `graft_minhash`) puts all 64 slot
+    * updates in one generated method and measured 3.6x slower on the
+    * same corpus — past the JIT's huge-method threshold, codegen size
+    * stops being the win the fusion promises.
     */
   def minhashSignatures(s: SparkSession, dir: String,
                         numHashes: Int = 64): DataFrame = {
-    graft.functions.MinHashAgg.register(s)
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(col("th"), lit(i.toLong))).as(s"mh$i"))
     shingles(s, dir)
+      .select(col("doc_id"), xxhash64(col("token")).as("th"))
       .groupBy("doc_id")
-      .agg(call_function("graft_minhash", col("token"), lit(numHashes))
-        .as("sig"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig"))
   }
 
   /** `dedup_minhash` — banded MinHash+LSH near-dup summary.

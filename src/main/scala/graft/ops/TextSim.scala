@@ -166,15 +166,22 @@ object TextSim {
   /** `lang_id` — stopword-ratio language identification: the classic
     * cheap pre-filter in training-data pipelines. Emits the ratio and
     * a two-class verdict so downstream filters can threshold.
+    *
+    * Shuffle-free: both counts are per-row array reductions over the
+    * token array (`size(filter(...))`), so the whole query is a
+    * narrow projection — no explode fan-out (a corpus-sized token
+    * stream through an aggregate) and no shuffle at any scale. Docs
+    * with zero non-empty tokens are dropped, matching the grouped
+    * formulation the oracle uses.
     */
   def langId(s: SparkSession, dir: String): DataFrame = {
-    val isStop = (t: Column) => when(t.isin(enStopwords: _*), 1L).otherwise(0L)
+    val toks = filter(tokens(col("text")), t => t =!= "")
+    val nStop = size(filter(toks, t => t.isin(enStopwords: _*)))
+      .cast(LongType)
     docs(s, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .filter(col("token") =!= "")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(isStop(col("token"))).as("n_stop"))
+      .select(col("doc_id"), size(toks).cast(LongType).as("n_tokens"),
+        nStop.as("n_stop"))
+      .filter(col("n_tokens") > 0L)
       .select(col("doc_id"), col("n_tokens"),
         (col("n_stop").cast(DoubleType) / col("n_tokens").cast(DoubleType))
           .as("stop_ratio"),
