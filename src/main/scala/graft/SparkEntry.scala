@@ -61,6 +61,8 @@ object SparkEntry {
     "join_anti" -> (Relational.joinAnti _),
     "join_outer" -> (Relational.joinOuter _),
     "join_multiway" -> ((s, d) => Relational.joinMultiway(s, d)),
+    "join_range" -> (Relational.joinRange _),
+    "asof_join" -> (AsOf.asofEventsOrders _),
     // O/W: sort + windows
     "sort_topk" -> (Relational.sortTopk _),
     "window_rank" -> (Relational.windowRank _),
@@ -83,6 +85,12 @@ object SparkEntry {
     "tok_count" -> (TextSim.tokCount _),
     "dedup_ngram" -> ((s, d) => NearDup.dedupNgram(s, d)),
     "dedup_embed" -> ((s, d) => TextSim.dedupEmbed(s, d)),
+    "pii_mask" -> (Transforms.piiMask _),
+    // sampling / split surface (deterministic md5-hash membership)
+    "sample_hash" -> (Sampling.sampleHash _),
+    "sample_split" -> (Sampling.sampleSplit _),
+    "sample_stratified" -> ((s, d) => Sampling.sampleStratified(s, d)),
+    "sample_weighted" -> (Sampling.sampleWeighted _),
     // no-oracle ops (driver records rows-only checks)
     "dedup_minhash" -> ((s, d) => NearDup.dedupMinhash(s, d)),
     "agg_distinct_approx" -> (Aggregates.aggDistinctApprox _),
@@ -415,6 +423,55 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "asof_join" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, COALESCE(o.o_orderkey, -1) AS last_orderkey
+        |FROM events e ASOF LEFT JOIN o
+        |ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+
+    "join_range" ->
+      s"""SELECT tier, count(*) AS n, ${dsumSql("value")} AS sum_value
+         |FROM events JOIN (VALUES (0.0, 100.0, 'low'), (100.0, 250.0, 'mid'),
+         |(250.0, 500.0, 'high')) t(lo, hi, tier)
+         |ON value >= lo AND value < hi
+         |GROUP BY tier ORDER BY tier""".stripMargin,
+
+    "pii_mask" ->
+      """SELECT c_custkey,
+        |regexp_replace(regexp_replace(c_name,
+        |'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+        |'[0-9]{4,}', '<ID>', 'g') AS masked_name,
+        |CAST(len(regexp_extract_all(c_name, '[0-9]{4,}')) AS BIGINT) AS n_redactions
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "sample_hash" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 1) IN ('0', '1')
+        |ORDER BY event_id""".stripMargin,
+
+    "sample_split" ->
+      """SELECT CASE WHEN h < 'c' THEN 'train' WHEN h < 'e' THEN 'val'
+        |ELSE 'test' END AS split, count(*) AS n
+        |FROM (SELECT substring(md5(CAST(event_id AS VARCHAR)), 1, 1) AS h
+        |FROM events) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT event_type, event_id FROM (
+        |SELECT event_type, event_id, row_number() OVER (
+        |PARTITION BY event_type
+        |ORDER BY md5(CAST(event_id AS VARCHAR)) NULLS FIRST, event_id NULLS FIRST) AS rn
+        |FROM events) t WHERE rn <= 50
+        |ORDER BY event_type, event_id""".stripMargin,
+
+    "sample_weighted" ->
+      """SELECT source, count(*) AS n_kept FROM documents
+        |WHERE CAST(substring(source, 4) AS INT) < 10
+        |OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "dedup_ngram" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),

@@ -213,6 +213,27 @@ object Relational {
     left.join(right, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** `join_range` — J5 as a declared query: band each event's value
+    * into a tier via an interval (non-equi) join against a literal tier
+    * table. The tier side is tiny and explicitly `broadcast()`, so the
+    * plan is a BroadcastNestedLoopJoin — a map over the fact side, no
+    * shuffle, the only sane shape for a range join whose small side is
+    * bounded. (A range join between two FACT tables needs interval
+    * bucketing first — band the range into equi-join keys — which is
+    * what the LSH/banding ops in NearDup/Ann do for similarity ranges.)
+    */
+  def joinRange(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tiers = Seq((0.0, 100.0, "low"), (100.0, 250.0, "mid"),
+      (250.0, 500.0, "high")).toDF("lo", "hi", "tier")
+    Sources.table(s, dir, "events")
+      .join(broadcast(tiers),
+        col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy("tier")
+  }
+
   /** `json_extract` — X4, key extraction from the JSON `props` column,
     * grouped and counted (etl-style tag histogram).
     */

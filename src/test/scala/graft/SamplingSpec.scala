@@ -1,0 +1,97 @@
+package graft
+
+import graft.ops.{Relational, Sampling, Sources, Transforms}
+import org.apache.spark.sql.functions._
+
+/** Deterministic-sampling invariants: reproducibility, membership
+  * stability, split exhaustiveness, stratified quotas — plus the PII
+  * rule-chain and the broadcast range-join plan.
+  */
+class SamplingSpec extends SparkSpec {
+
+  test("sample_hash is reproducible and a subset of the input") {
+    val a = Sampling.sampleHash(spark, sf).collect()
+    val b = Sampling.sampleHash(spark, sf).collect()
+    assert(a.sameElements(b))
+    val total = Sources.table(spark, sf, "events").count()
+    assert(a.length > 0 && a.length < total)
+    // ~12.5% expected; allow wide slack on the small SF
+    val rate = a.length.toDouble / total
+    assert(rate > 0.05 && rate < 0.25, s"rate $rate out of range")
+  }
+
+  test("hash membership is stable under filtering (no rescoring)") {
+    // sampling then filtering == filtering then sampling: membership
+    // depends only on the row's own id, never on the rest of the corpus
+    val ev = Sources.table(spark, sf, "events")
+    val sampleThenFilter = ev
+      .filter(Sampling.hexNibble(col("event_id")).isin("0", "1"))
+      .filter(col("event_type") === "click").select("event_id")
+    val filterThenSample = ev.filter(col("event_type") === "click")
+      .filter(Sampling.hexNibble(col("event_id")).isin("0", "1"))
+      .select("event_id")
+    assert(sampleThenFilter.exceptAll(filterThenSample).isEmpty &&
+      filterThenSample.exceptAll(sampleThenFilter).isEmpty)
+  }
+
+  test("sample_split is a partition: splits are disjoint and exhaustive") {
+    val splits = Sampling.sampleSplit(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.keySet == Set("train", "val", "test"))
+    assert(splits.values.sum == Sources.table(spark, sf, "events").count())
+    assert(splits("train") > splits("val") && splits("train") > splits("test"))
+  }
+
+  test("sample_stratified caps every stratum at n and is deterministic") {
+    val df = Sampling.sampleStratified(spark, sf, n = 20)
+    val perGroup = df.groupBy("event_type").count().collect()
+    assert(perGroup.forall(_.getLong(1) <= 20))
+    assert(df.collect().sameElements(
+      Sampling.sampleStratified(spark, sf, n = 20).collect()))
+  }
+
+  test("sample_weighted keeps curated sources whole, downsamples the tail") {
+    val full = Sources.table(spark, sf, "documents")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Sampling.sampleWeighted(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    (0 until 10).map(i => s"src$i").foreach { src =>
+      assert(kept.get(src).contains(full(src)), s"$src must be kept whole")
+    }
+    val tailFull = full.filter { case (k, _) =>
+      k.stripPrefix("src").toInt >= 10 }.values.sum
+    val tailKept = kept.filter { case (k, _) =>
+      k.stripPrefix("src").toInt >= 10 }.values.sum
+    assert(tailKept < tailFull, "tail sources must be downsampled")
+  }
+
+  test("pii_mask removes every long digit run and counts redactions") {
+    val masked = Transforms.piiMask(spark, sf)
+    assert(masked.filter(col("masked_name").rlike("[0-9]{4,}")).count() == 0)
+    // Customer#NNNNNNNNN names → at least one redaction each
+    assert(masked.filter(col("n_redactions") < 1).count() == 0)
+  }
+
+  test("pii_mask is idempotent (masking a masked string is a no-op)") {
+    import spark.implicits._
+    val once = Transforms.piiMask(spark, sf).select("masked_name")
+    val twice = once.select(
+      regexp_replace(regexp_replace(col("masked_name"),
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+        "[0-9]{4,}", "<ID>").as("masked_name"))
+    assert(once.as[String].collect().sameElements(twice.as[String].collect()))
+  }
+
+  test("join_range broadcasts the tier table (no shuffle of the fact)") {
+    val df = Relational.joinRange(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"range join must broadcast the tiny side:\n${p.take(1500)}")
+    // tiers partition the non-null in-range values exactly
+    val n = df.agg(sum("n")).collect()(0).getLong(0)
+    val expected = Sources.table(spark, sf, "events")
+      .filter(col("value") >= 0.0 && col("value") < 500.0).count()
+    assert(n == expected)
+  }
+}
