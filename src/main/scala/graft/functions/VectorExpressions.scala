@@ -154,6 +154,74 @@ case class Winnow(child: Expression, k: Int, w: Int)
     copy(child = c)
 }
 
+/** 64-bit hashes of every n-token shingle of a token array, in one
+  * expression call per row.
+  *
+  * The declarative formulation —
+  * `transform(sequence(1, size(toks)-n+1), i -> concat_ws(' ', slice(toks, i, n)))`
+  * then `xxhash64` per shingle — pays an interpreted lambda dispatch
+  * plus a fresh string allocation per shingle (higher-order functions
+  * do not codegen), and that map stage is the single hottest loop of
+  * the near-dup operators: at corpus scale it runs once per token of
+  * the input. Here each token is hashed once and each shingle hash is
+  * an n-step xxhash64 chain over those longs — no string is ever
+  * built, and the whole row costs one boxed call (CodegenFallback)
+  * with tight primitive loops inside, the [[Winnow]] trade-off.
+  *
+  * Hash identity: shingle hashes equal iff the underlying token
+  * sequences are equal (modulo 64-bit collisions, negligible and
+  * deterministic), so group/join keys built on them behave exactly
+  * like the string shingles they replace. Null tokens hash as seed 0
+  * (split() never produces them); a null array yields null.
+  */
+case class ShingleHash(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(n >= 1, s"need n >= 1, got n=$n")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_shingle requires array<string>, got $t")
+    }
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val toks = input.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    if (m < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Long])
+    val th = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val t = toks.getUTF8String(i)
+      th(i) = if (t == null) 0L else XxHash64Function.hash(t, StringType, 42L)
+      i += 1
+    }
+    val out = new Array[Long](m - n + 1)
+    i = 0
+    while (i < m - n + 1) {
+      var h = 42L
+      var j = 0
+      while (j < n) { h = XxHash64Function.hash(th(i + j), LongType, h); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): ShingleHash =
+    copy(child = c)
+}
+
 /** Registration + Column-level entry points for the native vector
   * expressions.
   */
@@ -187,6 +255,27 @@ object VectorFunctions {
   def registerAll(spark: SparkSession): Unit = {
     register(spark)
     registerWinnow(spark)
+    registerShingle(spark)
+  }
+
+  /** Idempotently register `graft_shingle(toks, n)` (n must be an
+    * integer literal — it parameterizes the generated operator).
+    */
+  def registerShingle(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingle",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2,
+          s"graft_shingle expects (toks, n), got ${exprs.length} args")
+        ShingleHash(exprs.head, literalInt("graft_shingle", "n", exprs(1)))
+      },
+      "built-in")
+
+  /** Shingle hashes as a Column (n-token windows over a token array). */
+  def shingle(spark: SparkSession, toks: Column, n: Int = 3): Column = {
+    registerShingle(spark)
+    call_function("graft_shingle", toks,
+      org.apache.spark.sql.functions.lit(n))
   }
 
   /** Idempotently register `graft_winnow(text, k, w)` (k and w must

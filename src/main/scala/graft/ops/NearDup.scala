@@ -16,33 +16,40 @@ import org.apache.spark.sql.types._
   */
 object NearDup {
 
-  /** n-token shingles per document (NOT deduplicated — both consumers
-    * are duplicate-idempotent: MinHash takes a min, dedupNgram
-    * collects a set, so a distinct here would only add a full extra
-    * shuffle). Shingles, not unigrams: token SETS from a small
-    * vocabulary are nearly identical across unrelated docs (every doc
-    * contains most of the vocab), while shingle overlap between
-    * unrelated docs is ~0 — the discrimination that makes banding
-    * produce few candidates.
+  /** 64-bit hashes of the n-token shingles per document (NOT
+    * deduplicated — both consumers are duplicate-idempotent: MinHash
+    * takes a min, dedupNgram collects a set, so a distinct here would
+    * only add a full extra shuffle). Shingles, not unigrams: token
+    * SETS from a small vocabulary are nearly identical across
+    * unrelated docs (every doc contains most of the vocab), while
+    * shingle overlap between unrelated docs is ~0 — the discrimination
+    * that makes banding produce few candidates.
+    *
+    * Hashing happens inside [[graft.functions.ShingleHash]] — one
+    * expression call per document with a tight primitive loop — not
+    * via the `transform(..., i -> concat_ws(...))` lambda it replaced:
+    * higher-order functions evaluate interpreted and allocate a string
+    * per shingle, and this map stage runs once per token of the whole
+    * corpus, the hottest loop of the near-dup surface. Downstream only
+    * ever needs shingle IDENTITY (group/join keys, min), which the
+    * hash preserves (64-bit collisions: negligible, deterministic).
     */
-  private def shingles(s: SparkSession, dir: String, n: Int = 3): DataFrame =
+  private def shingleHashes(s: SparkSession, dir: String, n: Int = 3): DataFrame =
     Sources.table(s, dir, "documents")
       // spread the per-token work: a small single-file corpus is one
       // input split, which would pin the whole shingle+hash stage to a
       // single task on local[32] (at real scale the input already has
       // many splits and this shuffle moves only the raw text once)
       .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
-      .select(col("doc_id"), explode(expr(
-        s"CASE WHEN size(toks) >= $n THEN transform(sequence(1, size(toks) - ${n - 1})," +
-          s" i -> concat_ws(' ', slice(toks, i, $n))) ELSE array() END")).as("token"))
+      .select(col("doc_id"), explode(graft.functions.VectorFunctions
+        .shingle(s, split(lower(col("text")), "\\s+"), n)).as("th"))
 
-  /** Per-document MinHash signature: hash each shingle ONCE to a long
-    * (string hashing off the per-slot path), then `numHashes`
-    * independent `min(xxhash64(th, i))` aggregates, re-assembled into
-    * the signature array. One explode + one map-side-combined
-    * groupBy — shuffle volume is one `numHashes`-slot row per
-    * document per map partition, independent of doc length.
+  /** Per-document MinHash signature: `numHashes` independent
+    * `min(xxhash64(th, i))` aggregates over the 64-bit shingle hashes,
+    * re-assembled into the signature array. One explode + one
+    * map-side-combined groupBy — shuffle volume is one
+    * `numHashes`-slot row per document per map partition, independent
+    * of doc length.
     *
     * Separate built-in min aggregates on purpose: each generates a
     * small, independently JIT-compiled update method. The fused
@@ -56,8 +63,7 @@ object NearDup {
                         numHashes: Int = 64): DataFrame = {
     val mins = (0 until numHashes).map(i =>
       min(xxhash64(col("th"), lit(i.toLong))).as(s"mh$i"))
-    shingles(s, dir)
-      .select(col("doc_id"), xxhash64(col("token")).as("th"))
+    shingleHashes(s, dir)
       .groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
@@ -185,7 +191,10 @@ object NearDup {
     */
   def dedupNgram(s: SparkSession, dir: String, n: Int = 3,
                  maxDf: Int = 20, minJaccard: Double = 0.2): DataFrame = {
-    val grams = shingles(s, dir, n).withColumnRenamed("token", "gram")
+    // gram identity = its 64-bit shingle hash (sufficient for df
+    // cutoff, posting lists and Jaccard counts; the gram string is
+    // never needed downstream)
+    val grams = shingleHashes(s, dir, n).withColumnRenamed("th", "gram")
     // posting lists, reused by two branches (pair gen + doc sizes):
     // persist so the explode+distinct+groupBy pipeline runs once. The
     // cache is released before returning — the result is materialized
