@@ -84,6 +84,8 @@ object SparkEntry {
     "text_quality" -> (TextSim.textQuality _),
     "tok_count" -> (TextSim.tokCount _),
     "dedup_ngram" -> ((s, d) => NearDup.dedupNgram(s, d)),
+    "dedup_cluster" -> ((s, d) => NearDup.dedupCluster(s, d)),
+    "text_tfidf" -> ((s, d) => TextSim.textTfidf(s, d)),
     "dedup_embed" -> ((s, d) => TextSim.dedupEmbed(s, d)),
     "pii_mask" -> (Transforms.piiMask _),
     // sampling / split surface (deterministic md5-hash membership)
@@ -472,6 +474,38 @@ object SparkEntry {
         |WHERE CAST(substring(source, 4) AS INT) < 10
         |OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "text_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok WHERE token <> '' GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT doc_id, token,
+        |round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+        |FROM tf JOIN df USING (token), n),
+        |r AS (SELECT doc_id, token, tfidf,
+        |row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn FROM sc)
+        |SELECT doc_id, token, tfidf FROM r WHERE rn <= 3
+        |ORDER BY doc_id, tfidf DESC, token""".stripMargin,
+
+    "dedup_cluster" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+        |idx AS (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i FROM t),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS gram FROM idx),
+        |rare AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 20),
+        |rg AS (SELECT g.doc_id, g.gram FROM g JOIN rare USING (gram)),
+        |sizes AS (SELECT doc_id, count(*) AS n_grams FROM rg GROUP BY doc_id),
+        |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |FROM rg a JOIN rg b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b FROM (SELECT doc_a, doc_b,
+        |round(CAST(shared AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - shared AS DOUBLE), 4) AS jaccard
+        |FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b) p
+        |WHERE jaccard >= 0.2),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(a, b) AS (SELECT a, b FROM e
+        |UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a AND r.a <> e.b)
+        |SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach
+        |GROUP BY a ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),

@@ -236,4 +236,52 @@ object NearDup {
     posts.unpersist(blocking = false)
     pairs.orderBy("doc_a", "doc_b")
   }
+
+  /** `dedup_cluster` — connected components over the n-gram near-dup
+    * candidate pairs: the survivor-selection step that completes a
+    * corpus dedup pipeline (candidates → clusters → keep one doc per
+    * cluster). Min-label propagation: every node starts as its own
+    * label and repeatedly takes the minimum label over its neighbors
+    * until fixpoint — the fixpoint is the component-wide minimum doc
+    * id, so the result is deterministic regardless of iteration
+    * schedule or partitioning. Each iteration is one equi-join + one
+    * hash aggregate on the node key (both shuffle-bounded by the edge
+    * count, never all-pairs), and `localCheckpoint` truncates lineage
+    * so plan size stays constant across iterations. Iteration count is
+    * bounded by the cluster diameter — near-dup components are shallow
+    * (dup groups, not social graphs); the `maxIters` guard turns a
+    * pathological chain into an explicit error rather than an endless
+    * job. (At extreme scale swap in the large-star/small-star
+    * alternating algorithm — same join shapes, fewer rounds.)
+    */
+  def dedupCluster(s: SparkSession, dir: String, maxIters: Int = 20): DataFrame = {
+    val pairs = dedupNgram(s, dir).select("doc_a", "doc_b")
+    val edges = pairs.unionByName(pairs.select(
+      col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint() // bounded pair set; run the ngram pipeline once
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges.join(labels,
+          edges("doc_b") === labels("doc_id"))
+        .groupBy(edges("doc_a").as("nbr_of")).agg(min(col("label")).as("nmin"))
+      val updated = labels.join(neighborMin,
+          labels("doc_id") === col("nbr_of"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      // convergence = no label moved this round (a driver-side scalar,
+      // bounded cost — never materializes the label table)
+      converged = updated.join(labels.withColumnRenamed("label", "prev"),
+        "doc_id").filter(col("label") =!= col("prev")).count() == 0
+      labels = updated
+      iter += 1
+    }
+    require(converged,
+      s"label propagation did not converge in $maxIters iterations")
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+  }
 }

@@ -225,6 +225,36 @@ object TextSim {
           .cast(LongType).as("bpe_ish_tokens"))
       .orderBy("doc_id")
 
+  /** `text_tfidf` — top-k terms per document by TF-IDF, the classic
+    * relevance weighting (and the first non-trivial *multi-stage* text
+    * statistic: term frequency per doc ⋈ document frequency per term ⋈
+    * corpus size). All three stages are hash aggregations keyed on
+    * doc/term — map-side combined, shuffle volume ∝ distinct keys; the
+    * corpus size is a 1-row broadcast; top-k per doc is a rank window
+    * on the doc key, never a global sort. Ranking uses the ROUNDED
+    * score so engine and oracle make identical rank decisions (raw
+    * `ln` last-bits may differ across libm implementations).
+    */
+  def textTfidf(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val d = docs(s, dir)
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val tf = d.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
+    tf.join(df, "token")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("token"),
+        round(col("tf") * log(col("n_docs").cast(DoubleType) / col("df")), 4)
+          .as("tfidf"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("doc_id", "token", "tfidf")
+      .orderBy(col("doc_id"), col("tfidf").desc, col("token"))
+  }
+
   /** `doc_winnow` — full winnowing fingerprints (rolling-hash k-byte
     * shingles, minimum per w-window — [[graft.functions.Winnow]]):
     * per-doc fingerprint count plus a stable digest of the set, so

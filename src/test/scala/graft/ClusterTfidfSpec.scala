@@ -1,0 +1,58 @@
+package graft
+
+import graft.ops.{NearDup, TextSim}
+import org.apache.spark.sql.functions._
+
+/** dedup_cluster and text_tfidf invariants: clustering must be a sound
+  * partition of the candidate graph (edge endpoints co-clustered,
+  * canonical id = min member, fixpoint stable); tfidf must respect the
+  * per-doc quota and score semantics.
+  */
+class ClusterTfidfSpec extends SparkSpec {
+
+  private lazy val clusters = NearDup.dedupCluster(spark, sf)
+  private lazy val pairs = NearDup.dedupNgram(spark, sf)
+
+  test("every candidate pair's endpoints land in the same cluster") {
+    val byDoc = clusters.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val es = pairs.select("doc_a", "doc_b").collect()
+    assert(es.nonEmpty, "need candidate pairs for this test to bite")
+    es.foreach { r =>
+      assert(byDoc(r.getLong(0)) == byDoc(r.getLong(1)),
+        s"pair ${r.getLong(0)},${r.getLong(1)} split across clusters")
+    }
+  }
+
+  test("cluster_id is the minimum member of its cluster") {
+    val rows = clusters.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_._1).min == cid,
+        s"cluster $cid canonical id is not its min member")
+    }
+    // every clustered doc appears exactly once
+    assert(rows.map(_._1).distinct.length == rows.length)
+  }
+
+  test("clustering is deterministic across runs") {
+    val a = clusters.collect()
+    val b = NearDup.dedupCluster(spark, sf).collect()
+    assert(a.sameElements(b))
+  }
+
+  test("text_tfidf: at most k terms per doc, positive scores, ordered") {
+    val df = TextSim.textTfidf(spark, sf, k = 3)
+    val perDoc = df.groupBy("doc_id").count().collect()
+    assert(perDoc.forall(_.getLong(1) <= 3))
+    assert(df.filter(col("tfidf") < 0).count() == 0,
+      "tf-idf of in-corpus terms is never negative")
+    // a term present in EVERY doc has idf = ln(1) = 0
+    val n = graft.ops.Sources.table(spark, sf, "documents").count()
+    val everywhere = df.filter(col("tfidf") === 0.0)
+    // such terms may be selected only when a doc has < 3 distinctive terms
+    assert(everywhere.count() < df.count(),
+      "scores must not all collapse to zero")
+    assert(n > 0)
+  }
+}
