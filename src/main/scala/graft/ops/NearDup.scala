@@ -261,22 +261,30 @@ object NearDup {
       .localCheckpoint() // bounded pair set; run the ngram pipeline once
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("label", col("doc_id")).localCheckpoint()
+    // Convergence detector: labels only ever DECREASE under min
+    // propagation, so the label sum strictly decreases until fixpoint —
+    // an unchanged sum means no label moved. One 1-row aggregate over
+    // the already-checkpointed table per round, instead of a
+    // join+filter+count. DECIMAL(38,0) so the sum cannot overflow at
+    // any corpus size.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast(DecimalType(38, 0))).as("s"))
+        .collect()(0).getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
       val neighborMin = edges.join(labels,
           edges("doc_b") === labels("doc_id"))
         .groupBy(edges("doc_a").as("nbr_of")).agg(min(col("label")).as("nmin"))
-      val updated = labels.join(neighborMin,
+      labels = labels.join(neighborMin,
           labels("doc_id") === col("nbr_of"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .localCheckpoint()
-      // convergence = no label moved this round (a driver-side scalar,
-      // bounded cost — never materializes the label table)
-      converged = updated.join(labels.withColumnRenamed("label", "prev"),
-        "doc_id").filter(col("label") =!= col("prev")).count() == 0
-      labels = updated
+      val s = labelSum(labels)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       iter += 1
     }
     require(converged,

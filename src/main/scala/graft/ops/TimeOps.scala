@@ -104,6 +104,32 @@ object TimeOps {
       .select(col("session_window.start").as("session_start"),
         col("user_id"), col("n"))
 
+  /** Watermarked stream-stream interval join: match each left event to
+    * right events of the same key arriving within `maxDelay` AFTER it
+    * (the click→conversion attribution shape). Both sides carry a
+    * watermark and the join condition bounds the event-time range, so
+    * Spark can evict buffered state once the watermark passes — state
+    * is bounded by (rate × maxDelay), not stream length; without the
+    * time bound a stream-stream join must buffer forever. Inner join:
+    * unmatched rows drop (outer variants emit on watermark expiry).
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+                       key: String = "user_id",
+                       maxDelay: String = "1 hour",
+                       watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col(key).as("l_key"), col("ts").as("l_ts"),
+        col("event_id").as("l_id"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col(key).as("r_key"), col("ts").as("r_ts"),
+        col("event_id").as("r_id"))
+    l.join(r, col("l_key") === col("r_key") &&
+      col("r_ts") >= col("l_ts") &&
+      col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxDelay"))
+      .select(col("l_key").as(key), col("l_id"), col("r_id"),
+        col("l_ts"), col("r_ts"))
+  }
+
   /** T6 — at-least-once upgrade: drop duplicate event ids within the
     * watermark (the reference has no dedup at all — etl_2025.py
     * re-processes on redelivery).

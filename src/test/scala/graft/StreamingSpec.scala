@@ -86,6 +86,28 @@ class StreamingSpec extends SparkSpec {
     assert(tiers(1L) == "gold" && tiers(4L) == "silver")
   }
 
+  test("stream-stream interval join matches within the delay bound only") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    clicks.addData(Seq(
+      Ev(10, t("2024-01-01 00:00:00"), 1, "click", 0),
+      Ev(11, t("2024-01-01 02:00:00"), 2, "click", 0)))
+    buys.addData(Seq(
+      Ev(20, t("2024-01-01 00:30:00"), 1, "buy", 9),  // within 1h of click 10
+      Ev(21, t("2024-01-01 03:30:00"), 2, "buy", 9),  // 1.5h after click 11 -> no match
+      Ev(22, t("2024-01-01 00:40:00"), 3, "buy", 9))) // no click for user 3
+    val name = s"ssj2_${System.nanoTime()}"
+    val q = TimeOps.streamStreamJoin(clicks.toDF(), buys.toDF())
+      .writeStream.format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(name).collect()
+      .map(r => (r.getLong(r.fieldIndex("l_id")), r.getLong(r.fieldIndex("r_id"))))
+    assert(rows.toSeq == Seq((10L, 20L)), s"got ${rows.toSeq}")
+  }
+
   test("T6 dropDuplicatesWithinWatermark removes redelivered events") {
     val dup = sample ++ Seq(Ev(1, t("2024-01-01 00:05:00"), 1, "click", 1.0))
     val rows = runToCompletion(dup, df => TimeOps.dedupWithinWatermark(df))
