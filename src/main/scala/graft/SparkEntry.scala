@@ -96,6 +96,7 @@ object SparkEntry {
     // no-oracle ops (driver records rows-only checks)
     "dedup_minhash" -> ((s, d) => NearDup.dedupMinhash(s, d)),
     "agg_distinct_approx" -> (Aggregates.aggDistinctApprox _),
+    "agg_profile_approx" -> (Aggregates.aggProfileApprox _),
     "dedup_simhash" -> (NearDup.dedupSimhash _),
     "doc_fingerprint" -> (TextSim.docFingerprint _),
     "doc_winnow" -> (TextSim.docWinnow _),

@@ -50,6 +50,31 @@ object Aggregates {
       .agg(approx_count_distinct(col("user_id")).as("approx_users"),
         approx_count_distinct(col("event_type")).as("approx_types"))
 
+  /** `agg_profile_approx` — the 100 TB swap for [[aggProfile]]: same
+    * shape, but the median is a t-digest `approx_percentile` (bounded
+    * sketch on the shuffle instead of the full value set exact
+    * `percentile` must see). Deterministic but engine-specific → NO
+    * ORACLE; `agg_profile` is the accuracy baseline, and the unit spec
+    * bounds the approximation error against it.
+    */
+  def aggProfileApprox(s: SparkSession, dir: String): DataFrame = {
+    val li = Sources.table(s, dir, "lineitem")
+    def profile(c: String): DataFrame =
+      li.agg(
+        count(col(c)).as("n"),
+        davg(col(c)).as("mean"),
+        expr(s"approx_percentile($c, 0.5)").as("median_approx"),
+        round(stddev_samp(col(c)), 4).as("std"),
+        min(col(c)).as("min_val"),
+        max(col(c)).as("max_val"))
+        .select(lit(c).as("col_name"), col("n"), col("mean"),
+          col("median_approx"), col("std"), col("min_val"), col("max_val"))
+    profile("l_quantity")
+      .unionByName(profile("l_extendedprice"))
+      .unionByName(profile("l_discount"))
+      .orderBy("col_name")
+  }
+
   /** `agg_profile` — A1/A4/A5, per-column profile (etl_2022.py:98-105):
     * count/mean/median/std/min/max for each numeric, one row per
     * column (all three single-scan aggregates, unioned).

@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.{Aggregates, Relational, TextSim, Transforms}
+import org.apache.spark.sql.functions.col
 
 /** Physical-plan regression guard: the scale-critical plan properties
   * recorded in SCALE.md, asserted so a refactor that silently
@@ -82,5 +83,55 @@ class PlanAuditSpec extends SparkSpec {
     // one partial+final agg pair over the hash; no join, no extra sort
     assert(p.contains("HashAggregate"))
     assert(!p.contains("Join"), "exact dedup must not compare pairs")
+  }
+
+  test("rank-limited queries get the WindowGroupLimit pushdown") {
+    // Spark 4 plans row_number()<=k as a map-side partial top-k BEFORE
+    // the shuffle — per-stratum heaps, shuffle volume ∝ k·groups, not
+    // rows. A regression to a bare Window would shuffle everything.
+    val strat = plan(graft.ops.Sampling.sampleStratified(spark, sf))
+    assert(strat.contains("WindowGroupLimit"),
+      s"stratified sample lost the rank-limit pushdown:\n${strat.take(1500)}")
+    val tfidf = plan(TextSim.textTfidf(spark, sf))
+    assert(tfidf.contains("WindowGroupLimit"),
+      s"tfidf top-k lost the rank-limit pushdown:\n${tfidf.take(1500)}")
+  }
+
+  test("sample_hash is a pure scan-side filter (no pre-sort exchange)") {
+    val p = plan(graft.ops.Sampling.sampleHash(spark, sf))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"hash sampling must not shuffle to decide membership:\n${p.take(1500)}")
+    assert(p.linesIterator.exists(l => l.contains("DataFilters") &&
+      l.contains("md5")), "membership filter must evaluate at the scan")
+  }
+
+  test("agg_profile_approx tracks the exact profile within tolerance") {
+    val exact = Aggregates.aggProfile(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(r.fieldIndex("median"))).toMap
+    val approx = Aggregates.aggProfileApprox(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        r.getDouble(r.fieldIndex("median_approx"))).toMap
+    exact.foreach { case (c, m) =>
+      val a = approx(c)
+      val tol = math.max(math.abs(m) * 0.05, 1e-6)
+      assert(math.abs(a - m) <= tol,
+        s"$c: approx median $a deviates from exact $m beyond 5%")
+    }
+  }
+
+  test("partitioned parquet writes prune partitions on read-back") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val ev = graft.ops.Sources.table(spark, sf, "events")
+      .select("event_id", "event_type", "value")
+    graft.ops.Sinks.parquet(ev, partitionCols = Seq("event_type"))
+      .save(dir)
+    val back = spark.read.parquet(dir).filter(col("event_type") === "click")
+    val p = plan(back)
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters"))
+    assert(scanLine.isDefined &&
+      scanLine.get.contains("event_type"),
+      s"read-back must prune on the partition column:\n${p.take(1500)}")
+    assert(back.count() ==
+      ev.filter(col("event_type") === "click").count())
   }
 }
