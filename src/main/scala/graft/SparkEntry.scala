@@ -93,6 +93,8 @@ object SparkEntry {
     "sample_split" -> (Sampling.sampleSplit _),
     "sample_stratified" -> ((s, d) => Sampling.sampleStratified(s, d)),
     "sample_weighted" -> (Sampling.sampleWeighted _),
+    "pack_bins" -> ((s, d) => Sampling.packBins(s, d)),
+    "decontaminate" -> ((s, d) => NearDup.decontaminate(s, d)),
     // no-oracle ops (driver records rows-only checks)
     "dedup_minhash" -> ((s, d) => NearDup.dedupMinhash(s, d)),
     "agg_distinct_approx" -> (Aggregates.aggDistinctApprox _),
@@ -475,6 +477,28 @@ object SparkEntry {
         |WHERE CAST(substring(source, 4) AS INT) < 10
         |OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "pack_bins" ->
+      """WITH d AS (SELECT doc_id, source,
+        |CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d)
+        |SELECT doc_id, source, n_tokens,
+        |CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS bin_id
+        |FROM c ORDER BY source, doc_id""".stripMargin,
+
+    "decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+        |idx AS (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i FROM t),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS gram FROM idx),
+        |lab AS (SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'e' AS is_test FROM documents),
+        |gl AS (SELECT g.doc_id, g.gram, lab.is_test FROM g JOIN lab USING (doc_id)),
+        |bad AS (SELECT gram FROM gl GROUP BY gram
+        |HAVING count(*) <= 20 AND bool_or(is_test))
+        |SELECT doc_id, count(*) AS n_shared FROM gl JOIN bad USING (gram)
+        |WHERE NOT is_test GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents),

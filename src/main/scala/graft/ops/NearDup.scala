@@ -237,6 +237,33 @@ object NearDup {
     pairs.orderBy("doc_a", "doc_b")
   }
 
+  /** `decontaminate` — train/eval contamination detection: flag every
+    * train-split document sharing a *distinctive* 3-token shingle
+    * (document frequency ≤ `maxDf`) with any held-out document, with
+    * the shared-shingle count as evidence. The split is the same
+    * deterministic md5 rule as `sample_split` (nibble ≥ 'e' ⇒ eval),
+    * so the whole check is self-contained and reproducible. Plan
+    * shape: distinct (doc, shingle) → one groupBy on the shingle to
+    * find contaminated shingles (df cutoff + any-eval flag) → one join
+    * back + per-doc count. All shuffles keyed on the shingle hash or
+    * doc id — candidate work bounded by posting sizes, the
+    * dedup_ngram discipline applied to the decontamination problem.
+    */
+  def decontaminate(s: SparkSession, dir: String, maxDf: Int = 20): DataFrame = {
+    val g = shingleHashes(s, dir).distinct()
+    val lab = Sources.table(s, dir, "documents")
+      .select(col("doc_id"),
+        (Sampling.hexNibble(col("doc_id")) >= "e").as("is_test"))
+    val gl = g.join(lab, "doc_id")
+    val bad = gl.groupBy("th")
+      .agg(count(lit(1)).as("df"), bool_or(col("is_test")).as("has_test"))
+      .filter(col("df") <= maxDf && col("has_test"))
+      .select("th")
+    gl.filter(!col("is_test")).join(bad, "th")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   /** `dedup_cluster` — connected components over the n-gram near-dup
     * candidate pairs: the survivor-selection step that completes a
     * corpus dedup pipeline (candidates → clusters → keep one doc per

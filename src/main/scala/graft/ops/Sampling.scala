@@ -76,6 +76,29 @@ object Sampling {
       .orderBy("event_type", "event_id")
   }
 
+  /** `pack_bins` — greedy sequence packing: assign each document to a
+    * fixed-token-budget bin, filling sequentially within its source
+    * shard (the LLM-pretraining packing step that turns ragged docs
+    * into near-constant-length training sequences). A doc lands in the
+    * bin where its shard's running token count starts, so bins are
+    * contiguous doc ranges and the result is deterministic. One
+    * running-sum window per shard — work scales with shard size, no
+    * global sort; the budget overflow per bin is bounded by one doc.
+    */
+  def packBins(s: SparkSession, dir: String, budget: Long = 256L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Sources.table(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / budget.toDouble).as("bin_id"))
+      .orderBy("source", "doc_id")
+  }
+
   /** `sample_weighted` — per-source mixture construction over
     * `documents`: sources src0–src9 kept whole, the long tail kept at
     * ~25% (hash nibbles 0–3). The standard recipe for re-weighting a

@@ -83,6 +83,37 @@ class SamplingSpec extends SparkSpec {
     assert(once.as[String].collect().sameElements(twice.as[String].collect()))
   }
 
+  test("pack_bins: contiguous bins, bounded overflow, all docs packed") {
+    val budget = 256L
+    val df = Sampling.packBins(spark, sf, budget).collect()
+    assert(df.length == Sources.table(spark, sf, "documents").count())
+    val bySourceBin = df.groupBy(r => (r.getString(1), r.getLong(3)))
+    bySourceBin.foreach { case ((src, bin), rows) =>
+      val tokens = rows.map(_.getLong(2)).sum
+      val maxDoc = rows.map(_.getLong(2)).max
+      // greedy fill: a bin exceeds the budget by at most its last doc
+      assert(bin == 0 || tokens < budget + maxDoc,
+        s"$src bin $bin holds $tokens tokens (budget $budget)")
+    }
+    // bins are contiguous per source: 0..max with no gaps
+    df.groupBy(_.getString(1)).foreach { case (src, rows) =>
+      val bins = rows.map(_.getLong(3)).distinct.sorted.toSeq
+      assert(bins == (0L to bins.max).toSeq,
+        s"$src bins not contiguous: $bins")
+    }
+  }
+
+  test("decontaminate flags only train-split docs") {
+    val flagged = graft.ops.NearDup.decontaminate(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(flagged.nonEmpty)
+    val testDocs = Sources.table(spark, sf, "documents")
+      .filter(Sampling.hexNibble(col("doc_id")) >= "e")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flagged.intersect(testDocs).isEmpty,
+      "held-out docs must never be flagged as contaminated train docs")
+  }
+
   test("join_range broadcasts the tier table (no shuffle of the fact)") {
     val df = Relational.joinRange(spark, sf)
     val p = df.queryExecution.executedPlan.toString
