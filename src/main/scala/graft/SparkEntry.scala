@@ -86,6 +86,7 @@ object SparkEntry {
     "dedup_ngram" -> ((s, d) => NearDup.dedupNgram(s, d)),
     "dedup_cluster" -> ((s, d) => NearDup.dedupCluster(s, d)),
     "text_tfidf" -> ((s, d) => TextSim.textTfidf(s, d)),
+    "text_logprob" -> (TextSim.textLogprob _),
     "dedup_embed" -> ((s, d) => TextSim.dedupEmbed(s, d)),
     "pii_mask" -> (Transforms.piiMask _),
     // sampling / split surface (deterministic md5-hash membership)
@@ -499,6 +500,17 @@ object SparkEntry {
         |HAVING count(*) <= 20 AND bool_or(is_test))
         |SELECT doc_id, count(*) AS n_shared FROM gl JOIN bad USING (gram)
         |WHERE NOT is_test GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_logprob" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents),
+        |tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+        |freq AS (SELECT token, count(*) AS tf FROM tok2 GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_total FROM tok2),
+        |lp AS (SELECT doc_id, CAST(round(ln(CAST(n_total AS DOUBLE) / tf), 6) AS DECIMAL(18,6)) AS nll
+        |FROM tok2 JOIN freq USING (token), tot)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |round(CAST(SUM(nll) AS DOUBLE) / count(*), 4) AS avg_nll
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents),

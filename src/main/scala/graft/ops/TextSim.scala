@@ -255,6 +255,34 @@ object TextSim {
       .orderBy(col("doc_id"), col("tfidf").desc, col("token"))
   }
 
+  /** `text_logprob` — per-document mean negative log-probability under
+    * the corpus unigram model: the cheap "perplexity filter" analog
+    * (high avg_nll = tokens rare for this corpus = out-of-distribution
+    * or noisy text), complementing the rule-based [[textQuality]].
+    * Shapes: one token aggregate for the model (map-side combined),
+    * one 1-row total broadcast, one join back + per-doc aggregate.
+    * Per-token scores are rounded then decimal-summed so the per-doc
+    * mean is order-independent and engine-portable (raw double
+    * summation would drift with partition merge order).
+    */
+  def textLogprob(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val freq = tok.groupBy("token").agg(count(lit(1)).as("tf"))
+    val tot = tok.agg(count(lit(1)).as("n_total"))
+    tok.join(freq, "token")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        round(log(col("n_total").cast(DoubleType) / col("tf")), 6)
+          .cast(DecimalType(18, 6)).as("nll"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("nll")).cast(DoubleType) / count(lit(1)), 4)
+          .as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
   /** `doc_winnow` — full winnowing fingerprints (rolling-hash k-byte
     * shingles, minimum per w-window — [[graft.functions.Winnow]]):
     * per-doc fingerprint count plus a stable digest of the set, so

@@ -41,6 +41,15 @@ class ClusterTfidfSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("text_logprob: rarer vocabulary scores higher than common") {
+    val df = TextSim.textLogprob(spark, sf)
+    assert(df.count() > 0)
+    assert(df.filter(col("avg_nll") <= 0).count() == 0,
+      "negative log-prob is strictly positive for a finite corpus")
+    // determinism: decimal-summed means are identical across runs
+    assert(df.collect().sameElements(TextSim.textLogprob(spark, sf).collect()))
+  }
+
   test("text_tfidf: at most k terms per doc, positive scores, ordered") {
     val df = TextSim.textTfidf(spark, sf, k = 3)
     val perDoc = df.groupBy("doc_id").count().collect()
