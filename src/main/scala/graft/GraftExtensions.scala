@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, Winnow}
+import graft.functions.{DotProduct, ShingleHash, Winnow}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -35,6 +35,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "graft_winnow", "k", exprs(1)),
           graft.functions.VectorFunctions.literalInt(
             "graft_winnow", "w", exprs(2)))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("graft_shingle"),
+      new ExpressionInfo(classOf[ShingleHash].getCanonicalName,
+        "graft_shingle"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_shingle expects (toks, n), got ${exprs.length} args")
+        ShingleHash(exprs.head,
+          graft.functions.VectorFunctions.literalInt(
+            "graft_shingle", "n", exprs(1)))
       }))
   }
 }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSessionExtensions
   */
 class ExtensionsSpec extends SparkSpec {
 
-  test("GraftExtensions injects both functions without error") {
+  test("GraftExtensions injects all functions without error") {
     val e = new SparkSessionExtensions
     new GraftExtensions().apply(e)
   }
@@ -22,5 +22,8 @@ class ExtensionsSpec extends SparkSpec {
     val win = graft.functions.Winnow(Literal("abc"), 2, 2)
     assert(win.prettyName == "graft_winnow")
     assert(win.dataType.typeName == "array")
+    val sh = graft.functions.ShingleHash(Literal(null), 3)
+    assert(sh.prettyName == "graft_shingle")
+    assert(sh.dataType.typeName == "array")
   }
 }
