@@ -149,4 +149,60 @@ object Pipelines {
     TimeOps.foreachBatchSink(stream, outDir, checkpoint)(batch =>
       transformUsers(batch.filter(validUser)))
   }
+
+  case class CurationRun(input: Long, afterExactDedup: Long,
+                         afterNearDedup: Long, afterDecontamination: Long,
+                         afterQuality: Long, trainDocs: Long, bins: Long)
+
+  /** 2026 — the era after the reference: an LLM-training-data curation
+    * pipeline over a document corpus, composed entirely from the
+    * engine's operators. Exact dedup (content hash, keep min doc) →
+    * near-dup survivor selection (cluster canonicals from
+    * [[graft.ops.NearDup.dedupCluster]]) → eval-set decontamination
+    * ([[graft.ops.NearDup.decontaminate]]) → rule-based quality filter
+    * ([[graft.ops.TextSim.textQuality]]) → deterministic train split
+    * (md5 nibble) → PII scrub → fixed-token-budget sequence packing →
+    * parquet load. Every stage is a hash-keyed filter/join, so the
+    * whole pipeline is one lazy plan per count plus the final write —
+    * no driver-side materialization, same shapes at 100 TB.
+    */
+  def curation2026(spark: SparkSession, sfDir: String, outDir: String,
+                   budget: Long = 256L): CurationRun = {
+    import graft.ops.{NearDup, Sampling, TextSim}
+    val docs = Sources.table(spark, sfDir, "documents")
+    // 1. exact dedup: canonical = min doc id per normalized content hash
+    val exactKeep = docs
+      .select(col("doc_id"), sha2(trim(lower(col("text"))), 256).as("h"))
+      .groupBy("h").agg(min("doc_id").as("doc_id")).select("doc_id")
+    val d1 = docs.join(exactKeep, "doc_id")
+    // 2. near-dup survivors: non-canonical cluster members drop
+    val nearDrop = NearDup.dedupCluster(spark, sfDir)
+      .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    val d2 = d1.join(nearDrop, Seq("doc_id"), "left_anti")
+    // 3. decontamination: train docs sharing distinctive grams with eval
+    val contaminated = NearDup.decontaminate(spark, sfDir).select("doc_id")
+    val d3 = d2.join(contaminated, Seq("doc_id"), "left_anti")
+    // 4. rule-based quality gate
+    val qualityOk = TextSim.textQuality(spark, sfDir)
+      .filter(col("quality_ok")).select("doc_id")
+    val d4 = d3.join(qualityOk, "doc_id")
+    // 5. train split (eval nibbles are >= 'c'; see Sampling.sampleSplit)
+    val train = d4.filter(Sampling.hexNibble(col("doc_id")) < "c")
+    // 6. PII scrub + 7. sequence packing within each source shard
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val packed = train
+      .withColumn("text", regexp_replace(col("text"), "[0-9]{4,}", "<ID>"))
+      .withColumn("n_tokens",
+        size(split(trim(col("text")), "\\s+")).cast("long"))
+      .withColumn("bin_id", floor(
+        (sum(col("n_tokens")).over(w) - col("n_tokens")) / budget.toDouble))
+    Sinks.parquet(packed).save(outDir)
+    val out = spark.read.parquet(outDir)
+    CurationRun(docs.count(), d1.count(), d2.count(), d3.count(),
+      d4.count(), out.count(),
+      out.select("source", "bin_id").distinct().count())
+  }
 }

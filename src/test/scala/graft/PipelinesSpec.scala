@@ -92,4 +92,25 @@ class PipelinesSpec extends SparkSpec {
     assert(loaded.count() == 3)
     assert(loaded.filter(col("name") === "ALICE").count() == 1)
   }
+
+  test("2026: curation pipeline filters monotonically and packs the train set") {
+    val out = java.nio.file.Files.createTempDirectory("graft-cur").toString
+    val run = Pipelines.curation2026(spark, sf, out)
+    // each stage can only remove documents
+    assert(run.input >= run.afterExactDedup)
+    assert(run.afterExactDedup >= run.afterNearDedup)
+    assert(run.afterNearDedup >= run.afterDecontamination)
+    assert(run.afterDecontamination >= run.afterQuality)
+    assert(run.afterQuality >= run.trainDocs)
+    assert(run.trainDocs > 0 && run.bins > 0)
+    val packed = spark.read.parquet(out)
+    // the held-out split never leaks into the packed train set
+    assert(packed.filter(
+      graft.ops.Sampling.hexNibble(col("doc_id")) >= "c").count() == 0)
+    // no unmasked long digit runs survive the scrub
+    assert(packed.filter(col("text").rlike("[0-9]{4,}")).count() == 0)
+    // deterministic: a second run reproduces the same stage counts
+    val out2 = java.nio.file.Files.createTempDirectory("graft-cur2").toString
+    assert(Pipelines.curation2026(spark, sf, out2) == run)
+  }
 }
