@@ -103,4 +103,37 @@ object PureProperties extends Properties("graft.pure") {
       r.validRate >= 0.0 && r.validRate <= 1.0 &&
       r.invalidRows == r.totalRows - r.validRows
     }
+
+  // ---- ShingleHash (pure expression eval, no session) ----------------
+
+  /** Small vocabulary on purpose: windows repeat, so the equality
+    * structure (equal windows ⇔ equal hashes) is actually exercised,
+    * including the token-boundary case ("ab","c") vs ("a","bc").
+    */
+  private val tokGen: Gen[List[String]] =
+    Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "ab", "bc", "x")))
+
+  private def shingleEval(toks: List[String], n: Int): Seq[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val e = graft.functions.ShingleHash(
+      Literal.create(toks, ArrayType(StringType)), n)
+    e.eval().asInstanceOf[ArrayData].toLongArray().toSeq
+  }
+
+  property("shingle hash count is max(0, m - n + 1)") =
+    Prop.forAll(tokGen, Gen.chooseNum(1, 5)) { (toks, n) =>
+      shingleEval(toks, n).length == math.max(0, toks.length - n + 1)
+    }
+
+  property("shingle hash equality mirrors token-window equality") =
+    Prop.forAll(tokGen) { toks =>
+      val n = 3
+      val hs = shingleEval(toks, n)
+      val ws = toks.sliding(n).filter(_.length == n).toVector
+      hs.indices.forall(i => hs.indices.forall(j =>
+        (hs(i) == hs(j)) == (ws(i) == ws(j))))
+    }
 }
