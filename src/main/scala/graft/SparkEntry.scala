@@ -475,7 +475,7 @@ object SparkEntry {
 
     "sample_weighted" ->
       """SELECT source, count(*) AS n_kept FROM documents
-        |WHERE CAST(substring(source, 4) AS INT) < 10
+        |WHERE TRY_CAST(substring(source, 4) AS INT) < 10
         |OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
         |GROUP BY source ORDER BY source""".stripMargin,
 

@@ -295,7 +295,8 @@ object NearDup {
     // join+filter+count. DECIMAL(38,0) so the sum cannot overflow at
     // any corpus size.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast(DecimalType(38, 0))).as("s"))
+      df.agg(coalesce(sum(col("label").cast(DecimalType(38, 0))),
+          lit(0).cast(DecimalType(38, 0))).as("s"))
         .collect()(0).getDecimal(0)
     var prevSum = labelSum(labels)
     var converged = false

@@ -86,6 +86,7 @@ object Sampling {
     * global sort; the budget overflow per bin is bounded by one doc.
     */
   def packBins(s: SparkSession, dir: String, budget: Long = 256L): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -107,7 +108,9 @@ object Sampling {
     */
   def sampleWeighted(s: SparkSession, dir: String): DataFrame =
     Sources.table(s, dir, "documents")
-      .filter(substring(col("source"), 4, 10).cast(IntegerType) < 10 ||
+      // try_cast: a source name without a numeric suffix is tail-tier
+      // (NULL < 10 is NULL → false), not an ANSI cast error
+      .filter(expr("try_cast(substring(source, 4) AS INT)") < 10 ||
         hexNibble(col("doc_id")) < "4")
       .groupBy("source")
       .agg(count(lit(1)).as("n_kept"))

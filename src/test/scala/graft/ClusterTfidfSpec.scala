@@ -35,6 +35,19 @@ class ClusterTfidfSpec extends SparkSpec {
     assert(rows.map(_._1).distinct.length == rows.length)
   }
 
+  test("clustering a pair-free corpus returns empty without error") {
+    import spark.implicits._
+    // texts with zero shared shingles → no candidate pairs → no NPE
+    // from the empty-label convergence check
+    val dir = java.nio.file.Files.createTempDirectory("graft-nopairs").toString
+    (0L until 10L).map(i =>
+        (i, (0 until 20).map(j => s"tok${i}_$j").mkString(" "),
+          "en", s"src$i", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(NearDup.dedupCluster(spark, dir).count() == 0)
+  }
+
   test("clustering is deterministic across runs") {
     val a = clusters.collect()
     val b = NearDup.dedupCluster(spark, sf).collect()
