@@ -44,7 +44,8 @@ object AsOf {
     * per (key, time), as [[asofEventsOrders]] does.
     */
   def asofJoin(probe: DataFrame, probeKey: String, probeTime: String,
-               build: DataFrame, buildKey: String, buildTime: String): DataFrame = {
+               build: DataFrame, buildKey: String, buildTime: String,
+               tolerance: Option[String] = None): DataFrame = {
     val payloadCols = build.columns.filterNot(c => c == buildKey || c == buildTime).toSeq
     require(payloadCols.nonEmpty,
       s"build side needs at least one payload column besides $buildKey/$buildTime")
@@ -79,11 +80,23 @@ object AsOf {
         col("_payload").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    probeSide.unionByName(buildSide)
+    // Tolerance (kdb-style): a match older than `tolerance` before the
+    // probe time is discarded. The most-recent build TIME rides along
+    // with the payload so staleness is checked after the window — one
+    // extra comparison, no extra shuffle.
+    val matched = probeSide.unionByName(buildSide)
       .withColumn("_match", last(col("_payload"), ignoreNulls = true).over(w))
+      .withColumn("_match_t", last(when(col("_side") === 0, col("_t")),
+        ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .select(probe.columns.toSeq.map(c => col(s"_probe.$c").as(c)) ++
-        payloadCols.map(c => col(s"_match.$c").as(c)): _*)
+    val bounded = tolerance match {
+      case Some(tol) => matched.withColumn("_match",
+        when(col("_match_t") >= col("_t") - expr(s"INTERVAL $tol"),
+          col("_match")))
+      case None => matched
+    }
+    bounded.select(probe.columns.toSeq.map(c => col(s"_probe.$c").as(c)) ++
+      payloadCols.map(c => col(s"_match.$c").as(c)): _*)
   }
 
   /** `asof_join` — the declared query: each event matched to the user's

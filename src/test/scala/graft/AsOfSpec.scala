@@ -50,6 +50,17 @@ class AsOfSpec extends SparkSpec {
     assert(got.toSeq == Seq(9L))
   }
 
+  test("asofJoin tolerance discards stale matches, keeps fresh ones") {
+    val got = AsOf.asofJoin(trades, "sym", "tt", quotes, "sym", "qt",
+        tolerance = Some("30 MINUTES"))
+      .select("trade_id", "px").as[(Long, Option[Long])]
+      .collect().toMap
+    // trade 2 matches the 12:00 quote exactly (age 0); trade 3's match
+    // is 1h59m stale; trade 4's is 9h stale — both discarded
+    assert(got(2L).contains(110L) && got(3L).isEmpty && got(4L).isEmpty)
+    assert(got(5L).contains(200L)) // 30m-old quote at the boundary kept
+  }
+
   test("asofJoin matches the naive range-join formulation") {
     // deterministic pseudo-random corpus: keys 0-9, times spread over a day
     val probe = spark.range(0, 300).select(col("id"),
