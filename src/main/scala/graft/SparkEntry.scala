@@ -63,6 +63,7 @@ object SparkEntry {
     "join_multiway" -> ((s, d) => Relational.joinMultiway(s, d)),
     "join_range" -> (Relational.joinRange _),
     "asof_join" -> (AsOf.asofEventsOrders _),
+    "asof_tolerance" -> (AsOf.asofEventsOrdersTolerance _),
     // O/W: sort + windows
     "sort_topk" -> (Relational.sortTopk _),
     "window_rank" -> (Relational.windowRank _),
@@ -434,6 +435,16 @@ object SparkEntry {
       """WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
         |FROM orders GROUP BY 1, 2)
         |SELECT e.event_id, e.user_id, COALESCE(o.o_orderkey, -1) AS last_orderkey
+        |FROM events e ASOF LEFT JOIN o
+        |ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+
+    "asof_tolerance" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id,
+        |CASE WHEN o.o_orderdate >= e.ts - INTERVAL 30 DAY
+        |THEN o.o_orderkey ELSE -1 END AS last_orderkey
         |FROM events e ASOF LEFT JOIN o
         |ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,

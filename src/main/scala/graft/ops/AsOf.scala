@@ -117,4 +117,22 @@ object AsOf {
         coalesce(col("o_orderkey"), lit(-1L)).as("last_orderkey"))
       .orderBy("event_id")
   }
+
+  /** `asof_tolerance` — the bounded variant: same event→order match, but
+    * a match more than 30 days before the event is considered stale and
+    * dropped (kdb `aj` tolerance / pandas `merge_asof(tolerance=)`).
+    * Same single-shuffle plan; the bound is one post-window comparison.
+    */
+  def asofEventsOrdersTolerance(s: SparkSession, dir: String): DataFrame = {
+    val latestPerDay = Sources.table(s, dir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    val events = Sources.table(s, dir, "events")
+      .select("event_id", "ts", "user_id")
+    asofJoin(events, "user_id", "ts", latestPerDay, "o_custkey", "o_orderdate",
+        tolerance = Some("30 DAYS"))
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("o_orderkey"), lit(-1L)).as("last_orderkey"))
+      .orderBy("event_id")
+  }
 }
