@@ -83,6 +83,7 @@ object SparkEntry {
     "multimodal_join" -> (TextSim.multimodalJoin _),
     "lang_id" -> (TextSim.langId _),
     "text_quality" -> (TextSim.textQuality _),
+    "text_repetition" -> (TextSim.textRepetition _),
     "tok_count" -> (TextSim.tokCount _),
     "dedup_ngram" -> ((s, d) => NearDup.dedupNgram(s, d)),
     "dedup_cluster" -> ((s, d) => NearDup.dedupCluster(s, d)),
@@ -415,6 +416,28 @@ object SparkEntry {
         |round(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) /
         |greatest(CAST(length(text) AS DOUBLE), 1.0), 4) AS punct_ratio
         |FROM documents) t ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        |FROM documents),
+        |f AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words, words,
+        |list_transform(range(2, len(words) + 1),
+        |i -> words[i - 1] || ' ' || words[i]) AS bgs
+        |FROM w WHERE len(words) >= 2),
+        |bg AS (SELECT doc_id, n_words, unnest(bgs) AS bigram FROM f),
+        |bc AS (SELECT doc_id, n_words, bigram, count(*) AS c
+        |FROM bg GROUP BY 1, 2, 3),
+        |ag AS (SELECT doc_id, n_words, max(c) AS top_bigram_n,
+        |sum(c) AS n_bigrams FROM bc GROUP BY 1, 2),
+        |un AS (SELECT doc_id, count(DISTINCT word) AS distinct_words FROM
+        |(SELECT doc_id, unnest(words) AS word FROM f) GROUP BY 1)
+        |SELECT a.doc_id, a.n_words, a.top_bigram_n,
+        |round(a.top_bigram_n / a.n_bigrams, 4) AS top_bigram_frac,
+        |u.distinct_words,
+        |round(1.0 - u.distinct_words / a.n_words, 4) AS dup_word_frac,
+        |round(a.top_bigram_n / a.n_bigrams, 4) > 0.18 OR
+        |round(1.0 - u.distinct_words / a.n_words, 4) > 0.9 AS repetitive
+        |FROM ag a JOIN un u USING (doc_id) ORDER BY a.doc_id""".stripMargin,
 
     "tok_count" ->
       """SELECT doc_id,

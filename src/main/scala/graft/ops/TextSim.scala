@@ -316,4 +316,45 @@ object TextSim {
       .agg(min(xxhash64(col("gram"))).as("fingerprint"))
       .orderBy("doc_id")
   }
+
+  /** `text_repetition` — Gopher-rule repetition signals (Rae et al.
+    * 2021 §A1.1): the fraction of all word-bigrams taken by the single
+    * most frequent bigram, and the duplicate-word fraction
+    * (1 − distinct/total). High values mark boilerplate / looping text
+    * that perplexity filters miss. Repetitive = top-2-gram fraction
+    * > 0.18 (the paper's threshold) or duplicate-word fraction > 0.9.
+    *
+    * Shape at scale: bigrams are exploded then hash-aggregated on
+    * (doc, bigram) — map-side combine bounds the shuffle by the
+    * distinct-bigram count, never the token count. Per-row array
+    * counting (O(n²) in doc length) is deliberately avoided: a
+    * 100k-token document would pay 1e10 comparisons per row.
+    * Docs with fewer than 2 words have no bigrams and are excluded
+    * (both here and in the oracle).
+    */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val words = docs(s, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      .filter(size(col("words")) >= 2)
+    val bigramCounts = words
+      .select(col("doc_id"), size(col("words")).cast(LongType).as("n_words"),
+        explode(expr(
+          "transform(sequence(1, size(words) - 1)," +
+            " i -> concat(words[i - 1], ' ', words[i]))")).as("bigram"))
+      .groupBy("doc_id", "n_words", "bigram").agg(count(lit(1)).as("c"))
+    val perDoc = bigramCounts.groupBy("doc_id", "n_words")
+      .agg(max(col("c")).as("top_bigram_n"), sum(col("c")).as("n_bigrams"))
+    val distinctWords = words
+      .select(col("doc_id"), explode(col("words")).as("word"))
+      .groupBy("doc_id").agg(countDistinct(col("word")).as("distinct_words"))
+    perDoc.join(distinctWords, "doc_id")
+      .select(col("doc_id"), col("n_words"), col("top_bigram_n"),
+        round(col("top_bigram_n") / col("n_bigrams"), 4).as("top_bigram_frac"),
+        col("distinct_words"),
+        round(lit(1.0) - col("distinct_words") / col("n_words"), 4)
+          .as("dup_word_frac"))
+      .withColumn("repetitive",
+        col("top_bigram_frac") > 0.18 || col("dup_word_frac") > 0.9)
+      .orderBy("doc_id")
+  }
 }

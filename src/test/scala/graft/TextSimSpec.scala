@@ -126,4 +126,21 @@ class TextSimSpec extends SparkSpec {
     val r2 = NearDup.dedupMinhash(spark, sf).collect()
     assert(r1.toSeq == r2.toSeq, "fixed-seed MinHash must be deterministic")
   }
+
+  test("text_repetition flags looping text, passes diverse text") {
+    import spark.implicits._
+    val looping = "a b a b a b"                       // top bigram "a b" ×3 of 5
+    val diverse = (1 to 12).map(i => s"u$i").mkString(" ")
+    val docs = Seq((1L, looping, "en", "t", 1L), (2L, diverse, "en", "t", 1L),
+      (3L, "solo", "en", "t", 1L)) // <2 words: excluded by contract
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rep").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = TextSim.textRepetition(spark, tmp).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r.keySet == Set(1L, 2L))
+    assert(r(1L).getDouble(3) == 0.6 && r(1L).getDouble(5) == 0.6667)
+    assert(r(1L).getBoolean(6), "looping doc must be flagged")
+    assert(r(2L).getDouble(5) == 0.0 && !r(2L).getBoolean(6))
+  }
 }
