@@ -182,10 +182,13 @@ object Pipelines {
     // 3. decontamination: train docs sharing distinctive grams with eval
     val contaminated = NearDup.decontaminate(spark, sfDir).select("doc_id")
     val d3 = d2.join(contaminated, Seq("doc_id"), "left_anti")
-    // 4. rule-based quality gate
+    // 4. rule-based quality gate: heuristic thresholds + Gopher
+    //    repetition rules (looping/boilerplate text the heuristics miss)
     val qualityOk = TextSim.textQuality(spark, sfDir)
       .filter(col("quality_ok")).select("doc_id")
-    val d4 = d3.join(qualityOk, "doc_id")
+    val notRepetitive = TextSim.textRepetition(spark, sfDir)
+      .filter(!col("repetitive")).select("doc_id")
+    val d4 = d3.join(qualityOk, "doc_id").join(notRepetitive, "doc_id")
     // 5. train split (eval nibbles are >= 'c'; see Sampling.sampleSplit)
     val train = d4.filter(Sampling.hexNibble(col("doc_id")) < "c")
     // 6. PII scrub + 7. sequence packing within each source shard
