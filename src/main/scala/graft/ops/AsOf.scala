@@ -84,10 +84,13 @@ object AsOf {
     // probe time is discarded. The most-recent build TIME rides along
     // with the payload so staleness is checked after the window — one
     // extra comparison, no extra shuffle.
+    // Both window functions in ONE select → a single Window operator
+    // (chained withColumn would plan two passes over the sorted run).
     val matched = probeSide.unionByName(buildSide)
-      .withColumn("_match", last(col("_payload"), ignoreNulls = true).over(w))
-      .withColumn("_match_t", last(when(col("_side") === 0, col("_t")),
-        ignoreNulls = true).over(w))
+      .select(col("*"),
+        last(col("_payload"), ignoreNulls = true).over(w).as("_match"),
+        last(when(col("_side") === 0, col("_t")), ignoreNulls = true)
+          .over(w).as("_match_t"))
       .filter(col("_side") === 1)
     val bounded = tolerance match {
       case Some(tol) => matched.withColumn("_match",

@@ -94,6 +94,18 @@ class AsOfSpec extends SparkSpec {
       s"expected exactly one shuffle:\n$p")
   }
 
+  test("tolerance bound adds no shuffle and no join") {
+    // both last() windows share one spec → a single Window operator
+    val p = AsOf.asofJoin(trades, "sym", "tt", quotes, "sym", "qt",
+        tolerance = Some("30 MINUTES"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"as-of must not plan a join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one shuffle:\n$p")
+    assert("Window".r.findAllIn(p).size == 1,
+      s"expected a single Window operator:\n$p")
+  }
+
   test("asofJoin rejects payload/probe column collisions") {
     val e = intercept[IllegalArgumentException] {
       AsOf.asofJoin(trades, "sym", "tt",

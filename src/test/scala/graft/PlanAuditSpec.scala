@@ -97,6 +97,15 @@ class PlanAuditSpec extends SparkSpec {
       s"tfidf top-k lost the rank-limit pushdown:\n${tfidf.take(1500)}")
   }
 
+  test("text_repetition combines bigram counts map-side, no all-pairs") {
+    val p = plan(TextSim.textRepetition(spark, sf))
+    assert(p.contains("partial_count"),
+      s"bigram counting must partial-aggregate before the shuffle:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "repetition stats must never plan an all-pairs operator")
+  }
+
   test("sample_hash is a pure scan-side filter (no pre-sort exchange)") {
     val p = plan(graft.ops.Sampling.sampleHash(spark, sf))
     assert(!p.contains("Exchange hashpartitioning"),
