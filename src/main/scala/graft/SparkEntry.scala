@@ -54,6 +54,8 @@ object SparkEntry {
     "agg_group" -> (Aggregates.aggGroup _),
     "agg_rollup" -> (Aggregates.aggRollup _),
     "agg_cube" -> (Aggregates.aggCube _),
+    "agg_gsets" -> (Aggregates.aggGsets _),
+    "agg_corr" -> (Aggregates.aggCorr _),
     // J: joins
     "join_dim" -> (Relational.joinDim _),
     "join_fact" -> (Relational.joinFact _),
@@ -68,6 +70,9 @@ object SparkEntry {
     "sort_topk" -> (Relational.sortTopk _),
     "window_rank" -> (Relational.windowRank _),
     "window_running" -> (Relational.windowRunning _),
+    "window_dist" -> (Relational.windowDist _),
+    "pivot_wide" -> (Relational.pivotWide _),
+    "unpivot_long" -> (Relational.unpivotLong _),
     // X: scalar function surface
     "str_funcs" -> (Relational.strFuncs _),
     "date_funcs" -> (Relational.dateFuncs _),
@@ -98,6 +103,8 @@ object SparkEntry {
     "sample_weighted" -> (Sampling.sampleWeighted _),
     "pack_bins" -> ((s, d) => Sampling.packBins(s, d)),
     "decontaminate" -> ((s, d) => NearDup.decontaminate(s, d)),
+    "dedup_incremental" -> (NearDup.dedupIncremental _),
+    "dedup_chunk" -> ((s, d) => NearDup.dedupChunk(s, d)),
     // no-oracle ops (driver records rows-only checks)
     "dedup_minhash" -> ((s, d) => NearDup.dedupMinhash(s, d)),
     "agg_distinct_approx" -> (Aggregates.aggDistinctApprox _),
@@ -265,6 +272,75 @@ object SparkEntry {
          |${dsumSql("o_totalprice")} AS total_price
          |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
          |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "agg_gsets" ->
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+         |${dsumSql("o_totalprice")} AS total_price
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "agg_corr" -> {
+      def ds(c: String) = s"CAST(SUM(CAST($c AS DECIMAL(18,6))) AS DOUBLE)"
+      s"""SELECT l_returnflag, n,
+         |round((sxy - sx * sy / nd) / (nd - 1), 2) AS qp_covar,
+         |round((nd * sxy - sx * sy) /
+         |  (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy)), 4) AS qp_corr,
+         |round((nd * sxy - sx * sy) / (nd * sxx - sx * sx), 4) AS price_per_qty
+         |FROM (SELECT l_returnflag, count(*) AS n, CAST(count(*) AS DOUBLE) AS nd,
+         |  ${ds("l_quantity")} AS sx, ${ds("l_extendedprice")} AS sy,
+         |  ${ds("l_quantity * l_extendedprice")} AS sxy,
+         |  ${ds("l_quantity * l_quantity")} AS sxx,
+         |  ${ds("l_extendedprice * l_extendedprice")} AS syy
+         |  FROM lineitem GROUP BY l_returnflag) t
+         |ORDER BY l_returnflag""".stripMargin
+    },
+
+    "pivot_wide" ->
+      """SELECT l_linestatus,
+        |count(CASE WHEN l_returnflag = 'A' THEN 1 END) AS "A",
+        |count(CASE WHEN l_returnflag = 'N' THEN 1 END) AS "N",
+        |count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS "R"
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "unpivot_long" ->
+      """SELECT * FROM (
+        |SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount' AS metric, l_discount AS value FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax' AS metric, l_tax AS value FROM lineitem) t
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+
+    "window_dist" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |ntile(4) OVER w AS quartile,
+        |round(percent_rank() OVER w, 6) AS pct_rank,
+        |round(cume_dist() OVER w, 6) AS cum_dist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    "dedup_incremental" ->
+      """SELECT n.doc_id,
+        |EXISTS (SELECT 1 FROM documents o
+        |  WHERE substring(md5(CAST(o.doc_id AS VARCHAR)), 1, 1) < '8'
+        |    AND trim(lower(o.text)) = trim(lower(n.text))) AS dup_of_corpus
+        |FROM documents n
+        |WHERE substring(md5(CAST(n.doc_id AS VARCHAR)), 1, 1) >= '8'
+        |ORDER BY doc_id""".stripMargin,
+
+    "dedup_chunk" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS words
+        |           FROM documents),
+        |c AS (SELECT doc_id,
+        |  unnest(list_transform(range(0, CAST(ceil(len(words) / 20.0) AS INT)),
+        |    i -> array_to_string(words[i * 20 + 1 : i * 20 + 20], ' '))) AS chunk
+        |  FROM w)
+        |SELECT chunk, count(DISTINCT doc_id) AS n_docs FROM c
+        |GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY chunk""".stripMargin,
 
     "join_dim" ->
       s"""SELECT r_name, n_name, count(*) AS n_customers, ${dsumSql("c_acctbal")} AS total_acctbal

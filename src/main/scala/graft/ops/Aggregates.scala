@@ -186,4 +186,57 @@ object Aggregates {
         count(lit(1)).as("n_orders"))
       .orderBy("r_name", "n_name")
   }
+
+  /** `agg_gsets` — explicit GROUPING SETS (the general form rollup and
+    * cube specialize): per-status subtotals, per-priority subtotals,
+    * and the grand total in ONE scan. Plans as a single Expand-fed
+    * hash aggregate — one pass over the fact table replaces three
+    * separate group-bys, the multi-report shape of the reference's
+    * quality summaries (/root/reference/src/etl_2022.py:46-109) done
+    * the warehouse way.
+    */
+  def aggGsets(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** `agg_corr` — bivariate statistics per return flag: sample
+    * covariance, Pearson correlation, and the OLS slope of price on
+    * quantity. Computed from exact decimal power sums (Σx, Σy, Σxy,
+    * Σx², Σy² via [[Num.dsum]]) rather than the built-in
+    * `corr`/`covar_samp`/`regr_slope` aggregates: the built-ins
+    * accumulate co-moments in shuffle-arrival order, so their last
+    * bits vary run-to-run and engine-to-engine, while decimal sums are
+    * order-independent and bit-identical in DuckDB — the engine's
+    * sum-determinism discipline extended to second moments. One hash
+    * aggregate, map-side combined; the moment arithmetic is a per-group
+    * projection.
+    */
+  def aggCorr(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    val n = col("n").cast(DoubleType)
+    Sources.table(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        dsum(x, 6).as("sx"), dsum(y, 6).as("sy"),
+        dsum(x * y, 6).as("sxy"),
+        dsum(x * x, 6).as("sxx"), dsum(y * y, 6).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        round((col("sxy") - col("sx") * col("sy") / n) / (n - 1), 2)
+          .as("qp_covar"),
+        round((n * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(n * col("sxx") - col("sx") * col("sx")) *
+            sqrt(n * col("syy") - col("sy") * col("sy"))), 4)
+          .as("qp_corr"),
+        round((n * col("sxy") - col("sx") * col("sy")) /
+          (n * col("sxx") - col("sx") * col("sx")), 4)
+          .as("price_per_qty"))
+      .orderBy("l_returnflag")
+  }
 }

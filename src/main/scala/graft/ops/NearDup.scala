@@ -278,6 +278,58 @@ object NearDup {
     res.orderBy("doc_id")
   }
 
+  /** `dedup_incremental` — new-batch dedup against an existing corpus:
+    * the steady-state shape of corpus curation (a new crawl arrives;
+    * only docs unseen in the accumulated corpus should survive).
+    * Membership in the "new" batch is the deterministic md5-nibble
+    * rule (≥ '8' ⇒ new, ~50%), so the query is self-contained and
+    * reproducible. The check is a left join on the 32-byte content
+    * hash — shuffle keyed on the hash, identical to [[TextSim.dedupText]]'s
+    * scale shape; the corpus side ships only (hash) after a distinct,
+    * never the text. Output: every new doc with its duplicate verdict.
+    */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = Sources.table(s, dir, "documents")
+      .select(col("doc_id"),
+        sha2(trim(lower(col("text"))), 256).as("h"),
+        (Sampling.hexNibble(col("doc_id")) >= "8").as("is_new"))
+    val corpus = d.filter(!col("is_new")).select("h").distinct()
+      .withColumn("in_corpus", lit(true))
+    d.filter(col("is_new"))
+      .join(corpus, Seq("h"), "left")
+      .select(col("doc_id"),
+        coalesce(col("in_corpus"), lit(false)).as("dup_of_corpus"))
+      .orderBy("doc_id")
+  }
+
+  /** `dedup_chunk` — span-level exact dedup: cut each document into
+    * fixed-stride `chunk`-token windows and report every chunk text
+    * appearing in ≥ `minDocs` distinct documents — the cheap form of
+    * substring-level dedup (catches shared boilerplate spans inside
+    * otherwise-distinct documents, which whole-doc hashing misses).
+    * Explode → hash-aggregate on the chunk: shuffle volume ∝ distinct
+    * chunks, map-side combined, never pairwise. The per-row chunk
+    * builder is a `transform`+`slice` lambda (interpreted, but ~n/20
+    * elements per row); the [[graft.functions.ShingleHash]] expression
+    * is the codegen template to swap in if this map stage ever
+    * dominates at corpus scale.
+    */
+  def dedupChunk(s: SparkSession, dir: String, chunk: Int = 20,
+                 minDocs: Int = 2): DataFrame = {
+    require(chunk >= 1, s"chunk must be positive, got $chunk")
+    val chunks = expr(
+      s"transform(sequence(0, CAST(ceil(size(words) / $chunk.0) AS INT) - 1)," +
+        s" c -> concat_ws(' ', slice(words, c * $chunk + 1, $chunk)))")
+    Sources.table(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      .select(col("doc_id"), explode(chunks).as("chunk"))
+      .groupBy("chunk")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy("chunk")
+  }
+
   /** `dedup_cluster` — connected components over the n-gram near-dup
     * candidate pairs: the survivor-selection step that completes a
     * corpus dedup pipeline (candidates → clusters → keep one doc per

@@ -243,4 +243,55 @@ object Relational {
       .groupBy("k_value")
       .agg(count(lit(1)).as("n"))
       .orderBy("k_value")
+
+  /** `pivot_wide` — long→wide reshaping: lineitem counts by line status
+    * with one column per return flag. The pivot values are DECLARED
+    * (`Seq("A","N","R")`), not discovered: discovery costs an extra
+    * distinct-scan job and makes the output schema data-dependent —
+    * both wrong at 100 TB. With declared values the plan is one
+    * hash aggregate (pivot compiles to `count(CASE WHEN ...)` per
+    * value), same shape as any grouped agg. Empty cells are 0, not
+    * null, matching the conditional-aggregation formulation.
+    */
+  def pivotWide(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "lineitem")
+      .groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("A", "N", "R"))
+      .orderBy("l_linestatus")
+
+  /** `unpivot_long` — wide→long reshaping (melt): one row per
+    * (order line, metric) from three numeric columns. Unpivot is a
+    * per-row Expand — narrow, no shuffle, output = rows × metrics —
+    * the standard step before generic per-metric aggregation or
+    * profiling at any scale.
+    */
+  def unpivotLong(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "lineitem")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "metric", "value")
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+
+  /** `window_dist` — distribution window functions over orders per
+    * priority class: quartile (`ntile`), `percent_rank`, `cume_dist`.
+    * All three share ONE WindowSpec and are computed in one `select`,
+    * so the plan has a single Window operator over a single
+    * partition-sort (the two-`withColumn` formulation would plan two
+    * Window passes). Ties are broken by the order key, making every
+    * rank — and therefore the whole output — deterministic.
+    */
+  def windowDist(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Sources.table(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cum_dist"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
 }

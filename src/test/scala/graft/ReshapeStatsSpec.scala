@@ -1,0 +1,137 @@
+package graft
+
+import graft.ops.{Aggregates, NearDup, Relational, Sources, TextSim}
+import org.apache.spark.sql.functions._
+
+/** Round-4 surface: reshaping (pivot/unpivot), distribution windows,
+  * bivariate statistics, grouping sets, and the incremental/chunk
+  * dedup operators — behavioral invariants plus the plan shapes that
+  * matter at scale.
+  */
+class ReshapeStatsSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("pivot_wide conserves the row count and zero-fills empty cells") {
+    val wide = Relational.pivotWide(spark, sf).collect()
+    val total = wide.map(r =>
+      r.getLong(r.fieldIndex("A")) + r.getLong(r.fieldIndex("N")) +
+        r.getLong(r.fieldIndex("R"))).sum
+    assert(total == Sources.table(spark, sf, "lineitem").count(),
+      "pivoted counts must partition the input rows")
+    wide.foreach(r => (1 to 3).foreach(i =>
+      assert(!r.isNullAt(i), s"empty pivot cell must be 0, got null: $r")))
+  }
+
+  test("pivot_wide plans as one aggregation, no value-discovery job") {
+    val p = plan(Relational.pivotWide(spark, sf))
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("Join"), "declared pivot values must not join")
+  }
+
+  test("unpivot_long emits rows × metrics through an Expand, values intact") {
+    val li = Sources.table(spark, sf, "lineitem")
+    val long = Relational.unpivotLong(spark, sf)
+    assert(long.count() == 3 * li.count())
+    assert(plan(long).contains("Expand"),
+      "unpivot must plan as a per-row Expand, not a union of scans")
+    // spot-check: per-metric sum survives the reshape exactly
+    val bySum = long.groupBy("metric").agg(graft.ops.Num.dsum(col("value")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val direct = li.agg(graft.ops.Num.dsum(col("l_quantity")),
+      graft.ops.Num.dsum(col("l_discount"))).collect()(0)
+    assert(bySum("l_quantity") == direct.getDouble(0))
+    assert(bySum("l_discount") == direct.getDouble(1))
+  }
+
+  test("window_dist ranks are in range over a single partition-sort") {
+    val d = Relational.windowDist(spark, sf)
+    val rows = d.collect()
+    rows.foreach { r =>
+      val q = r.getInt(r.fieldIndex("quartile"))
+      val pr = r.getDouble(r.fieldIndex("pct_rank"))
+      val cd = r.getDouble(r.fieldIndex("cum_dist"))
+      assert(q >= 1 && q <= 4)
+      assert(pr >= 0.0 && pr <= 1.0)
+      assert(cd > 0.0 && cd <= 1.0)
+    }
+    // Spark plans two Window operators (percent_rank's rank frame vs
+    // the size-based frame ntile/cume_dist need) but they SHARE one
+    // hash exchange + one sort — the scale-relevant property. A
+    // regression to per-function WindowSpecs would double both.
+    // AQE plan strings repeat the tree under "== Initial Plan ==" —
+    // count only the final plan
+    val p = plan(d).split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"distribution windows must share one partition exchange:\n${p.take(1500)}")
+    assert("Window \\[".r.findAllIn(p).size <= 2,
+      s"distribution windows regressed to per-function passes:\n${p.take(1500)}")
+  }
+
+  test("agg_corr matches the built-in co-moment aggregates") {
+    val ours = Aggregates.aggCorr(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val builtin = Sources.table(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"),
+        covar_samp(col("l_quantity"), col("l_extendedprice")).as("cv"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    builtin.foreach { case (flag, b) =>
+      val o = ours(flag)
+      assert(math.abs(o.getDouble(o.fieldIndex("qp_corr")) -
+        b.getDouble(b.fieldIndex("c"))) < 1e-3,
+        s"$flag: decimal-moment corr diverges from built-in")
+      assert(math.abs(o.getDouble(o.fieldIndex("qp_covar")) -
+        b.getDouble(b.fieldIndex("cv"))) <
+          math.abs(b.getDouble(b.fieldIndex("cv"))) * 1e-3 + 1e-2,
+        s"$flag: decimal-moment covariance diverges from built-in")
+    }
+  }
+
+  test("agg_gsets = per-status rows + per-priority rows + grand total") {
+    val orders = Sources.table(spark, sf, "orders")
+    val nStatus = orders.select("o_orderstatus").distinct().count()
+    val nPrio = orders.select("o_orderpriority").distinct().count()
+    val rows = Aggregates.aggGsets(spark, sf).collect()
+    assert(rows.length == nStatus + nPrio + 1)
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1 &&
+      grand(0).getLong(grand(0).fieldIndex("n_orders")) == orders.count(),
+      "exactly one grand-total row covering every order")
+  }
+
+  test("dedup_incremental verdicts match exact-hash membership") {
+    val d = Sources.table(spark, sf, "documents")
+      .select(col("doc_id"), sha2(trim(lower(col("text"))), 256).as("h"),
+        (graft.ops.Sampling.hexNibble(col("doc_id")) >= "8").as("is_new"))
+    val corpusHashes = d.filter(!col("is_new")).select("h")
+      .collect().map(_.getString(0)).toSet
+    val newDocs = d.filter(col("is_new"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val verdicts = NearDup.dedupIncremental(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(verdicts.keySet == newDocs.keySet,
+      "every new-batch doc gets exactly one verdict")
+    verdicts.foreach { case (id, dup) =>
+      assert(dup == corpusHashes.contains(newDocs(id)),
+        s"doc $id: verdict $dup disagrees with corpus membership")
+    }
+  }
+
+  test("dedup_chunk finds the aligned spans of exact-duplicate docs") {
+    val reported = NearDup.dedupChunk(spark, sf).collect()
+    reported.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_docs")) >= 2)
+      assert(r.getString(r.fieldIndex("chunk")).nonEmpty)
+    }
+    // exact whole-doc duplicates with >= 20 tokens must surface at
+    // least their first 20-token chunk
+    val dupText = TextSim.dedupText(spark, sf)
+      .filter(col("n_docs") >= 2).count()
+    if (dupText > 0) {
+      assert(reported.nonEmpty,
+        "corpus has exact duplicate docs but chunk dedup found nothing")
+    }
+  }
+}
