@@ -56,6 +56,7 @@ object SparkEntry {
     "agg_cube" -> (Aggregates.aggCube _),
     "agg_gsets" -> (Aggregates.aggGsets _),
     "agg_corr" -> (Aggregates.aggCorr _),
+    "agg_hist" -> ((s, d) => Aggregates.aggHist(s, d)),
     // J: joins
     "join_dim" -> (Relational.joinDim _),
     "join_fact" -> (Relational.joinFact _),
@@ -95,6 +96,8 @@ object SparkEntry {
     "text_tfidf" -> ((s, d) => TextSim.textTfidf(s, d)),
     "text_logprob" -> (TextSim.textLogprob _),
     "dedup_embed" -> ((s, d) => TextSim.dedupEmbed(s, d)),
+    "sim_knn" -> ((s, d) => TextSim.simKnn(s, d)),
+    "text_entropy" -> (TextSim.textEntropy _),
     "pii_mask" -> (Transforms.piiMask _),
     // sampling / split surface (deterministic md5-hash membership)
     "sample_hash" -> (Sampling.sampleHash _),
@@ -520,6 +523,37 @@ object SparkEntry {
         |CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
         |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_ish_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "agg_hist" ->
+      """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket, count(*) AS n
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "sim_knn" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |round(list_dot_product(a.v, b.v) /
+        |(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+        |FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT qid, nid, cos_sim,
+        |row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rn FROM p)
+        |SELECT qid, nid, cos_sim FROM r WHERE rn <= 5
+        |ORDER BY qid, cos_sim DESC, nid""".stripMargin,
+
+    "text_entropy" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+        |FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+        |WHERE token <> '' GROUP BY doc_id, token),
+        |n AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |count(*) AS n_distinct FROM tf GROUP BY doc_id)
+        |SELECT t.doc_id, n.n_tokens, n.n_distinct,
+        |round(round(ln(n.n_tokens), 8) -
+        |  CAST(SUM(CAST(round(ln(t.tf), 8) AS DECIMAL(18,8)) * t.tf) AS DOUBLE) /
+        |  CAST(n.n_tokens AS DOUBLE), 4) AS entropy
+        |FROM tf t JOIN n USING (doc_id)
+        |GROUP BY t.doc_id, n.n_tokens, n.n_distinct
+        |ORDER BY t.doc_id""".stripMargin,
 
     "dedup_embed" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -205,6 +205,25 @@ object Aggregates {
       .orderBy(col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
+  /** `agg_hist` — fixed-width value histogram over `events.value`
+    * (width-50 buckets): the profiling primitive behind distribution
+    * dashboards and drift checks. Bucket id is an explicit
+    * `floor(value / width)` — floor on BOTH engine and oracle sides,
+    * because the obvious `CAST(value / width AS BIGINT)` ROUNDS in
+    * DuckDB while Spark's cast truncates. One narrow projection into a
+    * hash aggregate; shuffle rows = bucket count, bounded by the value
+    * range at any corpus size.
+    */
+  def aggHist(s: SparkSession, dir: String, width: Double = 50.0): DataFrame = {
+    require(width > 0, s"bucket width must be positive, got $width")
+    Sources.table(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(floor(col("value") / width).cast(LongType).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+
   /** `agg_corr` — bivariate statistics per return flag: sample
     * covariance, Pearson correlation, and the OLS slope of price on
     * quantity. Computed from exact decimal power sums (Σx, Σy, Σxy,

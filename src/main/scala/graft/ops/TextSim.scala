@@ -137,6 +137,77 @@ object TextSim {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** `sim_knn` — exact k-nearest-neighbor JOIN: top-k cosine neighbors
+    * for EVERY vector (sim_search generalized from one query to all).
+    * This is the exact baseline the ANN paths (Ann.simAnnLsh/Ivf)
+    * trade recall against. Plan: one side broadcast (N·d doubles),
+    * probe side repartitioned off its single input split, pair scores
+    * via the codegen'd dot product, then per-query top-k through a
+    * rank window — WindowGroupLimit keeps partial top-k heaps map-side,
+    * so the shuffle carries ≤ k rows per query per partition, never
+    * the N² pair stream. Ranking uses the ROUNDED similarity so rank
+    * decisions are engine-portable. Quadratic in N by definition —
+    * at corpus scale the broadcast side becomes the IVF/LSH bucket
+    * set (Ann.scala) and this exact join runs per-bucket.
+    */
+  def simKnn(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val nd = (a: Column, b: Column) => graft.functions.VectorFunctions.dot(s, a, b)
+    val e = Sources.table(s, dir, "embeddings")
+      .select(col("vec_id"), vecAsDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(nd(col("v"), col("v"))))
+    val probe = e.repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val cand = e.select(col("vec_id").as("nid"), col("v").as("nv"),
+      col("nrm").as("nn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
+    probe.join(broadcast(cand), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(nd(col("qv"), col("nv")) / (col("qn") * col("nn")), 4)
+          .as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", "nid", "cos_sim")
+      .orderBy(col("qid"), col("cos_sim").desc, col("nid"))
+  }
+
+  /** `text_entropy` — per-document token Shannon entropy (nats): the
+    * information-density quality signal (near-zero = degenerate
+    * repetition, log(vocab) = uniform noise) complementing
+    * [[textRepetition]]'s rule counters and [[textLogprob]]'s
+    * corpus-relative score. Same scale shape as tfidf/logprob: one
+    * hash aggregate on (doc, token), one per-doc total, join back —
+    * shuffle ∝ distinct (doc, token) pairs.
+    *
+    * Determinism: uses H = ln(n) − (Σ tf·ln(tf))/n with every ln
+    * PINNED to an 8-dp decimal before any arithmetic. Java's Math.log
+    * and DuckDB's ln differ in the last ulp for some arguments, so
+    * rounding a *derived* per-term value (-p·ln p over 15k distinct
+    * p's) flips 6-dp boundaries in practice (it did, at sf0.01). Here
+    * ln is only ever taken of small integers (term frequencies, doc
+    * lengths — a few dozen distinct values corpus-wide), the pinned
+    * decimal × integer products are exact, and the final subtraction
+    * runs on bit-identical doubles in both engines.
+    */
+  def textEntropy(s: SparkSession, dir: String): DataFrame = {
+    def lnd(c: Column): Column = round(log(c), 8)
+    val tf = docs(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val totals = tf.groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"))
+    tf.join(totals, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (lnd(col("tf")).cast(DecimalType(18, 8)) * col("tf")).as("term"))
+      .groupBy("doc_id", "n_tokens", "n_distinct")
+      .agg(round(lnd(col("n_tokens")) -
+        sum(col("term")).cast(DoubleType) /
+          col("n_tokens").cast(DoubleType), 4).as("entropy"))
+      .orderBy("doc_id")
+  }
+
   /** `multimodal_join` — L6, text ⋈ vectors in one relation: join
     * `documents` to `embeddings` on id, then per-label stats over both
     * modalities. Equi-join on the id — shuffle (or broadcast under

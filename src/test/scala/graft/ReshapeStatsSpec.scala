@@ -119,6 +119,48 @@ class ReshapeStatsSpec extends SparkSpec {
     }
   }
 
+  test("agg_hist buckets partition the non-null values") {
+    val ev = Sources.table(spark, sf, "events")
+    val hist = Aggregates.aggHist(spark, sf).collect()
+    assert(hist.map(_.getLong(1)).sum ==
+      ev.filter(col("value").isNotNull).count(),
+      "bucket counts must sum to the non-null row count")
+    val buckets = hist.map(_.getLong(0))
+    assert(buckets.distinct.length == buckets.length, "buckets unique")
+  }
+
+  test("sim_knn agrees with sim_search and plans partial top-k heaps") {
+    val knn = TextSim.simKnn(spark, sf, k = 5)
+    val rows = knn.collect()
+    rows.foreach(r => assert(r.getLong(0) != r.getLong(1), "no self-pairs"))
+    assert(rows.groupBy(_.getLong(0)).values.forall(_.length <= 5))
+    // for the query vector sim_search uses, top-5 must coincide
+    val fromKnn = rows.filter(_.getLong(0) == 0L)
+      .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val fromSearch = TextSim.simSearch(spark, sf, queryId = 0L, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromKnn == fromSearch,
+      s"knn row for vec 0 diverges from sim_search:\n$fromKnn\n$fromSearch")
+    val p = plan(knn)
+    assert(p.contains("WindowGroupLimit"),
+      "per-query top-k must partial-aggregate before the shuffle")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "candidate side must broadcast, not shuffle")
+  }
+
+  test("text_entropy is bounded by the uniform-distribution maximum") {
+    val rows = TextSim.textEntropy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getDouble(r.fieldIndex("entropy"))
+      val nDistinct = r.getLong(r.fieldIndex("n_distinct"))
+      assert(h >= -1e-9, s"entropy must be non-negative, got $h")
+      assert(h <= math.log(nDistinct.toDouble) + 1e-3,
+        s"entropy $h exceeds ln(n_distinct)=${math.log(nDistinct.toDouble)}")
+      if (nDistinct == 1) assert(math.abs(h) < 1e-9)
+    }
+  }
+
   test("dedup_chunk finds the aligned spans of exact-duplicate docs") {
     val reported = NearDup.dedupChunk(spark, sf).collect()
     reported.foreach { r =>
