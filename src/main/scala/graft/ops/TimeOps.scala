@@ -130,6 +130,21 @@ object TimeOps {
         col("l_ts"), col("r_ts"))
   }
 
+  /** Stream-static enrichment: join each micro-batch against a static
+    * dimension table — the streaming analog of `join_dim` and the
+    * standard lookup shape (event stream ⋈ user/product dim). The
+    * static side is explicitly `broadcast()`: the stream side is
+    * unbounded, so it must never shuffle for a bounded dim; each
+    * micro-batch is then a map-side hash probe. The static plan is
+    * re-evaluated per micro-batch, so a dim backed by a mutable source
+    * (parquet dir, Delta-style table) picks up updates between
+    * batches without restarting the query.
+    */
+  def streamStaticEnrich(stream: DataFrame, dim: DataFrame,
+                         key: String): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim),
+      Seq(key), "left")
+
   /** T6 — at-least-once upgrade: drop duplicate event ids within the
     * watermark (the reference has no dedup at all — etl_2025.py
     * re-processes on redelivery).

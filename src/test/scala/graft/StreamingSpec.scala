@@ -74,9 +74,7 @@ class StreamingSpec extends SparkSpec {
     val stream = MemoryStream[Ev]
     stream.addData(sample)
     val name = s"ssj_${System.nanoTime()}"
-    val q = stream.toDF()
-      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"),
-        "left")
+    val q = TimeOps.streamStaticEnrich(stream.toDF(), dim, "user_id")
       .writeStream.format("memory").queryName(name).start()
     q.processAllAvailable()
     q.stop()
