@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, ShingleHash, Winnow}
+import graft.functions.{DotProduct, DotProductRewrite, ShingleHash, Winnow}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -16,6 +16,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // plan rewrite: HOF dot-product idiom → codegen'd DotProduct
+    e.injectOptimizerRule(_ => DotProductRewrite)
     e.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getCanonicalName, "graft_dot"),
