@@ -62,6 +62,27 @@ class SinksSpec extends SparkSpec {
     assert(joined.count() > 0)
   }
 
+  test("range-sorted parquet files cover disjoint key ranges") {
+    val out = java.nio.file.Files.createTempDirectory("graft-ssink").toString
+    val ev = Sources.table(spark, sf, "events")
+      .filter(col("value").isNotNull).select("event_id", "value")
+    Sinks.sortedParquet(ev, Seq("value")).save(out)
+    // per-file [min, max] of the sort key must not overlap across files
+    val ranges = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("value").as("lo"), max("value").as("hi"))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(ranges.nonEmpty)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"file ranges overlap: $hi1 > $lo2")
+      case _ => ()
+    }
+    // nothing lost in the re-layout
+    assert(spark.read.parquet(out).count() == ev.count())
+  }
+
   test("jdbc writer builds with batch + connection bounds") {
     val w = Sinks.jdbc(Sources.table(spark, sf, "nation"),
       "jdbc:mysql://localhost/etl", "users", "u", "p")
