@@ -333,38 +333,45 @@ object NearDup {
   /** `dedup_cluster` — connected components over the n-gram near-dup
     * candidate pairs: the survivor-selection step that completes a
     * corpus dedup pipeline (candidates → clusters → keep one doc per
-    * cluster). Min-label propagation: every node starts as its own
-    * label and repeatedly takes the minimum label over its neighbors
-    * until fixpoint — the fixpoint is the component-wide minimum doc
-    * id, so the result is deterministic regardless of iteration
-    * schedule or partitioning. Each iteration is one equi-join + one
-    * hash aggregate on the node key (both shuffle-bounded by the edge
-    * count, never all-pairs), and `localCheckpoint` truncates lineage
-    * so plan size stays constant across iterations. Iteration count is
-    * bounded by the cluster diameter — near-dup components are shallow
-    * (dup groups, not social graphs); the `maxIters` guard turns a
-    * pathological chain into an explicit error rather than an endless
-    * job. (At extreme scale swap in the large-star/small-star
-    * alternating algorithm — same join shapes, fewer rounds.)
+    * cluster, e.g. the component-min id). Algorithm and scale notes:
+    * [[connectedComponents]].
     */
-  def dedupCluster(s: SparkSession, dir: String, maxIters: Int = 20): DataFrame = {
-    val pairs = dedupNgram(s, dir).select("doc_a", "doc_b")
+  def dedupCluster(s: SparkSession, dir: String, maxIters: Int = 20): DataFrame =
+    connectedComponents(dedupNgram(s, dir).select("doc_a", "doc_b"), maxIters)
+      .orderBy("doc_id")
+
+  /** Connected components over an arbitrary undirected edge list
+    * `(doc_a, doc_b)` — the reusable algorithm behind [[dedupCluster]],
+    * exposed so any candidate-pair source (minhash bands, simhash
+    * collisions, a user's own edges) can be clustered. Returns one row
+    * per non-isolated node: `(doc_id, cluster_id)` where `cluster_id`
+    * is the component-wide minimum node id.
+    *
+    * Min-label propagation: the edge set is symmetrized, labels start
+    * at `min(self, direct neighbors)` (the first propagation round
+    * fused into initialization), then each round takes the minimum
+    * label over neighbors until fixpoint. Each iteration is one
+    * equi-join + one hash aggregate on the node key (shuffle-bounded
+    * by the edge count, never all-pairs); `localCheckpoint` truncates
+    * lineage so plan size stays constant; convergence is detected by
+    * the label sum (strictly decreasing until fixpoint) read via
+    * `observe()` on the checkpoint job — zero extra jobs. The fixpoint
+    * is schedule- and partitioning-independent, so results are
+    * deterministic. Iterations are bounded by component diameter —
+    * near-dup clusters are shallow; `maxIters` turns a pathological
+    * chain into an explicit error rather than an endless job. (At
+    * extreme scale swap in large-star/small-star — same join shapes,
+    * fewer rounds.)
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs.unionByName(pairs.select(
       col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint() // bounded pair set; run the ngram pipeline once
-    // Initial labels with the first propagation round fused in: the
-    // edge set is symmetric, so min(doc_b) per doc_a IS the minimum
-    // direct-neighbor label — one aggregate replaces the first
-    // join-propagate round (and the node set comes for free).
+      .localCheckpoint() // bounded pair set; run the upstream pipeline once
     var labels = edges.groupBy("doc_a")
       .agg(least(col("doc_a"), min(col("doc_b"))).as("label"))
       .select(col("doc_a").as("doc_id"), col("label"))
       .localCheckpoint()
-    // Convergence detector: labels only ever DECREASE under min
-    // propagation, so the label sum strictly decreases until fixpoint —
-    // an unchanged sum means no label moved. Read via observe() on the
-    // checkpoint materialization, so detection costs zero extra jobs.
-    // DECIMAL(38,0) so the sum cannot overflow at any corpus size.
+    // DECIMAL(38,0) so the convergence sum cannot overflow at any size
     def checkpointWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
       val obs = org.apache.spark.sql.Observation()
       val out = df.observe(obs,
@@ -394,6 +401,5 @@ object NearDup {
     require(converged,
       s"label propagation did not converge in $maxIters iterations")
     labels.select(col("doc_id"), col("label").as("cluster_id"))
-      .orderBy("doc_id")
   }
 }

@@ -48,6 +48,32 @@ class ClusterTfidfSpec extends SparkSpec {
     assert(NearDup.dedupCluster(spark, dir).count() == 0)
   }
 
+  test("connectedComponents resolves crafted graphs exactly") {
+    import spark.implicits._
+    // two components (a triangle and a 5-node chain) + edge order noise
+    val edges = Seq(
+      (10L, 11L), (11L, 12L), (12L, 10L),            // triangle, min 10
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L) // chain, min 20
+    ).toDF("doc_a", "doc_b")
+    val got = NearDup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L, 24L -> 20L))
+    // reversed edge orientation must give the identical labeling
+    val flipped = NearDup.connectedComponents(
+      edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flipped == got)
+  }
+
+  test("connectedComponents errors on a chain deeper than maxIters") {
+    import spark.implicits._
+    val longChain = (0L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalArgumentException] {
+      NearDup.connectedComponents(longChain, maxIters = 3).collect()
+    }
+  }
+
   test("clustering is deterministic across runs") {
     val a = clusters.collect()
     val b = NearDup.dedupCluster(spark, sf).collect()
