@@ -161,6 +161,13 @@ class ReshapeStatsSpec extends SparkSpec {
     }
   }
 
+  test("dedup_incremental joins on the content hash, never pairwise") {
+    val p = plan(NearDup.dedupIncremental(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"incremental dedup must be a hash join on the content hash:\n${p.take(1500)}")
+    assert(p.contains("sha2"), "membership key must be the content hash")
+  }
+
   test("dedup_chunk finds the aligned spans of exact-duplicate docs") {
     val reported = NearDup.dedupChunk(spark, sf).collect()
     reported.foreach { r =>
