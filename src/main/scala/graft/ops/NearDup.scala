@@ -255,16 +255,50 @@ object NearDup {
     * dedup_ngram discipline applied to the decontamination problem.
     */
   def decontaminate(s: SparkSession, dir: String, maxDf: Int = 20): DataFrame = {
-    val g = shingleHashes(s, dir).distinct()
     val lab = Sources.table(s, dir, "documents")
       .select(col("doc_id"),
         (Sampling.hexNibble(col("doc_id")) >= "e").as("is_test"))
-    // (doc, shingle, is_test) feeds BOTH branches below — persist it
-    // so the shingle+distinct pipeline runs once, not twice (spill-safe
-    // MEMORY_AND_DISK; at corpus scale this is the working set a
-    // two-pass algorithm has to hold somewhere regardless). Released
-    // before returning: the result is materialized through the eager
-    // localCheckpoint, so nothing the caller holds depends on it.
+    decontaminateLabeled(s, shingleHashes(s, dir).distinct(), lab, maxDf)
+      .orderBy("doc_id")
+  }
+
+  /** Decontamination against a caller-provided eval set: flag every
+    * `train` document sharing a distinctive `n`-token shingle with any
+    * `evalSet` document. Both inputs are `(doc_id, text)` relations
+    * with ids disjoint across the two sides (they label the union).
+    * This is the library entry point — the declared-query variant
+    * [[decontaminate]] derives its eval split from the md5 rule so it
+    * stays self-contained for the oracle.
+    */
+  def decontaminateAgainst(s: SparkSession, train: DataFrame,
+                           evalSet: DataFrame, maxDf: Int = 20,
+                           n: Int = 3): DataFrame = {
+    val both = train.select(col("doc_id"), col("text"),
+        lit(false).as("is_test"))
+      .unionByName(evalSet.select(col("doc_id"), col("text"),
+        lit(true).as("is_test")))
+    val g = both
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        explode(graft.functions.VectorFunctions
+          .shingle(s, split(lower(col("text")), "\\s+"), n)).as("th"))
+      .dropDuplicates("doc_id", "th")
+    decontaminateLabeled(s, g, both.select("doc_id", "is_test"), maxDf)
+      .orderBy("doc_id")
+  }
+
+  /** Shared decontamination core over pre-shingled, labeled inputs:
+    * `g` = distinct (doc_id, th), `lab` = (doc_id, is_test). Plan
+    * shape: one groupBy on the shingle finds contaminated shingles
+    * (df cutoff + any-eval flag), one join back + per-doc count. The
+    * labeled shingle set feeds BOTH branches — persisted MEMORY_AND_DISK
+    * so the upstream pipeline runs once (at corpus scale this is the
+    * working set a two-pass algorithm holds somewhere regardless),
+    * released after the small result materializes through the eager
+    * localCheckpoint.
+    */
+  private def decontaminateLabeled(s: SparkSession, g: DataFrame,
+                                   lab: DataFrame, maxDf: Int): DataFrame = {
     val gl = g.join(lab, "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bad = gl.groupBy("th")
@@ -275,7 +309,7 @@ object NearDup {
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
       .localCheckpoint() // small: one row per contaminated train doc
     gl.unpersist(blocking = false)
-    res.orderBy("doc_id")
+    res
   }
 
   /** `dedup_incremental` — new-batch dedup against an existing corpus:

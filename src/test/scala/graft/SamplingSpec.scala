@@ -114,6 +114,24 @@ class SamplingSpec extends SparkSpec {
       "held-out docs must never be flagged as contaminated train docs")
   }
 
+  test("decontaminateAgainst flags exactly the shared-trigram train docs") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon"),   // shares "beta gamma delta"
+      (2L, "one two three four five"),          // clean
+      (3L, "red orange yellow green blue")      // shares "orange yellow green"
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "zzz beta gamma delta qqq"),
+      (101L, "ppp orange yellow green www")
+    ).toDF("doc_id", "text")
+    val flagged = graft.ops.NearDup.decontaminateAgainst(spark, train, eval)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.keySet == Set(1L, 3L),
+      s"expected docs 1 and 3 contaminated, got $flagged")
+    assert(flagged.values.forall(_ >= 1L))
+  }
+
   test("join_range broadcasts the tier table (no shuffle of the fact)") {
     val df = Relational.joinRange(spark, sf)
     val p = df.queryExecution.executedPlan.toString
