@@ -35,7 +35,11 @@ object NearDup {
     * hash preserves (64-bit collisions: negligible, deterministic).
     */
   private def shingleHashes(s: SparkSession, dir: String, n: Int = 3): DataFrame =
-    Sources.table(s, dir, "documents")
+    shingleHashesOf(s, Sources.table(s, dir, "documents"), n)
+
+  private def shingleHashesOf(s: SparkSession, docs: DataFrame,
+                              n: Int): DataFrame =
+    docs
       // spread the per-token work: a small single-file corpus is one
       // input split, which would pin the whole shingle+hash stage to a
       // single task on local[32] (at real scale the input already has
@@ -60,10 +64,15 @@ object NearDup {
     * stops being the win the fusion promises.
     */
   def minhashSignatures(s: SparkSession, dir: String,
-                        numHashes: Int = 64): DataFrame = {
+                        numHashes: Int = 64): DataFrame =
+    minhashSignatures(s, Sources.table(s, dir, "documents"), numHashes)
+
+  /** [[minhashSignatures]] over any `(doc_id, text)` relation. */
+  def minhashSignatures(s: SparkSession, docs: DataFrame,
+                        numHashes: Int): DataFrame = {
     val mins = (0 until numHashes).map(i =>
       min(xxhash64(col("th"), lit(i.toLong))).as(s"mh$i"))
-    shingleHashes(s, dir)
+    shingleHashesOf(s, docs, 3)
       .groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
@@ -88,7 +97,13 @@ object NearDup {
     * took 310 s; this runs in seconds with the same contract.
     */
   def dedupMinhash(s: SparkSession, dir: String, numHashes: Int = 64,
-                   bands: Int = 16, minSim: Double = 0.4): DataFrame = {
+                   bands: Int = 16, minSim: Double = 0.4): DataFrame =
+    dedupMinhash(s, Sources.table(s, dir, "documents"), numHashes, bands,
+      minSim)
+
+  /** [[dedupMinhash]] over any `(doc_id, text)` relation. */
+  def dedupMinhash(s: SparkSession, docs: DataFrame, numHashes: Int,
+                   bands: Int, minSim: Double): DataFrame = {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes) — trailing " +
         "signature slots would be silently excluded from banding")
@@ -101,7 +116,7 @@ object NearDup {
     // fn). Cost: the banding shuffle carries the sig array per band
     // row (numHashes longs × bands per doc) — same order as what
     // MinHashLSH-style banded joins ship.
-    val banded = minhashSignatures(s, dir, numHashes)
+    val banded = minhashSignatures(s, docs, numHashes)
       .select(col("doc_id"), col("sig"), posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $r + 1, $r)))"))
         .as(Seq("band_idx", "band_hash")))
@@ -136,9 +151,13 @@ object NearDup {
     * candidates share a 16-bit band (`band0..band3`), the standard
     * Hamming-space blocking.
     */
-  def simhash(s: SparkSession, dir: String): DataFrame = {
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    simhash(s, Sources.table(s, dir, "documents"))
+
+  /** [[simhash]] over any `(doc_id, text)` relation. */
+  def simhash(s: SparkSession, docs: DataFrame): DataFrame = {
     graft.functions.SimHashAgg.register(s)
-    Sources.table(s, dir, "documents")
+    docs
       .select(col("doc_id"),
         explode(array_distinct(split(lower(col("text")), "\\s+"))).as("token"))
       .filter(col("token") =!= "")
@@ -190,11 +209,16 @@ object NearDup {
     * shingle regardless of corpus size.
     */
   def dedupNgram(s: SparkSession, dir: String, n: Int = 3,
-                 maxDf: Int = 20, minJaccard: Double = 0.2): DataFrame = {
+                 maxDf: Int = 20, minJaccard: Double = 0.2): DataFrame =
+    dedupNgram(s, Sources.table(s, dir, "documents"), n, maxDf, minJaccard)
+
+  /** [[dedupNgram]] over any `(doc_id, text)` relation. */
+  def dedupNgram(s: SparkSession, docs: DataFrame, n: Int,
+                 maxDf: Int, minJaccard: Double): DataFrame = {
     // gram identity = its 64-bit shingle hash (sufficient for df
     // cutoff, posting lists and Jaccard counts; the gram string is
     // never needed downstream)
-    val grams = shingleHashes(s, dir, n).withColumnRenamed("th", "gram")
+    val grams = shingleHashesOf(s, docs, n).withColumnRenamed("th", "gram")
     // posting lists, reused by two branches (pair gen + doc sizes):
     // persist so the explode+distinct+groupBy pipeline runs once. The
     // cache is released before returning — the result is materialized

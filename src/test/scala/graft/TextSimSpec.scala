@@ -120,6 +120,23 @@ class TextSimSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("near-dup operators accept in-memory relations (DataFrame overloads)") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base + " tail"), (3L, "p q r s t u v w"))
+      .toDF("doc_id", "text")
+    // same corpus, no parquet round-trip: the library path a user takes
+    val pairs = NearDup.dedupNgram(spark, docs, 3, 20, 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+    val sigs = NearDup.minhashSignatures(spark, docs, 16).collect()
+    assert(sigs.length == 3 &&
+      sigs.forall(_.getSeq[Long](1).length == 16))
+    val summary = NearDup.dedupMinhash(spark, docs, 64, 16, 0.4).collect()
+    assert(summary.length == 1 &&
+      summary(0).getLong(0) >= 1L, "near-dup pair (1,2) must be a candidate")
+  }
+
   test("dedup_minhash emits a single deterministic summary row") {
     val r1 = NearDup.dedupMinhash(spark, sf).collect()
     assert(r1.length == 1)
