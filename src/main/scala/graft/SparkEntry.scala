@@ -81,6 +81,8 @@ object SparkEntry {
     // T: time ops (batch equivalents; streams are unit-tested)
     "stream_tumbling" -> (TimeOps.streamTumbling _),
     "sessionize" -> (TimeOps.sessionize _),
+    "time_resample" -> (TimeOps.timeResample _),
+    "window_lag" -> (TimeOps.windowLag _),
     // L: LLM-pipeline ops
     "text_tokens" -> (TextSim.textTokens _),
     "text_stats" -> (TextSim.textStats _),
@@ -528,6 +530,27 @@ object SparkEntry {
       """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket, count(*) AS n
         |FROM events WHERE value IS NOT NULL
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "time_resample" ->
+      """WITH ev AS (SELECT date_trunc('hour', ts) AS hour_start FROM events
+        |            WHERE ts IS NOT NULL),
+        |c AS (SELECT hour_start, count(*) AS n_raw FROM ev GROUP BY hour_start),
+        |b AS (SELECT min(hour_start) AS lo, max(hour_start) AS hi FROM ev),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+        |          AS hour_start FROM b)
+        |SELECT s.hour_start, COALESCE(c.n_raw, 0) AS n
+        |FROM spine s LEFT JOIN c USING (hour_start)
+        |ORDER BY hour_start""".stripMargin,
+
+    "window_lag" ->
+      """SELECT user_id, event_id,
+        |epoch_us(ts) - lag(epoch_us(ts), 1)
+        |  OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us,
+        |round(value - lag(value, 1)
+        |  OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id), 4)
+        |  AS value_delta
+        |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "sim_knn" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

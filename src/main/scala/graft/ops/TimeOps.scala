@@ -58,6 +58,58 @@ object TimeOps {
       .orderBy("user_id", "event_id")
   }
 
+  /** `time_resample` — regularize an event stream onto a fixed hourly
+    * grid with zero-filled gaps: the resampling/gap-filling step every
+    * time-series consumer needs before windowed models or charting
+    * (an aggregated series with silently missing buckets reads as
+    * "no data" not "zero"). The hour spine is generated from the
+    * observed [min, max] bounds — `sequence()` on a 1-row aggregate,
+    * exploded and left-joined to the hourly counts. The spine's length
+    * is the calendar span in hours (bounded, never row count); the
+    * counts side is the same one-shuffle aggregate as
+    * [[streamTumbling]].
+    */
+  def timeResample(s: SparkSession, dir: String): DataFrame = {
+    val ev = Sources.table(s, dir, "events")
+      .select(date_trunc("hour", col("ts")).as("hour_start"))
+      .filter(col("hour_start").isNotNull)
+    val counts = ev.groupBy("hour_start").agg(count(lit(1)).as("n_raw"))
+    val spine = ev.agg(min(col("hour_start")).as("lo"),
+        max(col("hour_start")).as("hi"))
+      .select(explode(expr(
+        "sequence(lo, hi, INTERVAL 1 HOUR)")).as("hour_start"))
+    spine.join(counts, Seq("hour_start"), "left")
+      .select(col("hour_start"),
+        coalesce(col("n_raw"), lit(0L)).as("n"))
+      .orderBy("hour_start")
+  }
+
+  /** `window_lag` — consecutive-event deltas per user: `lag`/`lead`
+    * over the per-user timeline, emitting the gap in seconds and the
+    * value change between successive events (the feature-engineering
+    * staple for session analytics and anomaly detection). One hash
+    * exchange on the user key; per-user sort, scales with per-key
+    * rows. The gap is exact integer MICROseconds (`unix_micros` here,
+    * `epoch_us` in the oracle — both truncate the parquet ns
+    * timestamps identically; a seconds cast would floor in Spark and
+    * round in DuckDB), and the window orders by the µs value so both
+    * engines sequence sub-second neighbors the same way.
+    */
+  def windowLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+    Sources.table(s, dir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"),
+        lag(unix_micros(col("ts")), 1).over(w).as("prev_us"),
+        lag(col("value"), 1).over(w).as("prev_value"))
+      .select(col("user_id"), col("event_id"),
+        (col("ts_us") - col("prev_us")).as("gap_us"),
+        round(col("value") - col("prev_value"), 4).as("value_delta"))
+      .orderBy("user_id", "event_id")
+  }
+
   // ---- streaming builders (T1–T6, unit-tested via MemoryStream) -------
 
   /** T1 — event-driven file ingestion: the engine analog of the SQS

@@ -38,6 +38,33 @@ class TimeOpsSpec extends SparkSpec {
       s"$disagree of ${stateful.size} assignments differ between the two implementations")
   }
 
+  test("time_resample spine is contiguous-hourly and conserves counts") {
+    val rows = TimeOps.timeResample(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val hours = rows.map(_.getTimestamp(0).getTime)
+    hours.sliding(2).foreach {
+      case Array(a, b) => assert(b - a == 3600 * 1000L,
+        s"gap in hourly spine: $a -> $b")
+      case _ => ()
+    }
+    val total = rows.map(_.getLong(1)).sum
+    val expected = graft.ops.Sources.table(spark, sf, "events")
+      .filter(org.apache.spark.sql.functions.col("ts").isNotNull).count()
+    assert(total == expected, "zero-filled buckets must conserve event count")
+  }
+
+  test("window_lag gaps are null-first then non-negative per user") {
+    val rows = TimeOps.windowLag(spark, sf).collect()
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.values.foreach { evs =>
+      val gaps = evs.map(r => if (r.isNullAt(2)) None else Some(r.getLong(2)))
+      assert(gaps.count(_.isEmpty) == 1,
+        "exactly one first-event row (null gap) per user")
+      assert(gaps.flatten.forall(_ >= 0L),
+        "time-ordered lag gaps must be non-negative")
+    }
+  }
+
   test("stream_tumbling buckets cover every event exactly once") {
     val n = TimeOps.streamTumbling(spark, sf)
       .agg(sum("n")).collect()(0).getLong(0)
