@@ -57,6 +57,8 @@ object SparkEntry {
     "agg_gsets" -> (Aggregates.aggGsets _),
     "agg_corr" -> (Aggregates.aggCorr _),
     "agg_hist" -> ((s, d) => Aggregates.aggHist(s, d)),
+    "agg_skew" -> (Aggregates.aggSkew _),
+    "agg_deciles" -> (Aggregates.aggDeciles _),
     // J: joins
     "join_dim" -> (Relational.joinDim _),
     "join_fact" -> (Relational.joinFact _),
@@ -530,6 +532,34 @@ object SparkEntry {
       """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket, count(*) AS n
         |FROM events WHERE value IS NOT NULL
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "agg_skew" -> {
+      def ds(c: String) = s"CAST(SUM(CAST($c AS DECIMAL(18,6))) AS DOUBLE)"
+      s"""WITH t AS (SELECT l_returnflag, count(*) AS n,
+         |  CAST(count(*) AS DOUBLE) AS nd,
+         |  ${ds("l_quantity")} AS sx,
+         |  ${ds("l_quantity * l_quantity")} AS sxx,
+         |  ${ds("l_quantity * l_quantity * l_quantity")} AS sxxx,
+         |  ${ds("l_quantity * l_quantity * l_quantity * l_quantity")} AS sxxxx
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, n,
+         |round(sx / nd, 4) AS mean_qty,
+         |round((sxxx / nd - 3 * (sx / nd) * (sxx / nd) + 2 * (sx / nd) * (sx / nd) * (sx / nd))
+         |  / pow(sxx / nd - (sx / nd) * (sx / nd), 1.5), 4) AS skew_pop,
+         |round((sxxxx / nd - 4 * (sx / nd) * (sxxx / nd)
+         |    + 6 * (sx / nd) * (sx / nd) * (sxx / nd)
+         |    - 3 * (sx / nd) * (sx / nd) * (sx / nd) * (sx / nd))
+         |  / ((sxx / nd - (sx / nd) * (sx / nd)) * (sxx / nd - (sx / nd) * (sx / nd))) - 3, 4)
+         |  AS kurt_excess
+         |FROM t ORDER BY l_returnflag""".stripMargin
+    },
+
+    "agg_deciles" ->
+      """WITH q AS (SELECT quantile_cont(value,
+        |  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs FROM events),
+        |u AS (SELECT generate_subscripts(qs, 1) AS idx, unnest(qs) AS v FROM q)
+        |SELECT (idx) / 10.0 AS p, round(v, 4) AS value_at_p
+        |FROM u ORDER BY p""".stripMargin,
 
     "time_resample" ->
       """WITH ev AS (SELECT date_trunc('hour', ts) AS hour_start FROM events

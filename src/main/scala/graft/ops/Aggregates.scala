@@ -224,6 +224,57 @@ object Aggregates {
       .orderBy("bucket")
   }
 
+  /** `agg_skew` — distribution-shape statistics per return flag:
+    * population skewness and excess kurtosis of `l_quantity`, derived
+    * from exact decimal power sums (Σx … Σx⁴) like [[aggCorr]] — the
+    * built-in `skewness`/`kurtosis` aggregates accumulate central
+    * moments in shuffle-arrival order, so their last bits drift
+    * run-to-run; power sums are order-independent and the moment
+    * arithmetic then runs on bit-identical doubles in both engines.
+    * Bounded column on purpose: quantity ≤ 50 keeps x⁴ (≤ 6.25e6)
+    * well inside DECIMAL(18,6); a price-scale column would need a
+    * wider decimal.
+    */
+  def aggSkew(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity")
+    val n = col("n").cast(DoubleType)
+    val mu = col("sx") / n
+    val m2 = col("sxx") / n - mu * mu
+    val m3 = col("sxxx") / n - lit(3.0) * mu * (col("sxx") / n) +
+      lit(2.0) * mu * mu * mu
+    val m4 = col("sxxxx") / n - lit(4.0) * mu * (col("sxxx") / n) +
+      lit(6.0) * mu * mu * (col("sxx") / n) - lit(3.0) * mu * mu * mu * mu
+    Sources.table(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        dsum(x, 6).as("sx"), dsum(x * x, 6).as("sxx"),
+        dsum(x * x * x, 6).as("sxxx"), dsum(x * x * x * x, 6).as("sxxxx"))
+      .select(col("l_returnflag"), col("n"),
+        round(mu, 4).as("mean_qty"),
+        round(m3 / pow(m2, 1.5), 4).as("skew_pop"),
+        round(m4 / (m2 * m2) - lit(3.0), 4).as("kurt_excess"))
+      .orderBy("l_returnflag")
+  }
+
+  /** `agg_deciles` — the exact decile grid of `events.value`: one
+    * ordered statistic per 10% step, the distribution summary quality
+    * dashboards plot. Exact `percentile` over the full column (the
+    * oracle-mandated form; at 100 TB the same plan swaps to
+    * `approx_percentile` sketches — see [[aggProfileApprox]]); the
+    * nine cut points come back as one array, exploded to rows. Both
+    * engines interpolate linearly and the comparison rounds to 4 dp.
+    */
+  def aggDeciles(s: SparkSession, dir: String): DataFrame = {
+    val ps = (1 to 9).map(_ / 10.0)
+    Sources.table(s, dir, "events")
+      .agg(percentile(col("value"),
+        array(ps.map(lit): _*)).as("qs"))
+      .select(posexplode(col("qs")).as(Seq("idx", "q")))
+      .select(((col("idx") + 1) / lit(10.0)).as("p"),
+        round(col("q"), 4).as("value_at_p"))
+      .orderBy("p")
+  }
+
   /** `agg_corr` — bivariate statistics per return flag: sample
     * covariance, Pearson correlation, and the OLS slope of price on
     * quantity. Computed from exact decimal power sums (Σx, Σy, Σxy,

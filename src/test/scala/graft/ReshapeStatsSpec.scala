@@ -89,6 +89,35 @@ class ReshapeStatsSpec extends SparkSpec {
     }
   }
 
+  test("agg_skew matches the built-in moment aggregates") {
+    val ours = Aggregates.aggSkew(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val builtin = Sources.table(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(skewness(col("l_quantity")).as("sk"),
+        kurtosis(col("l_quantity")).as("ku"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    builtin.foreach { case (flag, b) =>
+      val o = ours(flag)
+      assert(math.abs(o.getDouble(o.fieldIndex("skew_pop")) -
+        b.getDouble(b.fieldIndex("sk"))) < 1e-2,
+        s"$flag: power-sum skewness diverges from built-in")
+      assert(math.abs(o.getDouble(o.fieldIndex("kurt_excess")) -
+        b.getDouble(b.fieldIndex("ku"))) < 1e-2,
+        s"$flag: power-sum kurtosis diverges from built-in")
+    }
+  }
+
+  test("agg_deciles is a monotone nondecreasing 9-point grid") {
+    val rows = Aggregates.aggDeciles(spark, sf).collect()
+    assert(rows.length == 9)
+    val vals = rows.sortBy(_.getDouble(0)).map(_.getDouble(1))
+    vals.sliding(2).foreach {
+      case Array(a, b) => assert(a <= b, s"deciles must be monotone: $a > $b")
+      case _ => ()
+    }
+  }
+
   test("agg_gsets = per-status rows + per-priority rows + grand total") {
     val orders = Sources.table(spark, sf, "orders")
     val nStatus = orders.select("o_orderstatus").distinct().count()
