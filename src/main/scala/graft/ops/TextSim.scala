@@ -61,7 +61,11 @@ object TextSim {
     * corpus size.
     */
   def dedupText(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+    dedupText(docs(s, dir))
+
+  /** [[dedupText]] over any `(doc_id, text)` relation. */
+  def dedupText(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         sha2(trim(lower(col("text"))), 256).as("text_hash"))
       .groupBy("text_hash")
@@ -189,9 +193,13 @@ object TextSim {
     * decimal × integer products are exact, and the final subtraction
     * runs on bit-identical doubles in both engines.
     */
-  def textEntropy(s: SparkSession, dir: String): DataFrame = {
+  def textEntropy(s: SparkSession, dir: String): DataFrame =
+    textEntropy(docs(s, dir))
+
+  /** [[textEntropy]] over any `(doc_id, text)` relation. */
+  def textEntropy(docs: DataFrame): DataFrame = {
     def lnd(c: Column): Column = round(log(c), 8)
-    val tf = docs(s, dir)
+    val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .filter(col("token") =!= "")
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
@@ -245,11 +253,15 @@ object TextSim {
     * with zero non-empty tokens are dropped, matching the grouped
     * formulation the oracle uses.
     */
-  def langId(s: SparkSession, dir: String): DataFrame = {
+  def langId(s: SparkSession, dir: String): DataFrame =
+    langId(docs(s, dir))
+
+  /** [[langId]] over any `(doc_id, text)` relation. */
+  def langId(docs: DataFrame): DataFrame = {
     val toks = filter(tokens(col("text")), t => t =!= "")
     val nStop = size(filter(toks, t => t.isin(enStopwords: _*)))
       .cast(LongType)
-    docs(s, dir)
+    docs
       .select(col("doc_id"), size(toks).cast(LongType).as("n_tokens"),
         nStop.as("n_stop"))
       .filter(col("n_tokens") > 0L)
@@ -267,12 +279,16 @@ object TextSim {
     * punctuation ratio, and a keep/drop verdict. Pure per-row
     * expressions — narrow, codegen'd, no shuffle at all.
     */
-  def textQuality(s: SparkSession, dir: String): DataFrame = {
+  def textQuality(s: SparkSession, dir: String): DataFrame =
+    textQuality(docs(s, dir))
+
+  /** [[textQuality]] over any `(doc_id, text)` relation. */
+  def textQuality(docs: DataFrame): DataFrame = {
     val nTokens = size(split(trim(col("text")), "\\s+")).cast(LongType)
     val charLen = length(regexp_replace(col("text"), "\\s", ""))
       .cast(DoubleType)
     val punct = expr("regexp_count(text, '[.,!?;:]')").cast(DoubleType)
-    docs(s, dir)
+    docs
       .select(col("doc_id"), nTokens.as("n_tokens"),
         (charLen / nTokens.cast(DoubleType)).as("avg_token_len"),
         round(punct / greatest(length(col("text")).cast(DoubleType),
@@ -288,7 +304,11 @@ object TextSim {
     * standard cheap proxy for LLM token budgets.
     */
   def tokCount(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+    tokCount(docs(s, dir))
+
+  /** [[tokCount]] over any `(doc_id, text)` relation. */
+  def tokCount(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         size(split(trim(col("text")), "\\s+")).cast(LongType)
           .as("ws_tokens"),
@@ -306,8 +326,11 @@ object TextSim {
     * score so engine and oracle make identical rank decisions (raw
     * `ln` last-bits may differ across libm implementations).
     */
-  def textTfidf(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val d = docs(s, dir)
+  def textTfidf(s: SparkSession, dir: String, k: Int = 3): DataFrame =
+    textTfidf(docs(s, dir), k)
+
+  /** [[textTfidf]] over any `(doc_id, text)` relation. */
+  def textTfidf(d: DataFrame, k: Int): DataFrame = {
     val nDocs = d.agg(count(lit(1)).as("n_docs"))
     val tf = d.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .filter(col("token") =!= "")
@@ -336,8 +359,12 @@ object TextSim {
     * mean is order-independent and engine-portable (raw double
     * summation would drift with partition merge order).
     */
-  def textLogprob(s: SparkSession, dir: String): DataFrame = {
-    val tok = docs(s, dir)
+  def textLogprob(s: SparkSession, dir: String): DataFrame =
+    textLogprob(docs(s, dir))
+
+  /** [[textLogprob]] over any `(doc_id, text)` relation. */
+  def textLogprob(docs: DataFrame): DataFrame = {
+    val tok = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .filter(col("token") =!= "")
     val freq = tok.groupBy("token").agg(count(lit(1)).as("tf"))
@@ -407,8 +434,12 @@ object TextSim {
     * Docs with fewer than 2 words have no bigrams and are excluded
     * (both here and in the oracle).
     */
-  def textRepetition(s: SparkSession, dir: String): DataFrame = {
-    val words = docs(s, dir)
+  def textRepetition(s: SparkSession, dir: String): DataFrame =
+    textRepetition(docs(s, dir))
+
+  /** [[textRepetition]] over any `(doc_id, text)` relation. */
+  def textRepetition(docs: DataFrame): DataFrame = {
+    val words = docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
       .filter(size(col("words")) >= 2)
     val bigramCounts = words

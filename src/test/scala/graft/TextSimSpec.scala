@@ -120,6 +120,29 @@ class TextSimSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("text analyzers accept in-memory relations (DataFrame overloads)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "go go go go go go go go go go"),
+      (3L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val lang = TextSim.langId(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(lang(1L) == "en" && lang(3L) == "und")
+    val rep = TextSim.textRepetition(docs).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("repetitive")))
+      .toMap
+    assert(rep(2L) && !rep(3L))
+    val ent = TextSim.textEntropy(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("entropy"))).toMap
+    assert(ent(2L) == 0.0, "single-token doc must have zero entropy")
+    assert(ent(3L) > ent(1L), "all-distinct beats repeated-stopword text")
+    assert(TextSim.dedupText(docs).count() == 3)
+    assert(TextSim.textTfidf(docs, 2).groupBy("doc_id").count()
+      .collect().forall(_.getLong(1) <= 2))
+  }
+
   test("near-dup operators accept in-memory relations (DataFrame overloads)") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"t$i").mkString(" ")
