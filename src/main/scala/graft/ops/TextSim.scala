@@ -93,9 +93,14 @@ object TextSim {
     * top-k via TakeOrderedAndProject. No shuffle of the embeddings.
     */
   def simSearch(s: SparkSession, dir: String, queryId: Long = 0L,
-                k: Int = 10): DataFrame = {
+                k: Int = 10): DataFrame =
+    simSearch(s, Sources.table(s, dir, "embeddings"), queryId, k)
+
+  /** [[simSearch]] over any `(vec_id, embedding)` relation. */
+  def simSearch(s: SparkSession, emb: DataFrame, queryId: Long,
+                k: Int): DataFrame = {
     val nd = (a: Column, b: Column) => graft.functions.VectorFunctions.dot(s, a, b)
-    val e = Sources.table(s, dir, "embeddings")
+    val e = emb
       .select(col("vec_id"), vecAsDouble(col("embedding")).as("v"))
     val q = e.filter(col("vec_id") === queryId).select(col("v").as("qv"))
     e.filter(col("vec_id") =!= queryId)
@@ -120,10 +125,15 @@ object TextSim {
     * make the same boundary call.
     */
   def dedupEmbed(s: SparkSession, dir: String,
-                 minSim: Double = 0.4): DataFrame = {
+                 minSim: Double = 0.4): DataFrame =
+    dedupEmbed(s, Sources.table(s, dir, "embeddings"), minSim)
+
+  /** [[dedupEmbed]] over any `(vec_id, embedding)` relation. */
+  def dedupEmbed(s: SparkSession, emb: DataFrame,
+                 minSim: Double): DataFrame = {
     // norm once per vector (N dots), not once per pair (3·N² dots)
     val nd = (a: Column, b: Column) => graft.functions.VectorFunctions.dot(s, a, b)
-    val e = Sources.table(s, dir, "embeddings")
+    val e = emb
       .select(col("vec_id"), vecAsDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(nd(col("v"), col("v"))))
     // repartition the probe side: a small embeddings file is one input
@@ -154,9 +164,13 @@ object TextSim {
     * at corpus scale the broadcast side becomes the IVF/LSH bucket
     * set (Ann.scala) and this exact join runs per-bucket.
     */
-  def simKnn(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  def simKnn(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    simKnn(s, Sources.table(s, dir, "embeddings"), k)
+
+  /** [[simKnn]] over any `(vec_id, embedding)` relation. */
+  def simKnn(s: SparkSession, emb: DataFrame, k: Int): DataFrame = {
     val nd = (a: Column, b: Column) => graft.functions.VectorFunctions.dot(s, a, b)
-    val e = Sources.table(s, dir, "embeddings")
+    val e = emb
       .select(col("vec_id"), vecAsDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(nd(col("v"), col("v"))))
     val probe = e.repartition(s.sparkContext.defaultParallelism)
