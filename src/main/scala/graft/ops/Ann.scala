@@ -67,9 +67,15 @@ object Ann {
     * baseline.
     */
   def simAnnIvf(s: SparkSession, dir: String, queryId: Long = 0L,
-                k: Int = 10, nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+                k: Int = 10, nLists: Int = 16, nProbe: Int = 4): DataFrame =
+    simAnnIvf(s, Sources.table(s, dir, "embeddings"), queryId, k, nLists,
+      nProbe)
+
+  /** [[simAnnIvf]] over any `(vec_id, embedding)` relation. */
+  def simAnnIvf(s: SparkSession, emb: DataFrame, queryId: Long,
+                k: Int, nLists: Int, nProbe: Int): DataFrame = {
     val nd = (a: Column, b: Column) => graft.functions.VectorFunctions.dot(s, a, b)
-    val e = Sources.table(s, dir, "embeddings")
+    val e = emb
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
     // deterministic coarse centroids: the nLists lowest-id vectors;
@@ -112,9 +118,14 @@ object Ann {
     * property-tested against.
     */
   def simAnnLsh(s: SparkSession, dir: String, queryId: Long = 0L,
-                k: Int = 10, nBits: Int = 8, dims: Int = 64): DataFrame = {
+                k: Int = 10, nBits: Int = 8, dims: Int = 64): DataFrame =
+    simAnnLsh(s, Sources.table(s, dir, "embeddings"), queryId, k, nBits, dims)
+
+  /** [[simAnnLsh]] over any `(vec_id, embedding)` relation. */
+  def simAnnLsh(s: SparkSession, emb: DataFrame, queryId: Long,
+                k: Int, nBits: Int, dims: Int): DataFrame = {
     val nd = (a: Column, b: Column) => graft.functions.VectorFunctions.dot(s, a, b)
-    val e = Sources.table(s, dir, "embeddings")
+    val e = emb
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
       .withColumn("bucket", bucketCode(s, col("v"), dims, nBits))
