@@ -74,6 +74,7 @@ object SparkEntry {
     "window_rank" -> (Relational.windowRank _),
     "window_running" -> (Relational.windowRunning _),
     "window_dist" -> (Relational.windowDist _),
+    "merge_upsert" -> (Relational.mergeUpsert _),
     "pivot_wide" -> (Relational.pivotWide _),
     "unpivot_long" -> (Relational.unpivotLong _),
     // X: scalar function surface
@@ -328,6 +329,23 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_orderpriority
         |             ORDER BY o_totalprice DESC, o_orderkey)
         |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    "merge_upsert" ->
+      """WITH snap AS (SELECT o_orderkey AS key, o_orderstatus AS status,
+        |  o_totalprice AS price FROM orders),
+        |upd AS (SELECT key, max(status) AS u_status, max(price) AS u_price
+        |  FROM (SELECT o_orderkey + 1 AS key, 'U' AS status,
+        |        CAST(round(CAST(o_totalprice AS DECIMAL(12,2)) *
+        |          CAST(1.1 AS DECIMAL(3,1)), 2) AS DOUBLE) AS price
+        |        FROM orders WHERE o_orderkey % 2 = 1) t GROUP BY key)
+        |SELECT COALESCE(s.key, u.key) AS key,
+        |COALESCE(u.u_status, s.status) AS status,
+        |COALESCE(u.u_price, s.price) AS price,
+        |CASE WHEN u.u_status IS NOT NULL AND s.status IS NOT NULL THEN 'update'
+        |     WHEN u.u_status IS NOT NULL THEN 'insert'
+        |     ELSE 'passthrough' END AS action
+        |FROM snap s FULL OUTER JOIN upd u ON s.key = u.key
+        |ORDER BY key""".stripMargin,
 
     "dedup_incremental" ->
       """SELECT n.doc_id,

@@ -244,6 +244,49 @@ object Relational {
       .agg(count(lit(1)).as("n"))
       .orderBy("k_value")
 
+  /** `merge_upsert` — MERGE/upsert semantics as one full-outer join:
+    * apply a batch of updates to a snapshot, keeping updated rows where
+    * the key matches, inserting new keys, and passing unmatched
+    * snapshot rows through — the load-side operation the reference's
+    * insert-only pipelines lack and every warehouse sync needs. The
+    * declared query is self-contained: the "updates" batch is the
+    * odd-key half of `orders` with a 10% price bump and a shifted-key
+    * set (keys+1) so all three MERGE branches (update / insert /
+    * passthrough) occur. One shuffle on the key for the join; at scale
+    * this is the same sort-merge any equi-join pays, and a bucketed
+    * snapshot (see Sinks.bucketed) makes it shuffle-free on the
+    * snapshot side.
+    */
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val snap = Sources.table(s, dir, "orders")
+      .select(col("o_orderkey").as("key"), col("o_orderstatus").as("status"),
+        col("o_totalprice").as("price"))
+    // price bump in EXACT decimal (2dp price × 1dp factor = exact 3dp,
+    // rounded half-up to 2dp) — a double `* 1.1` then round(…, 2) puts
+    // thousands of values onto .xx5 half-rounding boundaries where
+    // engines may disagree; in decimal both sides round identically
+    val bumped = round(col("o_totalprice").cast(DecimalType(12, 2)) *
+      lit(new java.math.BigDecimal("1.1")), 2).cast(DoubleType)
+    val updates = Sources.table(s, dir, "orders")
+      .filter(col("o_orderkey") % 2 === 1)
+      .select((col("o_orderkey") + 1).as("key"),
+        lit("U").as("status"),
+        bumped.as("price"))
+      // shifted keys collide (k+1 may hit an even existing key => update)
+      // or miss (beyond max key => insert); dedup keeps one update/key
+      .groupBy("key")
+      .agg(max(col("status")).as("status"), max(col("price")).as("price"))
+    snap.join(updates.withColumnRenamed("status", "u_status")
+        .withColumnRenamed("price", "u_price"), Seq("key"), "full_outer")
+      .select(col("key"),
+        coalesce(col("u_status"), col("status")).as("status"),
+        coalesce(col("u_price"), col("price")).as("price"),
+        when(col("u_status").isNotNull && col("status").isNotNull, "update")
+          .when(col("u_status").isNotNull, "insert")
+          .otherwise("passthrough").as("action"))
+      .orderBy("key")
+  }
+
   /** `pivot_wide` — long→wide reshaping: lineitem counts by line status
     * with one column per return flag. The pivot values are DECLARED
     * (`Seq("A","N","R")`), not discovered: discovery costs an extra

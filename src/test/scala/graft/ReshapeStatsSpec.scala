@@ -148,6 +148,30 @@ class ReshapeStatsSpec extends SparkSpec {
     }
   }
 
+  test("merge_upsert covers all three MERGE branches exactly") {
+    val snapKeys = Sources.table(spark, sf, "orders")
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val updateKeys = Sources.table(spark, sf, "orders")
+      .filter(col("o_orderkey") % 2 === 1)
+      .select((col("o_orderkey") + 1).as("k")).collect()
+      .map(_.getLong(0)).toSet
+    val rows = Relational.mergeUpsert(spark, sf).collect()
+    val keys = rows.map(_.getLong(0))
+    assert(keys.length == keys.distinct.length, "one merged row per key")
+    assert(keys.toSet == snapKeys ++ updateKeys, "union of both key sets")
+    rows.foreach { r =>
+      val (k, action) = (r.getLong(0), r.getString(3))
+      val expected =
+        if (updateKeys(k) && snapKeys(k)) "update"
+        else if (updateKeys(k)) "insert" else "passthrough"
+      assert(action == expected, s"key $k: $action != $expected")
+      if (action == "update" || action == "insert")
+        assert(r.getString(1) == "U", "updated rows carry the batch status")
+    }
+    assert(rows.exists(_.getString(3) == "insert"),
+      "shifted keys past the max must exercise the insert branch")
+  }
+
   test("agg_hist buckets partition the non-null values") {
     val ev = Sources.table(spark, sf, "events")
     val hist = Aggregates.aggHist(spark, sf).collect()
