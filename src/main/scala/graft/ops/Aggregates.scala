@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -222,6 +222,37 @@ object Aggregates {
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"))
       .orderBy("bucket")
+  }
+
+  /** Profile drift between two snapshots: join two [[aggProfile]]-shaped
+    * relations on `col_name` and emit per-metric relative deltas plus a
+    * drift verdict — the monitoring primitive behind "did this batch
+    * change the data distribution" checks (the alerting analog of the
+    * reference's threshold rules, /root/reference/src/etl_2022.py:111-121,
+    * applied across snapshots instead of within one). Inputs are tiny
+    * (one row per profiled column), so the join broadcasts; the
+    * expensive part is the upstream profiles, each one scan.
+    */
+  def profileDrift(before: DataFrame, after: DataFrame,
+                   relThreshold: Double = 0.1): DataFrame = {
+    require(relThreshold > 0, s"threshold must be positive, got $relThreshold")
+    def rel(m: String): Column =
+      abs(col(s"a_$m") - col(s"b_$m")) /
+        greatest(abs(col(s"b_$m")), lit(1e-12))
+    val b = before.select(col("col_name"), col("mean").as("b_mean"),
+      col("median").as("b_median"), col("std").as("b_std"))
+    val a = after.select(col("col_name"), col("mean").as("a_mean"),
+      col("median").as("a_median"), col("std").as("a_std"))
+    b.join(a, "col_name")
+      .select(col("col_name"),
+        round(rel("mean"), 4).as("mean_drift"),
+        round(rel("median"), 4).as("median_drift"),
+        round(rel("std"), 4).as("std_drift"))
+      .withColumn("drifted",
+        col("mean_drift") > relThreshold ||
+          col("median_drift") > relThreshold ||
+          col("std_drift") > relThreshold)
+      .orderBy("col_name")
   }
 
   /** `agg_skew` — distribution-shape statistics per return flag:

@@ -89,6 +89,19 @@ class ReshapeStatsSpec extends SparkSpec {
     }
   }
 
+  test("profileDrift flags perturbed metrics and passes identical ones") {
+    val base = Aggregates.aggProfile(spark, sf)
+    val same = Aggregates.profileDrift(base, base).collect()
+    assert(same.nonEmpty && same.forall(!_.getBoolean(4)),
+      "identical snapshots must show zero drift")
+    val shifted = base.withColumn("mean", col("mean") * 1.5)
+    val drifted = Aggregates.profileDrift(base, shifted).collect()
+    assert(drifted.forall(_.getBoolean(4)),
+      "a 50% mean shift must flag every column")
+    drifted.foreach(r =>
+      assert(math.abs(r.getDouble(r.fieldIndex("mean_drift")) - 0.5) < 0.01))
+  }
+
   test("agg_skew matches the built-in moment aggregates") {
     val ours = Aggregates.aggSkew(spark, sf).collect()
       .map(r => r.getString(0) -> r).toMap
