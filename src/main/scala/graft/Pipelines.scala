@@ -159,8 +159,9 @@ object Pipelines {
     * engine's operators. Exact dedup (content hash, keep min doc) →
     * near-dup survivor selection (cluster canonicals from
     * [[graft.ops.NearDup.dedupCluster]]) → eval-set decontamination
-    * ([[graft.ops.NearDup.decontaminate]]) → rule-based quality filter
-    * ([[graft.ops.TextSim.textQuality]]) → deterministic train split
+    * ([[graft.ops.NearDup.decontaminate]]) → quality gate (rule
+    * thresholds [[graft.ops.TextSim.textQuality]] + repetition rules +
+    * token-entropy floor) → deterministic train split
     * (md5 nibble) → PII scrub → fixed-token-budget sequence packing →
     * parquet load. Every stage is a hash-keyed filter/join, so the
     * whole pipeline is one lazy plan per count plus the final write —
@@ -182,13 +183,17 @@ object Pipelines {
     // 3. decontamination: train docs sharing distinctive grams with eval
     val contaminated = NearDup.decontaminate(spark, sfDir).select("doc_id")
     val d3 = d2.join(contaminated, Seq("doc_id"), "left_anti")
-    // 4. rule-based quality gate: heuristic thresholds + Gopher
-    //    repetition rules (looping/boilerplate text the heuristics miss)
+    // 4. quality gate: heuristic thresholds + Gopher repetition rules
+    //    (looping/boilerplate text) + an information-density floor
+    //    (near-zero token entropy = degenerate text both rule sets miss)
     val qualityOk = TextSim.textQuality(spark, sfDir)
       .filter(col("quality_ok")).select("doc_id")
     val notRepetitive = TextSim.textRepetition(spark, sfDir)
       .filter(!col("repetitive")).select("doc_id")
+    val denseEnough = TextSim.textEntropy(spark, sfDir)
+      .filter(col("entropy") > 1.0).select("doc_id")
     val d4 = d3.join(qualityOk, "doc_id").join(notRepetitive, "doc_id")
+      .join(denseEnough, "doc_id")
     // 5. train split (eval nibbles are >= 'c'; see Sampling.sampleSplit)
     val train = d4.filter(Sampling.hexNibble(col("doc_id")) < "c")
     // 6. PII scrub + 7. sequence packing within each source shard
