@@ -86,6 +86,7 @@ object SparkEntry {
     "sessionize" -> (TimeOps.sessionize _),
     "time_resample" -> (TimeOps.timeResample _),
     "window_lag" -> (TimeOps.windowLag _),
+    "session_stats" -> (TimeOps.sessionStats _),
     // L: LLM-pipeline ops
     "text_tokens" -> (TextSim.textTokens _),
     "text_stats" -> (TextSim.textStats _),
@@ -463,6 +464,22 @@ object SparkEntry {
         |PARTITION BY user_id ORDER BY ts, event_id
         |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |FROM g ORDER BY user_id, event_id""".stripMargin,
+
+    "session_stats" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |g AS (SELECT user_id, event_id, ts,
+        |CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) + INTERVAL 30 MINUTE
+        |THEN 1 ELSE 0 END AS new_sess FROM e),
+        |sid AS (SELECT user_id, event_id, ts, CAST(SUM(new_sess) OVER (
+        |PARTITION BY user_id ORDER BY ts, event_id
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |min(event_id) AS first_event,
+        |max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+        |FROM sid GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
 
     "text_tokens" ->
       """SELECT token, count(*) AS n FROM

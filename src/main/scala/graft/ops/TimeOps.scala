@@ -58,6 +58,34 @@ object TimeOps {
       .orderBy("user_id", "event_id")
   }
 
+  /** `session_stats` — per-session rollup on top of the [[sessionize]]
+    * formulation: event count, first event, and µs-exact duration per
+    * (user, session). The composition a funnel/engagement dashboard
+    * actually consumes — sessionize assigns ids, this aggregates them;
+    * one window pass + one hash aggregate, both keyed on the user so
+    * work scales with per-user rows.
+    */
+  def sessionStats(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val newSession = when(
+      lag(col("ts"), 1).over(byUser).isNull ||
+        col("ts") > lag(col("ts"), 1).over(byUser) + expr("INTERVAL 30 MINUTES"),
+      1L).otherwise(0L)
+    val runningSum = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Sources.table(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        newSession.as("new_sess"))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        sum(col("new_sess")).over(runningSum).as("session_id"))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          .as("duration_us"))
+      .orderBy("user_id", "session_id")
+  }
+
   /** `time_resample` — regularize an event stream onto a fixed hourly
     * grid with zero-filled gaps: the resampling/gap-filling step every
     * time-series consumer needs before windowed models or charting

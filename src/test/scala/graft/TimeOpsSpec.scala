@@ -65,6 +65,17 @@ class TimeOpsSpec extends SparkSpec {
     }
   }
 
+  test("session_stats partitions every event into a session rollup") {
+    val rows = TimeOps.sessionStats(spark, sf).collect()
+    val totalEvents = graft.ops.Sources.table(spark, sf, "events").count()
+    assert(rows.map(_.getLong(rows.head.fieldIndex("n_events"))).sum ==
+      totalEvents, "session event counts must cover every event once")
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("duration_us")) >= 0L)
+      assert(r.getLong(r.fieldIndex("n_events")) >= 1L)
+    }
+  }
+
   test("stream_tumbling buckets cover every event exactly once") {
     val n = TimeOps.streamTumbling(spark, sf)
       .agg(sum("n")).collect()(0).getLong(0)
