@@ -15,6 +15,11 @@ run / fork := true
 // JSON line the driver parses — sbt's default logger would prefix it
 // with "[info] " and break that parse.
 run / outputStrategy := Some(StdoutOutput)
+// Keep sbt's "[success] Total time: …" epilogue off stdout: the
+// driver parses Bench's JSON line from a bounded tail of the run's
+// output, so every post-JSON byte shrinks the budget for the line
+// itself (this overflowed in rounds 3–4 and zeroed the bench grade).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -41,10 +41,18 @@ object Bench {
       val t1 = once(fn)
       name -> (if (t1 > 1.0) math.min(t1, once(fn)) else t1)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver parses the JSON line out of a bounded tail of this
+    // process's stdout (last ~2000 chars): r03/r04 went ungraded
+    // because full-precision doubles for 85 queries pushed the line
+    // past that window. 2-decimal seconds (10 ms granularity — well
+    // under this host's run-to-run variance) keeps the line short,
+    // and printing after spark.stop() leaves only sbt's epilogue
+    // after it.
+    def fmt(v: Double): String = f"$v%.2f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }
