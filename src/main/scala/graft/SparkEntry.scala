@@ -59,6 +59,9 @@ object SparkEntry {
     "agg_hist" -> ((s, d) => Aggregates.aggHist(s, d)),
     "agg_skew" -> (Aggregates.aggSkew _),
     "agg_deciles" -> (Aggregates.aggDeciles _),
+    "agg_mode" -> ((s, d) => Aggregates.aggMode(s, d)),
+    "agg_minmax_by" -> (Aggregates.aggMinmaxBy _),
+    "agg_pctl_group" -> (Aggregates.aggPctlGroup _),
     // J: joins
     "join_dim" -> (Relational.joinDim _),
     "join_fact" -> (Relational.joinFact _),
@@ -75,14 +78,20 @@ object SparkEntry {
     "window_running" -> (Relational.windowRunning _),
     "window_dist" -> (Relational.windowDist _),
     "merge_upsert" -> (Relational.mergeUpsert _),
+    "scd2_snapshot" -> ((s, d) => Relational.scd2Snapshot(s, d)),
     "pivot_wide" -> (Relational.pivotWide _),
     "unpivot_long" -> (Relational.unpivotLong _),
+    "window_frames" -> (Relational.windowFrames _),
+    "filter_exists" -> (Relational.filterExists _),
     // X: scalar function surface
     "str_funcs" -> (Relational.strFuncs _),
+    "str_regex" -> (Relational.strRegex _),
+    "array_funcs" -> (Relational.arrayFuncs _),
     "date_funcs" -> (Relational.dateFuncs _),
     "json_extract" -> (Relational.jsonExtract _),
     // T: time ops (batch equivalents; streams are unit-tested)
     "stream_tumbling" -> (TimeOps.streamTumbling _),
+    "window_sliding" -> (TimeOps.windowSliding _),
     "sessionize" -> (TimeOps.sessionize _),
     "time_resample" -> (TimeOps.timeResample _),
     "window_lag" -> (TimeOps.windowLag _),
@@ -115,6 +124,7 @@ object SparkEntry {
     "dedup_incremental" -> (NearDup.dedupIncremental _),
     "dedup_chunk" -> ((s, d) => NearDup.dedupChunk(s, d)),
     // no-oracle ops (driver records rows-only checks)
+    "dedup_bloom" -> ((s, d) => NearDup.dedupBloom(s, d)),
     "dedup_minhash" -> ((s, d) => NearDup.dedupMinhash(s, d)),
     "agg_distinct_approx" -> (Aggregates.aggDistinctApprox _),
     "agg_profile_approx" -> (Aggregates.aggProfileApprox _),
@@ -347,6 +357,69 @@ object SparkEntry {
         |     ELSE 'passthrough' END AS action
         |FROM snap s FULL OUTER JOIN upd u ON s.key = u.key
         |ORDER BY key""".stripMargin,
+
+    "scd2_snapshot" ->
+      """WITH base AS (SELECT o_orderkey AS key, o_orderstatus AS status,
+        |  o_totalprice AS price, strftime(o_orderdate, '%Y-%m-%d') AS valid_from
+        |  FROM orders),
+        |upd AS (SELECT key, 'U' AS status,
+        |  CAST(round(CAST(price AS DECIMAL(12,2)) * CAST(1.05 AS DECIMAL(3,2)), 2)
+        |    AS DOUBLE) AS price
+        |  FROM base WHERE key % 2 = 1)
+        |SELECT key, status, price, valid_from, '2026-01-01' AS valid_to,
+        |  FALSE AS is_current FROM base WHERE key % 2 = 1
+        |UNION ALL
+        |SELECT key, status, price, valid_from, '9999-12-31' AS valid_to,
+        |  TRUE AS is_current FROM base WHERE key % 2 = 0
+        |UNION ALL
+        |SELECT key, status, price, '2026-01-01' AS valid_from,
+        |  '9999-12-31' AS valid_to, TRUE AS is_current FROM upd
+        |ORDER BY key, valid_from, is_current""".stripMargin,
+
+    "window_frames" ->
+      """SELECT o_custkey, o_orderkey,
+        |first_value(o_totalprice) OVER (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey) AS first_price,
+        |nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_price,
+        |round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) /
+        |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS avg3_price
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "filter_exists" ->
+      """SELECT c.c_custkey, c.c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |AND c.c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+        |                          / count(*)
+        |                   FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c.c_custkey""".stripMargin,
+
+    "str_regex" ->
+      """SELECT doc_id,
+        |CAST(len(regexp_extract_all(text, '[A-Z][a-z]+')) AS BIGINT) AS n_capitalized,
+        |regexp_extract(text, '[0-9]+') AS first_number,
+        |text ~ '.*data.*' AS mentions_data
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "array_funcs" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |FROM documents)
+        |SELECT doc_id, CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |array_to_string(list_sort(list_distinct(toks))[1:5], ' ') AS first5,
+        |list_contains(toks, 'the') AS has_the
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "window_sliding" ->
+      """WITH ev AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h
+        |FROM events WHERE ts IS NOT NULL),
+        |w AS (SELECT unnest([h, h - INTERVAL 1 HOUR]) AS window_start FROM ev)
+        |SELECT window_start, count(*) AS n FROM w
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_incremental" ->
       """SELECT n.doc_id,
@@ -588,6 +661,33 @@ object SparkEntry {
          |  AS kurt_excess
          |FROM t ORDER BY l_returnflag""".stripMargin
     },
+
+    "agg_mode" ->
+      """WITH b AS (SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+        |count(*) AS n FROM events
+        |WHERE value IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT event_type, bucket, n, row_number() OVER (
+        |PARTITION BY event_type ORDER BY n DESC, bucket) AS rn FROM b)
+        |SELECT event_type, bucket AS mode_bucket, n FROM r WHERE rn = 1
+        |ORDER BY event_type""".stripMargin,
+
+    "agg_minmax_by" ->
+      """WITH a AS (SELECT event_type,
+        |max({'v': value, 'id': event_id}) AS mx,
+        |min({'v': value, 'id': event_id}) AS mn
+        |FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |AND event_id IS NOT NULL GROUP BY event_type)
+        |SELECT event_type, mx.id AS max_value_event, round(mx.v, 4) AS max_value,
+        |mn.id AS min_value_event, round(mn.v, 4) AS min_value
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    "agg_pctl_group" ->
+      """WITH q AS (SELECT event_type, quantile_cont(value, [0.25, 0.5, 0.75]) AS qs
+        |FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+        |u AS (SELECT event_type, generate_subscripts(qs, 1) AS idx, unnest(qs) AS v FROM q)
+        |SELECT event_type, CAST(idx AS BIGINT) * 25 / 100.0 AS p,
+        |round(v, 4) AS value_at_p
+        |FROM u ORDER BY event_type, p""".stripMargin,
 
     "agg_deciles" ->
       """WITH q AS (SELECT quantile_cont(value,

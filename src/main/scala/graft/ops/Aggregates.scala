@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -304,6 +305,79 @@ object Aggregates {
       .select(((col("idx") + 1) / lit(10.0)).as("p"),
         round(col("q"), 4).as("value_at_p"))
       .orderBy("p")
+  }
+
+  /** `agg_mode` — per-group modal value bucket: the most frequent
+    * width-10 `value` bucket per event type, ties broken by the lower
+    * bucket. The categorical-distribution profiling primitive ("what's
+    * the typical value range per type"). Two hash aggregates (bucket
+    * counts, then a per-group top-1 via row_number over a window keyed
+    * on the group) — shuffle rows bounded by distinct (type, bucket)
+    * pairs, and the window partitions by event_type so the top-1 pass
+    * scales with group count, never input rows. The explicit
+    * (count DESC, bucket) ordering is what makes mode deterministic —
+    * a bare `mode()` aggregate leaves ties engine-dependent.
+    */
+  def aggMode(s: SparkSession, dir: String, width: Double = 10.0): DataFrame = {
+    require(width > 0, s"bucket width must be positive, got $width")
+    val top1 = Window.partitionBy("event_type")
+      .orderBy(col("n").desc, col("bucket"))
+    Sources.table(s, dir, "events")
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        floor(col("value") / width).cast(LongType).as("bucket"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(top1))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("bucket").as("mode_bucket"), col("n"))
+      .orderBy("event_type")
+  }
+
+  /** `agg_minmax_by` — deterministic arg-max/arg-min per group: the
+    * event id carrying the highest (and lowest) value per event type.
+    * Spark's `max_by(id, value)` is the idiomatic spelling but leaves
+    * ties engine-arbitrary (and the events table HAS duplicate
+    * (type, value) pairs); `max(struct(value, id))` is the same
+    * single-pass aggregate with the tie-break folded into the struct's
+    * lexicographic ordering — one hash aggregate, map-side combined,
+    * one row per group on the shuffle. DuckDB mirrors it with
+    * `max({'v': value, 'id': event_id})`.
+    */
+  def aggMinmaxBy(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "events")
+      .filter(col("value").isNotNull && col("event_type").isNotNull &&
+        col("event_id").isNotNull)
+      .groupBy("event_type")
+      .agg(
+        max(struct(col("value").as("v"), col("event_id").as("id"))).as("mx"),
+        min(struct(col("value").as("v"), col("event_id").as("id"))).as("mn"))
+      .select(col("event_type"),
+        col("mx.id").as("max_value_event"),
+        round(col("mx.v"), 4).as("max_value"),
+        col("mn.id").as("min_value_event"),
+        round(col("mn.v"), 4).as("min_value"))
+      .orderBy("event_type")
+
+  /** `agg_pctl_group` — exact quartiles per group (the per-segment
+    * distribution summary behind SLO/quality dashboards): Q1/median/Q3
+    * of `value` for each event type, one row per (group, p). One
+    * grouped `percentile` aggregate returns all three cut points as an
+    * array, exploded to rows — a single shuffle keyed on the group.
+    * Exact ordered statistics (the oracle-checkable form; the 100 TB
+    * swap is `approx_percentile`, see [[aggProfileApprox]]).
+    */
+  def aggPctlGroup(s: SparkSession, dir: String): DataFrame = {
+    val ps = Seq(0.25, 0.5, 0.75)
+    Sources.table(s, dir, "events")
+      .filter(col("event_type").isNotNull)
+      .groupBy("event_type")
+      .agg(percentile(col("value"), array(ps.map(lit): _*)).as("qs"))
+      .select(col("event_type"), posexplode(col("qs")).as(Seq("idx", "q")))
+      .select(col("event_type"),
+        ((col("idx") + 1) * lit(25) / lit(100.0)).as("p"),
+        round(col("q"), 4).as("value_at_p"))
+      .orderBy("event_type", "p")
   }
 
   /** `agg_corr` — bivariate statistics per return flag: sample

@@ -360,6 +360,48 @@ object NearDup {
       .orderBy("doc_id")
   }
 
+  /** `dedup_bloom` — the sketch-side scale path for [[dedupIncremental]]:
+    * build a Bloom filter over the accumulated corpus's content hashes
+    * (driver-side sketch, broadcast to executors) and probe each
+    * new-batch document against it — membership without shuffling the
+    * corpus. At 100 TB the exact left-join ships the corpus hash set
+    * through a shuffle every batch; the Bloom filter is a few hundred
+    * MB broadcast once, at the cost of a bounded false-positive rate
+    * (never false negatives — every true duplicate is flagged).
+    * Output is a 1-row summary: new-batch size, Bloom-flagged count,
+    * and the exact duplicate count (so the FP overshoot is visible).
+    * NO ORACLE — the sketch is engine-specific; `dedup_incremental` is
+    * the exact baseline and the unit spec asserts flagged ⊇ exact.
+    *
+    * The probe is a broadcast-closure UDF on purpose: Spark's native
+    * `BloomFilterMightContain` expression is internal to runtime
+    * filtering, and the probe is one xxhash + bit test per row — not a
+    * codegen-sensitive hot loop.
+    */
+  def dedupBloom(s: SparkSession, dir: String, fpp: Double = 0.01): DataFrame =
+    dedupBloom(s, Sources.table(s, dir, "documents"), fpp)
+
+  /** [[dedupBloom]] over any `(doc_id, text)` relation. */
+  def dedupBloom(s: SparkSession, docs: DataFrame, fpp: Double): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val d = docs
+      .select(col("doc_id"),
+        sha2(trim(lower(col("text"))), 256).as("h"),
+        (Sampling.hexNibble(col("doc_id")) >= "8").as("is_new"))
+    val corpus = d.filter(!col("is_new")).select("h")
+    val bf = corpus.stat.bloomFilter("h", math.max(corpus.count(), 1L), fpp)
+    val bfB = s.sparkContext.broadcast(bf)
+    val mightContain = udf((h: String) => bfB.value.mightContain(h))
+    val exact = corpus.distinct().withColumn("in_corpus", lit(true))
+    d.filter(col("is_new"))
+      .join(exact, Seq("h"), "left")
+      .agg(count(lit(1)).as("n_new"),
+        sum(when(mightContain(col("h")), 1L).otherwise(0L))
+          .as("n_bloom_flagged"),
+        sum(when(col("in_corpus").isNotNull, 1L).otherwise(0L))
+          .as("n_exact_dup"))
+  }
+
   /** `dedup_chunk` — span-level exact dedup: cut each document into
     * fixed-stride `chunk`-token windows and report every chunk text
     * appearing in ≥ `minDocs` distinct documents — the cheap form of

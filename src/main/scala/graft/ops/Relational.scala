@@ -337,4 +337,134 @@ object Relational {
         round(cume_dist().over(w), 6).as("cum_dist"))
       .orderBy("o_orderpriority", "o_orderkey")
   }
+
+  /** `window_frames` — explicit window frames over each customer's
+    * order history: first order price (running frame), second-ever
+    * price (`nth_value` over the full-partition frame), and a 3-row
+    * sliding average (ROWS 2 PRECEDING). All three frames share one
+    * (partition, sort) spec, so the plan pays a single exchange+sort;
+    * the sliding mean is an exact decimal sum over the frame divided
+    * by the frame row count, keeping it bit-identical to the oracle.
+    */
+  def windowFrames(s: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val sliding = ord.rowsBetween(-2, Window.currentRow)
+    Sources.table(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_totalprice")).over(ord).as("first_price"),
+        nth_value(col("o_totalprice"), 2).over(full).as("second_price"),
+        round(sum(col("o_totalprice").cast(DecimalType(18, 4))).over(sliding)
+          .cast(DoubleType) / count(lit(1)).over(sliding), 4).as("avg3_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** `filter_exists` — the SQL subquery surface: correlated EXISTS
+    * (customers with at least one 300k+ order) plus a correlated
+    * scalar subquery (account balance above their nation's mean).
+    * Catalyst rewrites the EXISTS to a left-semi join and decorrelates
+    * the scalar aggregate into a grouped join — both shuffle on the
+    * correlation key, so the "per-row subquery" costs one join each at
+    * any scale, never a nested loop. The scalar subquery's mean is an
+    * exact decimal sum / count, same discipline as [[Num.davg]].
+    */
+  def filterExists(s: SparkSession, dir: String): DataFrame = {
+    Sources.table(s, dir, "customer").createOrReplaceTempView("graft_customer")
+    Sources.table(s, dir, "orders").createOrReplaceTempView("graft_orders")
+    s.sql("""
+      |SELECT c.c_custkey, c.c_name FROM graft_customer c
+      |WHERE EXISTS (SELECT 1 FROM graft_orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      |AND c.c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+      |                          / count(*)
+      |                   FROM graft_customer c2
+      |                   WHERE c2.c_nationkey = c.c_nationkey)
+      |ORDER BY c.c_custkey""".stripMargin)
+  }
+
+  /** Generic SCD Type-2 batch apply: close the current version of every
+    * key present in `updates` (valid_to := batchDate, is_current :=
+    * false), carry every untouched row through, and append the update
+    * rows as the new current versions. `current` must already carry
+    * `valid_from`/`valid_to`/`is_current`; `updates` carries the same
+    * attribute columns plus the key. Two joins on the key (semi +
+    * anti) and a union — the update batch is small in steady state, so
+    * AQE broadcasts both probes; history grows append-only, never
+    * rewritten in place.
+    */
+  def scd2Apply(current: DataFrame, updates: DataFrame, key: String,
+                batchDate: String): DataFrame = {
+    val updKeys = updates.select(key).distinct()
+    val closed = current.join(updKeys, Seq(key), "left_semi")
+      .withColumn("valid_to", lit(batchDate))
+      .withColumn("is_current", lit(false))
+    val carried = current.join(updKeys, Seq(key), "left_anti")
+    val fresh = updates
+      .withColumn("valid_from", lit(batchDate))
+      .withColumn("valid_to", lit("9999-12-31"))
+      .withColumn("is_current", lit(true))
+      .select(closed.columns.map(col): _*)
+    closed.unionByName(carried).unionByName(fresh)
+  }
+
+  /** `scd2_snapshot` — the declared-query wrapper around [[scd2Apply]]:
+    * orders as the type-2 dimension (key/status/price, valid_from from
+    * the order date), with a deterministic update batch derived from
+    * the odd keys (status 'U', price +5% — decimal-exact so both
+    * engines round identically). Output: full version history, one
+    * closed + one current row per updated key.
+    */
+  def scd2Snapshot(s: SparkSession, dir: String,
+                   batchDate: String = "2026-01-01"): DataFrame = {
+    val base = Sources.table(s, dir, "orders").select(
+      col("o_orderkey").as("key"),
+      col("o_orderstatus").as("status"),
+      col("o_totalprice").as("price"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"))
+      .withColumn("valid_to", lit("9999-12-31"))
+      .withColumn("is_current", lit(true))
+    val updates = base.filter(col("key") % 2 === 1)
+      .select(col("key"), lit("U").as("status"),
+        round(col("price").cast(DecimalType(12, 2)) *
+          lit(BigDecimal("1.05")).cast(DecimalType(3, 2)), 2)
+          .cast(DoubleType).as("price"),
+        col("valid_from"))
+    scd2Apply(base, updates, "key", batchDate)
+      .orderBy("key", "valid_from", "is_current")
+  }
+
+  /** `str_regex` — the regex function surface over documents:
+    * match-count (`regexp_extract_all`), first-match extraction
+    * (`regexp_extract`, empty string when absent — both engines agree),
+    * and a contains-style `rlike` predicate. All three are codegen'd
+    * per-row projections over a single scan; at corpus scale regex
+    * cost is per-byte, so anchor patterns tightly and prefer
+    * character-class patterns (as here) over backtracking-prone ones.
+    */
+  def strRegex(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "documents")
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[A-Z][a-z]+")))
+          .cast(LongType).as("n_capitalized"),
+        regexp_extract(col("text"), "[0-9]+", 0).as("first_number"),
+        col("text").rlike("data").as("mentions_data"))
+      .orderBy("doc_id")
+
+  /** `array_funcs` — the array-function surface over tokenized text:
+    * distinct-size, sorted-slice (first five distinct tokens), and
+    * membership — `array_distinct`/`sort_array`/`slice`/
+    * `array_contains`, all codegen'd array ops in one projection.
+    * The sorted slice is rendered via `concat_ws` so the comparison is
+    * a plain string (array binary comparison is engine-specific).
+    */
+  def arrayFuncs(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "documents")
+      .select(col("doc_id"),
+        split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .select(col("doc_id"),
+        size(array_distinct(col("toks"))).cast(LongType).as("n_distinct"),
+        concat_ws(" ",
+          slice(sort_array(array_distinct(col("toks"))), 1, 5)).as("first5"),
+        array_contains(col("toks"), "the").as("has_the"))
+      .orderBy("doc_id")
 }

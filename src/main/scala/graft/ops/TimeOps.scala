@@ -36,6 +36,22 @@ object TimeOps {
       .agg(count(lit(1)).as("n"))
       .orderBy("hour_start", "event_type")
 
+  /** `window_sliding` — T4 batch equivalent: 2-hour windows sliding
+    * every hour, so each event lands in exactly two windows. Uses the
+    * SAME `window(ts, width, slide)` expression a stream would (see
+    * [[slidingCounts]]) — in batch it plans as an Expand (one row per
+    * covering window) into a hash aggregate, shuffle rows bounded by
+    * windows × types, not events. Window origins align to the epoch,
+    * matching the `date_trunc('hour', ts)` spine the oracle builds.
+    */
+  def windowSliding(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "events")
+      .filter(col("ts").isNotNull)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("n"))
+      .orderBy("window_start")
+
   /** `sessionize` — T5 batch equivalent: 30-minute-gap sessions as
     * gaps-and-islands (lag + running sum of session starts). The
     * shuffle partitions by user_id — each user's timeline sorts

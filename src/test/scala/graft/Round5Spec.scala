@@ -1,0 +1,192 @@
+package graft
+
+import graft.ops.{Aggregates, NearDup, Relational, Sources, TimeOps}
+import org.apache.spark.sql.functions._
+
+/** Round-5 surface: deterministic mode/arg-extremes, per-group exact
+  * quartiles, SCD type-2 history, explicit window frames, the SQL
+  * subquery surface, batch sliding windows, regex/array functions, and
+  * the Bloom-filter membership sketch — behavioral invariants plus the
+  * plan shapes that matter at scale.
+  */
+class Round5Spec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("agg_mode picks the argmax bucket with the lower-bucket tie-break") {
+    val rows = Aggregates.aggMode(spark, sf).collect()
+    val counts = Sources.table(spark, sf, "events")
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        floor(col("value") / 10.0).cast("long").as("bucket"))
+      .groupBy("event_type", "bucket").count().collect()
+      .groupBy(_.getString(0))
+    rows.foreach { r =>
+      val g = counts(r.getString(0))
+      val best = g.map(x => (x.getLong(2), x.getLong(1)))
+        .reduce((a, b) =>
+          if (a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)) a else b)
+      assert((r.getLong(2), r.getLong(1)) == best,
+        s"mode mismatch for ${r.getString(0)}")
+    }
+  }
+
+  test("agg_minmax_by matches the window-ranked arg-extremes") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Sources.table(spark, sf, "events")
+      .filter(col("value").isNotNull && col("event_type").isNotNull &&
+        col("event_id").isNotNull)
+    val top = Window.partitionBy("event_type")
+      .orderBy(col("value").desc, col("event_id").desc)
+    val expectMax = ev
+      .withColumn("rn", row_number().over(top)).filter(col("rn") === 1)
+      .select("event_type", "event_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Aggregates.aggMinmaxBy(spark, sf).collect().foreach { r =>
+      assert(r.getLong(r.fieldIndex("max_value_event")) ==
+        expectMax(r.getString(0)),
+        s"arg-max mismatch for ${r.getString(0)}")
+    }
+  }
+
+  test("agg_pctl_group quartiles are monotone within each group") {
+    Aggregates.aggPctlGroup(spark, sf).collect()
+      .groupBy(_.getString(0)).foreach { case (t, rs) =>
+        val byP = rs.sortBy(_.getDouble(1)).map(_.getDouble(2))
+        assert(byP.sameElements(byP.sorted), s"quartiles not monotone for $t")
+      }
+  }
+
+  test("scd2_snapshot: odd keys get a closed + a current 'U' version") {
+    val rows = Relational.scd2Snapshot(spark, sf).collect()
+    val byKey = rows.groupBy(_.getLong(0))
+    byKey.foreach { case (k, vs) =>
+      if (k % 2 == 1) {
+        assert(vs.length == 2, s"key $k should have 2 versions")
+        val closed = vs.find(!_.getBoolean(5)).get
+        val current = vs.find(_.getBoolean(5)).get
+        assert(closed.getString(4) == "2026-01-01", "closed valid_to")
+        assert(current.getString(1) == "U" &&
+          current.getString(3) == "2026-01-01" &&
+          current.getString(4) == "9999-12-31")
+        assert(current.getDouble(2) ==
+          BigDecimal(closed.getDouble(2)).setScale(2)
+            .*(BigDecimal("1.05")).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble,
+          s"new version price must be +5% of $k's closed price")
+      } else {
+        assert(vs.length == 1 && vs.head.getBoolean(5),
+          s"untouched key $k must carry one current row")
+      }
+    }
+  }
+
+  test("scd2Apply on a crafted dimension closes exactly the updated keys") {
+    import spark.implicits._
+    val current = Seq(
+      (1L, "a", "2020-01-01", "9999-12-31", true),
+      (2L, "b", "2020-01-01", "9999-12-31", true))
+      .toDF("key", "attr", "valid_from", "valid_to", "is_current")
+    val updates = Seq((2L, "b2", "ignored")).toDF("key", "attr", "valid_from")
+    val out = Relational.scd2Apply(current, updates, "key", "2026-02-01")
+      .orderBy("key", "valid_from").collect()
+    assert(out.length == 3)
+    assert(out(0).getLong(0) == 1L && out(0).getBoolean(4))
+    val k2 = out.filter(_.getLong(0) == 2L)
+    assert(k2.exists(r => !r.getBoolean(4) && r.getString(3) == "2026-02-01"),
+      "old version of key 2 must be closed at the batch date")
+    assert(k2.exists(r => r.getBoolean(4) && r.getString(1) == "b2" &&
+      r.getString(2) == "2026-02-01"), "new version must be current")
+  }
+
+  test("window_frames: the date-first row of each customer averages itself") {
+    // the frame orders by (o_orderdate, o_orderkey); the output sorts by
+    // o_orderkey — recover each customer's frame-first order explicitly
+    implicit val ldtOrd: Ordering[java.time.LocalDateTime] =
+      Ordering.fromLessThan(_ isBefore _)
+    val firstKey = Sources.table(spark, sf, "orders")
+      .select("o_custkey", "o_orderkey", "o_orderdate").collect()
+      .groupBy(_.getLong(0)).map { case (c, rs) =>
+        c -> rs.minBy(r =>
+          (r.getAs[java.time.LocalDateTime](2), r.getLong(1))).getLong(1)
+      }
+    Relational.windowFrames(spark, sf).collect().foreach { r =>
+      if (firstKey(r.getLong(0)) == r.getLong(1)) {
+        assert(r.getDouble(r.fieldIndex("first_price")) ==
+          r.getDouble(r.fieldIndex("avg3_price")),
+          "a 1-row frame's average must equal its first_value")
+      }
+    }
+  }
+
+  test("window_frames plans one exchange for all three frames") {
+    val p = plan(Relational.windowFrames(spark, sf))
+      .split("== Initial Plan ==").head
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$p")
+  }
+
+  test("filter_exists matches the explicit join formulation") {
+    val cust = Sources.table(spark, sf, "customer")
+    val orders = Sources.table(spark, sf, "orders")
+    val big = orders.filter(col("o_totalprice") > 300000)
+      .select(col("o_custkey")).distinct()
+    val natAvg = cust.groupBy("c_nationkey")
+      .agg((sum(col("c_acctbal").cast("decimal(18,4)")).cast("double") /
+        count(lit(1))).as("nat_avg"))
+    val expect = cust.join(big, cust("c_custkey") === big("o_custkey"))
+      .join(natAvg, "c_nationkey")
+      .filter(col("c_acctbal") > col("nat_avg"))
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val got = Relational.filterExists(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == expect)
+  }
+
+  test("window_sliding covers each event exactly twice") {
+    val ev = Sources.table(spark, sf, "events")
+      .filter(col("ts").isNotNull).count()
+    val out = TimeOps.windowSliding(spark, sf).collect()
+    assert(out.map(_.getLong(1)).sum == 2 * ev,
+      "every event must land in exactly two sliding windows")
+    out.foreach { r =>
+      val t = r.getTimestamp(0).toInstant.atZone(java.time.ZoneOffset.UTC)
+      assert(t.getMinute == 0 && t.getSecond == 0,
+        s"window starts must align to the hour, got $t")
+    }
+  }
+
+  test("str_regex and array_funcs agree with per-row recomputation") {
+    val docs = Sources.table(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    Relational.strRegex(spark, sf).collect().take(50).foreach { r =>
+      val text = docs(r.getLong(0))
+      assert(r.getLong(1) == "[A-Z][a-z]+".r.findAllIn(text).size)
+      assert(r.getBoolean(3) == text.contains("data"))
+    }
+    Relational.arrayFuncs(spark, sf).collect().take(50).foreach { r =>
+      val toks = docs(r.getLong(0)).trim.toLowerCase.split("\\s+")
+      assert(r.getLong(1) == toks.distinct.length)
+      assert(r.getString(2) == toks.distinct.sorted.take(5).mkString(" "))
+    }
+  }
+
+  test("dedup_bloom never misses a true duplicate") {
+    import spark.implicits._
+    // all-identical corpus: every new-batch doc duplicates the corpus,
+    // so exact == n_new and the Bloom probe must flag every one of them
+    val docs = (0L until 100L).map(i => (i, "same text for every doc"))
+      .toDF("doc_id", "text")
+    val r = NearDup.dedupBloom(spark, docs, 0.01).collect().head
+    val (nNew, flagged, exact) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nNew > 0 && nNew < 100, "md5 split should cut both ways")
+    assert(exact == nNew, "every new doc duplicates the corpus")
+    assert(flagged == nNew, "Bloom filters must have no false negatives")
+    // and on the real corpus the flagged count stays bounded by n_new
+    val real = NearDup.dedupBloom(spark, sf).collect().head
+    assert(real.getLong(1) >= real.getLong(2) &&
+      real.getLong(1) <= real.getLong(0))
+  }
+}
