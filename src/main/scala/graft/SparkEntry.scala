@@ -83,6 +83,7 @@ object SparkEntry {
     "unpivot_long" -> (Relational.unpivotLong _),
     "window_frames" -> (Relational.windowFrames _),
     "filter_exists" -> (Relational.filterExists _),
+    "cohort_retention" -> (Relational.cohortRetention _),
     // X: scalar function surface
     "str_funcs" -> (Relational.strFuncs _),
     "str_regex" -> (Relational.strRegex _),
@@ -92,6 +93,8 @@ object SparkEntry {
     // T: time ops (batch equivalents; streams are unit-tested)
     "stream_tumbling" -> (TimeOps.streamTumbling _),
     "window_sliding" -> (TimeOps.windowSliding _),
+    "window_range" -> (TimeOps.windowRange _),
+    "funnel_steps" -> (TimeOps.funnelSteps _),
     "sessionize" -> (TimeOps.sessionize _),
     "time_resample" -> (TimeOps.timeResample _),
     "window_lag" -> (TimeOps.windowLag _),
@@ -413,6 +416,38 @@ object SparkEntry {
         |array_to_string(list_sort(list_distinct(toks))[1:5], ' ') AS first5,
         |list_contains(toks, 'the') AS has_the
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "window_range" ->
+      """SELECT user_id, event_id,
+        |count(*) OVER w AS n_last_hour,
+        |CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_last_hour
+        |FROM events
+        |WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "funnel_steps" ->
+      """WITH s AS (SELECT user_id,
+        |  min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+        |  min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+        |  min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+        |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1)
+        |SELECT count(*) AS n_users,
+        |CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS step_view,
+        |CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS step_click,
+        |CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+        |  AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT) AS step_purchase
+        |FROM s""".stripMargin,
+
+    "cohort_retention" ->
+      """WITH o AS (SELECT o_custkey,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m') AS ym FROM orders),
+        |c AS (SELECT o_custkey, min(ym) AS cohort FROM o GROUP BY 1)
+        |SELECT c.cohort, o.ym, count(DISTINCT o.o_custkey) AS n_active
+        |FROM o JOIN c USING (o_custkey)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "window_sliding" ->
       """WITH ev AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h

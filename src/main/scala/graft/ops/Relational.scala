@@ -433,6 +433,27 @@ object Relational {
       .orderBy("key", "valid_from", "is_current")
   }
 
+  /** `cohort_retention` — customer cohort analysis: each customer's
+    * cohort is their first order month; the output counts distinct
+    * active customers per (cohort, activity month) — the retention
+    * triangle every growth dashboard plots. Two hash aggregates (first
+    * month per customer, then the distinct count) plus one equi-join
+    * on the customer key; everything shuffles on bounded keys
+    * (customer, month), so the plan survives any order count. The
+    * month label is a string (`yyyy-MM`) so both engines group and
+    * sort identically.
+    */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val o = Sources.table(s, dir, "orders")
+      .select(col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+    val cohort = o.groupBy("o_custkey").agg(min(col("ym")).as("cohort"))
+    o.join(cohort, "o_custkey")
+      .groupBy("cohort", "ym")
+      .agg(countDistinct(col("o_custkey")).as("n_active"))
+      .orderBy("cohort", "ym")
+  }
+
   /** `str_regex` — the regex function surface over documents:
     * match-count (`regexp_extract_all`), first-match extraction
     * (`regexp_extract`, empty string when absent — both engines agree),

@@ -52,6 +52,54 @@ object TimeOps {
       .select(col("window.start").as("window_start"), col("n"))
       .orderBy("window_start")
 
+  /** `window_range` — time-based RANGE frame: per-user trailing-hour
+    * event count and value sum. Unlike a ROWS frame (fixed row count),
+    * the frame spans whatever rows fall in the last 3.6e9 µs — the
+    * rolling-metric shape behind rate limiting and anomaly windows.
+    * Spark's `rangeBetween` takes numeric bounds, so the ordering key
+    * is `unix_micros(ts)` (the oracle orders by `epoch_us(ts)` —
+    * identical µs longs). One exchange on user_id; frame evaluation is
+    * a per-partition two-pointer sweep, never quadratic. Tied
+    * timestamps are frame-peers (RANGE semantics), so the result is
+    * deterministic without a tiebreak column.
+    */
+  def windowRange(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600000000L, 0L)
+    Sources.table(s, dir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_last_hour"),
+        sum(col("value").cast(DecimalType(18, 4))).over(w)
+          .cast(DoubleType).as("sum_last_hour"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** `funnel_steps` — ordered-step conversion funnel: of the users who
+    * viewed, how many then clicked (strictly after their first view),
+    * and then purchased (strictly after that click). One hash
+    * aggregate computes each user's first-occurrence time per step
+    * (conditional `min`, map-side combined — one row per user on the
+    * shuffle), and the step predicates are a 1-row summary on top.
+    * The classic product-analytics query, shaped so work scales with
+    * users, never event count.
+    */
+  def funnelSteps(s: SparkSession, dir: String): DataFrame = {
+    def firstTs(t: String) =
+      min(when(col("event_type") === t, unix_micros(col("ts")))).as(s"t_$t")
+    Sources.table(s, dir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .groupBy("user_id")
+      .agg(firstTs("view"), firstTs("click"), firstTs("purchase"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("t_view").isNotNull, 1L).otherwise(0L)).as("step_view"),
+        sum(when(col("t_view").isNotNull && col("t_click") > col("t_view"),
+          1L).otherwise(0L)).as("step_click"),
+        sum(when(col("t_view").isNotNull && col("t_click") > col("t_view") &&
+          col("t_purchase") > col("t_click"), 1L).otherwise(0L))
+          .as("step_purchase"))
+  }
+
   /** `sessionize` — T5 batch equivalent: 30-minute-gap sessions as
     * gaps-and-islands (lag + running sum of session starts). The
     * shuffle partitions by user_id — each user's timeline sorts

@@ -173,6 +173,43 @@ class Round5Spec extends SparkSpec {
     }
   }
 
+  test("window_range matches a brute-force trailing-hour recount") {
+    val ev = Sources.table(spark, sf, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    TimeOps.windowRange(spark, sf).collect().foreach { r =>
+      val (u, e) = (r.getLong(0), r.getLong(1))
+      val t = ev.find(x => x._1 == u && x._2 == e).get._3
+      val expect = byUser(u).count(x => x._3 >= t - 3600000000L && x._3 <= t)
+      assert(r.getLong(2) == expect, s"trailing-hour count for user $u event $e")
+    }
+  }
+
+  test("funnel_steps counts are monotone down the funnel") {
+    val r = TimeOps.funnelSteps(spark, sf).collect().head
+    val (n, v, c, p) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n >= v && v >= c && c >= p && p >= 0,
+      s"funnel must narrow: $n >= $v >= $c >= $p")
+    assert(v > 0, "fixture has view events")
+  }
+
+  test("cohort_retention diagonal equals the cohort size") {
+    val rows = Relational.cohortRetention(spark, sf).collect()
+    val o = Sources.table(spark, sf, "orders")
+      .select(col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val cohortSize = o.groupBy(_._1).map { case (c, rs) => c -> rs.map(_._2).min }
+      .groupBy(_._2).map { case (ym, cs) => ym -> cs.size }
+    rows.filter(r => r.getString(0) == r.getString(1)).foreach { r =>
+      assert(r.getLong(2) == cohortSize(r.getString(0)),
+        s"diagonal of cohort ${r.getString(0)} must equal its size")
+    }
+  }
+
   test("dedup_bloom never misses a true duplicate") {
     import spark.implicits._
     // all-identical corpus: every new-batch doc duplicates the corpus,
