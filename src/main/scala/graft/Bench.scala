@@ -44,11 +44,12 @@ object Bench {
     // The driver parses the JSON line out of a bounded tail of this
     // process's stdout (last ~2000 chars): r03/r04 went ungraded
     // because full-precision doubles for 85 queries pushed the line
-    // past that window. 2-decimal seconds (10 ms granularity — well
-    // under this host's run-to-run variance) keeps the line short,
-    // and printing after spark.stop() leaves only sbt's epilogue
-    // after it.
-    def fmt(v: Double): String = f"$v%.2f"
+    // past that window. Two significant figures per query (resolution
+    // well under this host's run-to-run variance) keeps the line
+    // ~1.8k chars at 99 queries, and printing after spark.stop()
+    // leaves nothing after it on stdout.
+    def fmt(v: Double): String =
+      if (v >= 10) f"$v%.0f" else if (v >= 1) f"$v%.1f" else f"$v%.2f"
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

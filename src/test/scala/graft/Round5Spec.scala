@@ -210,6 +210,30 @@ class Round5Spec extends SparkSpec {
     }
   }
 
+  test("filter_exists decorrelates to joins — no nested loop, no subquery") {
+    val p = plan(Relational.filterExists(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(!p.contains("NestedLoop"),
+      s"correlated subqueries must rewrite to equi-joins:\n$p")
+    assert(p.contains("SemiJoin") || p.contains("LeftSemi"),
+      s"EXISTS must plan as a semi join:\n$p")
+  }
+
+  test("scd2_snapshot plans its key probes as joins, not per-row lookups") {
+    val p = plan(Relational.scd2Snapshot(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(p.contains("LeftSemi") || p.contains("SemiJoin"))
+    assert(p.contains("LeftAnti") || p.contains("AntiJoin"))
+  }
+
+  test("window_range plans a single exchange (RANGE frame, no self-join)") {
+    val p = plan(TimeOps.windowRange(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(!p.contains("Join"), s"rolling window must not self-join:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx")
+  }
+
   test("dedup_bloom never misses a true duplicate") {
     import spark.implicits._
     // all-identical corpus: every new-batch doc duplicates the corpus,
