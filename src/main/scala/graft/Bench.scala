@@ -44,16 +44,33 @@ object Bench {
     // The driver parses the JSON line out of a bounded tail of this
     // process's stdout (last ~2000 chars): r03/r04 went ungraded
     // because full-precision doubles for 85 queries pushed the line
-    // past that window. Two significant figures per query (resolution
-    // well under this host's run-to-run variance) keeps the line
-    // ~1.8k chars at 99 queries, and printing after spark.stop()
-    // leaves nothing after it on stdout.
+    // past that window, and at 99 queries even minimal formatting
+    // cannot fit every name (the names alone are ~1.2k chars). So the
+    // stdout line carries the exact total plus the SLOWEST queries up
+    // to a fixed character budget (the ones any perf comparison
+    // cares about) and an "omitted" count for the fast remainder,
+    // while the complete full-precision map goes to BENCH_LOCAL.json
+    // in the working directory for offline reading.
     def fmt(v: Double): String =
-      if (v >= 10) f"$v%.0f" else if (v >= 1) f"$v%.1f" else f"$v%.2f"
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+      if (v >= 10) f"$v%.1f" else if (v >= 1) f"$v%.2f" else f"$v%.3f"
     val total = results.map(_._2).sum
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      results.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString(s"""{"total":$total,"sf":"$sfDir","queries":{""", ",", "}}\n"))
+    catch { case _: Throwable => () } // read-only cwd: stdout still carries the line
+    val budget = 1600
+    val bySlowest = results.sortBy { case (k, v) => (-v, k) }
+    val kept = scala.collection.mutable.ListBuffer[(String, Double)]()
+    var used = 0
+    bySlowest.foreach { case (k, v) =>
+      val len = k.length + 4 + fmt(v).length
+      if (used + len <= budget) { kept += ((k, v)); used += len }
+    }
+    val qs = kept.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     spark.stop()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"omitted":${results.size - kept.size},"sf":"$sfDir"}""")
   }
 }
