@@ -60,6 +60,7 @@ object SparkEntry {
     "agg_skew" -> (Aggregates.aggSkew _),
     "agg_deciles" -> (Aggregates.aggDeciles _),
     "agg_mode" -> ((s, d) => Aggregates.aggMode(s, d)),
+    "agg_collect" -> (Aggregates.aggCollect _),
     "agg_minmax_by" -> (Aggregates.aggMinmaxBy _),
     "agg_pctl_group" -> (Aggregates.aggPctlGroup _),
     // J: joins
@@ -70,6 +71,7 @@ object SparkEntry {
     "join_outer" -> (Relational.joinOuter _),
     "join_multiway" -> ((s, d) => Relational.joinMultiway(s, d)),
     "join_range" -> (Relational.joinRange _),
+    "join_cross" -> (Relational.joinCross _),
     "asof_join" -> (AsOf.asofEventsOrders _),
     "asof_tolerance" -> (AsOf.asofEventsOrdersTolerance _),
     // O/W: sort + windows
@@ -90,6 +92,7 @@ object SparkEntry {
     "array_funcs" -> (Relational.arrayFuncs _),
     "date_funcs" -> (Relational.dateFuncs _),
     "json_extract" -> (Relational.jsonExtract _),
+    "map_funcs" -> (Relational.mapFuncs _),
     // T: time ops (batch equivalents; streams are unit-tested)
     "stream_tumbling" -> (TimeOps.streamTumbling _),
     "window_sliding" -> (TimeOps.windowSliding _),
@@ -804,6 +807,25 @@ object SparkEntry {
         |FROM events e ASOF LEFT JOIN o
         |ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+
+    "join_cross" ->
+      """SELECT a.r_name AS region_a, b.r_name AS region_b
+        |FROM region a CROSS JOIN region b
+        |ORDER BY region_a, region_b""".stripMargin,
+
+    "map_funcs" ->
+      """WITH kv AS (SELECT unnest(json_keys(props)) AS k, props
+        |FROM events WHERE props IS NOT NULL)
+        |SELECT k, count(*) AS n,
+        |count(DISTINCT json_extract_string(props, '$.' || k)) AS n_values
+        |FROM kv GROUP BY k ORDER BY k""".stripMargin,
+
+    "agg_collect" ->
+      """SELECT event_type,
+        |array_to_string(list_sort(list(DISTINCT CAST(floor(value / 100.0) AS BIGINT))), ',')
+        |  AS buckets
+        |FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "join_range" ->
       s"""SELECT tier, count(*) AS n, ${dsumSql("value")} AS sum_value

@@ -380,6 +380,27 @@ object Aggregates {
       .orderBy("event_type", "p")
   }
 
+  /** `agg_collect` — grouped collection aggregate: the distinct
+    * width-100 value buckets per event type as one sorted,
+    * comma-joined string. `collect_set` is the order-nondeterministic
+    * primitive — `sort_array` immediately after is what makes the
+    * result (and any downstream hash) stable, and the string render
+    * keeps the comparison engine-portable. Collection aggregates ship
+    * every element through the shuffle: safe here because the bucket
+    * domain is bounded (≤ value-range/width elements per group);
+    * unbounded-cardinality collects at 100 TB should aggregate first.
+    */
+  def aggCollect(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "events")
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_type"),
+        floor(col("value") / 100.0).cast(LongType).as("bucket"))
+      .groupBy("event_type")
+      .agg(concat_ws(",",
+        sort_array(collect_set(col("bucket"))).cast(ArrayType(StringType)))
+        .as("buckets"))
+      .orderBy("event_type")
+
   /** `agg_corr` — bivariate statistics per return flag: sample
     * covariance, Pearson correlation, and the OLS slope of price on
     * quantity. Computed from exact decimal power sums (Σx, Σy, Σxy,

@@ -433,6 +433,37 @@ object Relational {
       .orderBy("key", "valid_from", "is_current")
   }
 
+  /** `map_funcs` — the map-type surface (X5's map half): parse the
+    * JSON props into a `map<string,string>`, explode to (key, value)
+    * rows, and profile key frequency + value cardinality. `from_json`
+    * to a MapType handles objects with ARBITRARY keys — the schema-free
+    * half of the JSON surface that `json_extract`'s fixed path can't
+    * express. Generate → hash aggregate; shuffle rows bounded by
+    * distinct keys.
+    */
+  def mapFuncs(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "events")
+      .filter(col("props").isNotNull)
+      .select(explode(from_json(col("props"),
+        MapType(StringType, StringType))).as(Seq("k", "v")))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"), countDistinct(col("v")).as("n_values"))
+      .orderBy("k")
+
+  /** `join_cross` — explicit cartesian product of two BOUNDED dims
+    * (all region pairs). `crossJoin` is the one join the engine only
+    * permits on provably small sides: Spark plans it as a broadcast
+    * nested-loop, and output cardinality is |A|×|B| — fine for a 5-row
+    * dimension, catastrophic on facts (the fact-side pairings in this
+    * library all go through bucketed/banded candidate generation
+    * instead, see NearDup).
+    */
+  def joinCross(s: SparkSession, dir: String): DataFrame = {
+    val a = Sources.table(s, dir, "region").select(col("r_name").as("region_a"))
+    val b = Sources.table(s, dir, "region").select(col("r_name").as("region_b"))
+    a.crossJoin(broadcast(b)).orderBy("region_a", "region_b")
+  }
+
   /** `cohort_retention` — customer cohort analysis: each customer's
     * cohort is their first order month; the output counts distinct
     * active customers per (cohort, activity month) — the retention

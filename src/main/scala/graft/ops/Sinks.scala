@@ -36,6 +36,13 @@ object Sinks {
   def jsonLines(df: DataFrame, mode: String = "overwrite"): DataFrameWriter[Row] =
     df.write.format("json").mode(mode)
 
+  /** ORC — the other columnar interchange format Spark ships natively;
+    * same predicate-pushdown/column-pruning behavior as parquet for
+    * warehouses standardized on ORC.
+    */
+  def orc(df: DataFrame, mode: String = "overwrite"): DataFrameWriter[Row] =
+    df.write.format("orc").mode(mode)
+
   /** Bucketed managed table: pre-shuffles rows into `nBuckets` by
     * `bucketCol` at write time, so later joins/aggregations on that
     * key read co-located buckets instead of shuffling 100 TB. Pair

@@ -234,6 +234,42 @@ class Round5Spec extends SparkSpec {
     assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx")
   }
 
+  test("map_funcs key counts partition the non-null props rows") {
+    val withProps = Sources.table(spark, sf, "events")
+      .filter(col("props").isNotNull).count()
+    val rows = Relational.mapFuncs(spark, sf).collect()
+    // every props object in the fixture is single-key, so key counts
+    // sum to the row count; value cardinality is bounded by it
+    assert(rows.map(_.getLong(1)).sum == withProps)
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+
+  test("agg_collect renders strictly increasing distinct buckets") {
+    Aggregates.aggCollect(spark, sf).collect().foreach { r =>
+      val buckets = r.getString(1).split(",").map(_.toLong)
+      assert(buckets.nonEmpty)
+      assert(buckets.zip(buckets.tail).forall { case (a, b) => a < b },
+        s"buckets must be sorted and distinct: ${r.getString(1)}")
+    }
+  }
+
+  test("join_cross yields |A|x|B| rows via broadcast nested loop") {
+    val df = Relational.joinCross(spark, sf)
+    assert(df.count() == 25)
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"bounded cartesian must broadcast:\n$p")
+  }
+
+  test("orc sink round-trips schema and rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val src = Sources.table(spark, sf, "region")
+    graft.ops.Sinks.orc(src).save(s"$dir/region_orc")
+    val back = spark.read.orc(s"$dir/region_orc")
+    assert(back.schema == src.schema)
+    assert(back.count() == src.count())
+  }
+
   test("dedup_bloom never misses a true duplicate") {
     import spark.implicits._
     // all-identical corpus: every new-batch doc duplicates the corpus,
