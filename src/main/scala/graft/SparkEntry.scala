@@ -72,6 +72,7 @@ object SparkEntry {
     "join_multiway" -> ((s, d) => Relational.joinMultiway(s, d)),
     "join_range" -> (Relational.joinRange _),
     "join_cross" -> (Relational.joinCross _),
+    "join_topk" -> (Relational.joinTopk _),
     "asof_join" -> (AsOf.asofEventsOrders _),
     "asof_tolerance" -> (AsOf.asofEventsOrdersTolerance _),
     // O/W: sort + windows
@@ -131,6 +132,7 @@ object SparkEntry {
     "dedup_chunk" -> ((s, d) => NearDup.dedupChunk(s, d)),
     // no-oracle ops (driver records rows-only checks)
     "dedup_bloom" -> ((s, d) => NearDup.dedupBloom(s, d)),
+    "cluster_kmeans" -> ((s, d) => Cluster.clusterKmeans(s, d)),
     "dedup_minhash" -> ((s, d) => NearDup.dedupMinhash(s, d)),
     "agg_distinct_approx" -> (Aggregates.aggDistinctApprox _),
     "agg_profile_approx" -> (Aggregates.aggProfileApprox _),
@@ -807,6 +809,20 @@ object SparkEntry {
         |FROM events e ASOF LEFT JOIN o
         |ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+
+    "join_topk" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |o_orderpriority,
+        |CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+        |  AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
 
     "join_cross" ->
       """SELECT a.r_name AS region_a, b.r_name AS region_b

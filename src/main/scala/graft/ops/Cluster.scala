@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Iterative clustering over embedding columns — the trained
+  * counterpart of [[Ann.simAnnIvf]]'s fixed coarse quantizer, and the
+  * partitioning step of corpus curation pipelines (cluster → sample
+  * per cluster / drop outlier clusters).
+  *
+  * Reference analog: none (the reference has no vector operations);
+  * driven by the north-star extension tables (SURVEY §2.11).
+  */
+object Cluster {
+
+  /** Lloyd's k-means over a `(vec_id, embedding)` relation, built the
+    * broadcast way: centroids live on the driver (k × dims doubles —
+    * KBs), each iteration broadcasts them into ONE codegen'd argmin
+    * projection over the vectors ([[graft.functions.DotProduct]] per
+    * centroid) followed by ONE per-dimension hash aggregate
+    * (posexplode → avg per (cluster, dim)) to recompute means. No
+    * vector ever pairs with another vector — per-iteration cost is
+    * O(N·k·d) map work plus a shuffle bounded by k·d rows, the shape
+    * that survives a billion-vector corpus.
+    *
+    * Determinism: init = the `k` lowest-id vectors (no RNG), a FIXED
+    * iteration count (no data-dependent stopping), and ties in the
+    * argmin break toward the lower cluster id. Per-dimension means
+    * use exact decimal sums, so centroids — and therefore every
+    * assignment — are bit-identical run to run.
+    *
+    * Returns `(vec_id, cluster_id, dist2)` — the assignment under the
+    * final centroids, with the squared euclidean distance as the
+    * quality signal (sum over clusters = the k-means inertia).
+    */
+  def kmeansAssign(s: SparkSession, emb: DataFrame, k: Int,
+                   iters: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(iters >= 1, s"iters must be positive, got $iters")
+    val e = emb.select(col("vec_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      .repartition(s.sparkContext.defaultParallelism)
+    var centroids: Array[Array[Double]] = e.orderBy("vec_id").limit(k)
+      .collect().map(_.getSeq[Double](1).toArray)
+
+    // argmin_c ||v - c||^2 = argmin_c (|c|^2 - 2 v·c): one DotProduct
+    // per centroid against a broadcast literal, ties to the lower id
+    def assignExpr: org.apache.spark.sql.Column = {
+      val scored = centroids.zipWithIndex.map { case (c, i) =>
+        val cLit = array(c.map(lit): _*)
+        val d2 = lit(c.map(x => x * x).sum) -
+          lit(2.0) * graft.functions.VectorFunctions.dot(s, col("v"), cLit)
+        struct(d2.as("d2"), lit(i).as("cid"))
+      }
+      least(scored: _*)
+    }
+
+    for (_ <- 1 to iters) {
+      val assigned = e.select(col("vec_id"), col("v"),
+        assignExpr.getField("cid").as("cid"))
+      // per-dimension decimal-exact means, k*d rows on the shuffle
+      val means = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cid", "dim")
+        .agg((sum(col("x").cast(DecimalType(28, 12))) / count(lit(1)))
+          .cast(DoubleType).as("m"))
+        .groupBy("cid")
+        .agg(map_from_arrays(collect_list(col("dim")),
+          collect_list(col("m"))).as("dims"))
+        .collect()
+      val next = centroids.clone()
+      means.foreach { r =>
+        val dims = r.getMap[Int, Double](1)
+        next(r.getInt(0)) = Array.tabulate(dims.size)(dims(_))
+      }
+      centroids = next
+    }
+    e.select(col("vec_id"), col("v"),
+        assignExpr.getField("cid").as("cluster_id"),
+        assignExpr.getField("d2").as("vd2"))
+      // d2 above omits |v|^2 (constant per vector, irrelevant to the
+      // argmin); add it back so the reported distance is the true one
+      .select(col("vec_id"), col("cluster_id"),
+        (col("vd2") + expr(
+          "aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)"))
+          .as("dist2"))
+  }
+
+  /** `cluster_kmeans` — the declared-query wrapper: cluster the
+    * embeddings table and report per-cluster size and inertia. NO
+    * ORACLE (iterative float arithmetic is not SQL-expressible in a
+    * portable way); the unit spec proves exact recovery of crafted
+    * separable clusters and the size/inertia invariants.
+    */
+  def clusterKmeans(s: SparkSession, dir: String, k: Int = 8,
+                    iters: Int = 5): DataFrame =
+    kmeansAssign(s, Sources.table(s, dir, "embeddings"), k, iters)
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("dist2")), 2).as("inertia"))
+      .orderBy("cluster_id")
+}

@@ -433,6 +433,37 @@ object Relational {
       .orderBy("key", "valid_from", "is_current")
   }
 
+  /** `join_topk` — the TPC-H-Q3-shaped composite: segment-filtered
+    * customers ⋈ date-filtered orders ⋈ date-filtered lineitem,
+    * grouped revenue, top-10 by revenue. The showcase of the engine's
+    * composition story: all three filters push into their scans, the
+    * fact⋈fact join shuffles on the order key while the customer probe
+    * broadcasts at test scale (AQE decides), and the final top-k plans
+    * as TakeOrderedAndProject — per-partition heaps, no global sort.
+    * Revenue is decimal-exact with a key tiebreak, so the top-10 cut
+    * is deterministic.
+    */
+  def joinTopk(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1995-03-15").cast(TimestampType)
+    val c = Sources.table(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Sources.table(s, dir, "orders")
+      .filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val l = Sources.table(s, dir, "lineitem")
+      .filter(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
   /** `map_funcs` — the map-type surface (X5's map half): parse the
     * JSON props into a `map<string,string>`, explode to (key, value)
     * rows, and profile key frequency + value cardinality. `from_json`

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Aggregates, NearDup, Relational, Sources, TimeOps}
+import graft.ops.{Aggregates, Cluster, NearDup, Relational, Sources, TimeOps}
 import org.apache.spark.sql.functions._
 
 /** Round-5 surface: deterministic mode/arg-extremes, per-group exact
@@ -268,6 +268,48 @@ class Round5Spec extends SparkSpec {
     val back = spark.read.orc(s"$dir/region_orc")
     assert(back.schema == src.schema)
     assert(back.count() == src.count())
+  }
+
+  test("join_topk plans a TakeOrderedAndProject and pushes all filters") {
+    val df = Relational.joinTopk(spark, sf)
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must not globally sort:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), " +
+      "EqualTo(c_mktsegment,BUILDING)") ||
+      p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"segment filter must reach the customer scan:\n$p")
+    assert(df.count() <= 10)
+  }
+
+  test("kmeans recovers crafted separable clusters exactly") {
+    import spark.implicits._
+    // three tight clusters far apart in 4-d; ids interleaved so the
+    // lowest-k init starts with one point from each cluster region
+    val pts = (0 until 30).map { i =>
+      val c = i % 3
+      val base = Array.fill(4)(c * 100.0)
+      (i.toLong, base.zipWithIndex.map { case (b, d) =>
+        (b + (i / 3) * 0.01 + d * 0.001).toFloat })
+    }
+    val emb = pts.toDF("vec_id", "embedding")
+    val out = Cluster.kmeansAssign(spark, emb, 3, 5).collect()
+    val groups = out.groupBy(_.getLong(0) % 3).values.toSeq
+    assert(groups.forall(g =>
+      g.map(_.getInt(1)).distinct.length == 1),
+      "points of one true cluster must share an assignment")
+    assert(out.map(_.getInt(1)).distinct.length == 3,
+      "all three clusters must be populated")
+  }
+
+  test("kmeans inertia never increases with more Lloyd iterations") {
+    val emb = Sources.table(spark, sf, "embeddings")
+    def inertia(iters: Int): Double =
+      Cluster.kmeansAssign(spark, emb, 4, iters)
+        .agg(sum(col("dist2"))).collect().head.getDouble(0)
+    val i1 = inertia(1)
+    val i4 = inertia(4)
+    assert(i4 <= i1 + 1e-6, s"inertia rose: $i1 -> $i4")
   }
 
   test("dedup_bloom never misses a true duplicate") {
