@@ -74,7 +74,6 @@ object Ann {
   /** [[simAnnIvf]] over any `(vec_id, embedding)` relation. */
   def simAnnIvf(s: SparkSession, emb: DataFrame, queryId: Long,
                 k: Int, nLists: Int, nProbe: Int): DataFrame = {
-    val nd = (a: Column, b: Column) => graft.functions.VectorFunctions.dot(s, a, b)
     val e = emb
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
@@ -83,6 +82,32 @@ object Ann {
     // constant across candidates, so this argmax IS argmax of cosine)
     val centroids = e.orderBy("vec_id").limit(nLists)
       .select(collect_list(col("v")).as("cs"))
+    ivfSearch(s, e, centroids, queryId, k, nProbe)
+  }
+
+  /** IVF with a TRAINED coarse quantizer: centroids come from
+    * [[Cluster.kmeansAssign]]'s Lloyd iterations instead of a fixed
+    * corpus sample, which tightens the lists (fewer near-boundary
+    * vectors filed far from their neighbors) and so improves recall at
+    * the same `nProbe`. Same search plan — only the quantizer changes,
+    * exactly the swap the fixed-sample variant's doc promises.
+    */
+  def simAnnIvfTrained(s: SparkSession, emb: DataFrame, queryId: Long = 0L,
+                       k: Int = 10, nLists: Int = 16, nProbe: Int = 4,
+                       iters: Int = 3): DataFrame = {
+    val e = emb
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+    val trained = Cluster.kmeansCentroids(s, emb, nLists, iters)
+    val centroids = s.range(1).select(
+      array(trained.map(c => array(c.map(lit): _*)): _*).as("cs"))
+    ivfSearch(s, e, centroids, queryId, k, nProbe)
+  }
+
+  /** Shared IVF search body over a 1-row `cs` centroid-list relation. */
+  private def ivfSearch(s: SparkSession, e: DataFrame, centroids: DataFrame,
+                        queryId: Long, k: Int, nProbe: Int): DataFrame = {
+    val nd = (a: Column, b: Column) => graft.functions.VectorFunctions.dot(s, a, b)
     graft.functions.VectorFunctions.register(s)
     // assign: index of the centroid with max cosine(v, c)
     val assigned = e.crossJoin(broadcast(centroids))

@@ -36,29 +36,51 @@ object Cluster {
     */
   def kmeansAssign(s: SparkSession, emb: DataFrame, k: Int,
                    iters: Int = 5): DataFrame = {
-    require(k >= 1, s"k must be positive, got $k")
-    require(iters >= 1, s"iters must be positive, got $iters")
-    val e = emb.select(col("vec_id"),
+    val e = vectors(s, emb)
+    val centroids = kmeansCentroids(s, emb, k, iters)
+    e.select(col("vec_id"), col("v"),
+        assignExpr(s, centroids).getField("cid").as("cluster_id"),
+        assignExpr(s, centroids).getField("d2").as("vd2"))
+      // d2 above omits |v|^2 (constant per vector, irrelevant to the
+      // argmin); add it back so the reported distance is the true one
+      .select(col("vec_id"), col("cluster_id"),
+        (col("vd2") + expr(
+          "aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)"))
+          .as("dist2"))
+  }
+
+  private def vectors(s: SparkSession, emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
         col("embedding").cast(ArrayType(DoubleType)).as("v"))
       .repartition(s.sparkContext.defaultParallelism)
+
+  // argmin_c ||v - c||^2 = argmin_c (|c|^2 - 2 v·c): one DotProduct
+  // per centroid against a broadcast literal, ties to the lower id
+  private def assignExpr(s: SparkSession,
+                         centroids: Array[Array[Double]]): org.apache.spark.sql.Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val cLit = array(c.map(lit): _*)
+      val d2 = lit(c.map(x => x * x).sum) -
+        lit(2.0) * graft.functions.VectorFunctions.dot(s, col("v"), cLit)
+      struct(d2.as("d2"), lit(i).as("cid"))
+    }
+    least(scored: _*)
+  }
+
+  /** The Lloyd iteration alone: returns the trained centroids (k × d
+    * doubles on the driver) — the coarse-quantizer training step
+    * [[Ann.simAnnIvfTrained]] plugs into its search plan.
+    */
+  def kmeansCentroids(s: SparkSession, emb: DataFrame, k: Int,
+                      iters: Int): Array[Array[Double]] = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(iters >= 1, s"iters must be positive, got $iters")
+    val e = vectors(s, emb)
     var centroids: Array[Array[Double]] = e.orderBy("vec_id").limit(k)
       .collect().map(_.getSeq[Double](1).toArray)
-
-    // argmin_c ||v - c||^2 = argmin_c (|c|^2 - 2 v·c): one DotProduct
-    // per centroid against a broadcast literal, ties to the lower id
-    def assignExpr: org.apache.spark.sql.Column = {
-      val scored = centroids.zipWithIndex.map { case (c, i) =>
-        val cLit = array(c.map(lit): _*)
-        val d2 = lit(c.map(x => x * x).sum) -
-          lit(2.0) * graft.functions.VectorFunctions.dot(s, col("v"), cLit)
-        struct(d2.as("d2"), lit(i).as("cid"))
-      }
-      least(scored: _*)
-    }
-
     for (_ <- 1 to iters) {
       val assigned = e.select(col("vec_id"), col("v"),
-        assignExpr.getField("cid").as("cid"))
+        assignExpr(s, centroids).getField("cid").as("cid"))
       // per-dimension decimal-exact means, k*d rows on the shuffle
       val means = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
@@ -76,15 +98,7 @@ object Cluster {
       }
       centroids = next
     }
-    e.select(col("vec_id"), col("v"),
-        assignExpr.getField("cid").as("cluster_id"),
-        assignExpr.getField("d2").as("vd2"))
-      // d2 above omits |v|^2 (constant per vector, irrelevant to the
-      // argmin); add it back so the reported distance is the true one
-      .select(col("vec_id"), col("cluster_id"),
-        (col("vd2") + expr(
-          "aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)"))
-          .as("dist2"))
+    centroids
   }
 
   /** `cluster_kmeans` — the declared-query wrapper: cluster the

@@ -312,6 +312,19 @@ class Round5Spec extends SparkSpec {
     assert(i4 <= i1 + 1e-6, s"inertia rose: $i1 -> $i4")
   }
 
+  test("trained-quantizer IVF returns genuine brute-force cosines") {
+    val exact = graft.ops.TextSim.simSearch(spark, sf, queryId = 0L,
+        k = 1000000)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ivf = graft.ops.Ann.simAnnIvfTrained(spark,
+      Sources.table(spark, sf, "embeddings")).collect()
+    assert(ivf.nonEmpty, "trained probe lists must hold candidates")
+    ivf.foreach { r =>
+      assert(exact(r.getLong(0)) == r.getDouble(1),
+        s"trained-IVF cos_sim for vec ${r.getLong(0)} diverges from brute force")
+    }
+  }
+
   test("dedup_bloom never misses a true duplicate") {
     import spark.implicits._
     // all-identical corpus: every new-batch doc duplicates the corpus,
