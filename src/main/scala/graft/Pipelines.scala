@@ -166,10 +166,19 @@ object Pipelines {
     * parquet load. Every stage is a hash-keyed filter/join, so the
     * whole pipeline is one lazy plan per count plus the final write —
     * no driver-side materialization, same shapes at 100 TB.
+    *
+    * `clusterCap` optionally adds embedding-cluster balancing after
+    * the quality gate: documents are k-means-clustered in embedding
+    * space ([[graft.ops.Cluster.kmeansAssign]]) and each cluster keeps
+    * at most `cap` docs (lowest ids — deterministic), flattening
+    * topic-density skew the way curation recipes balance web-crawl
+    * duplication at the semantic level. Docs without a vector pass
+    * through uncapped.
     */
   def curation2026(spark: SparkSession, sfDir: String, outDir: String,
-                   budget: Long = 256L): CurationRun = {
-    import graft.ops.{NearDup, Sampling, TextSim}
+                   budget: Long = 256L,
+                   clusterCap: Option[Int] = None): CurationRun = {
+    import graft.ops.{Cluster, NearDup, Sampling, TextSim}
     val docs = Sources.table(spark, sfDir, "documents")
     // 1. exact dedup: canonical = min doc id per normalized content hash
     val exactKeep = docs
@@ -194,8 +203,22 @@ object Pipelines {
       .filter(col("entropy") > 1.0).select("doc_id")
     val d4 = d3.join(qualityOk, "doc_id").join(notRepetitive, "doc_id")
       .join(denseEnough, "doc_id")
+    // 4b. optional semantic balance: cap each embedding cluster
+    val d4b = clusterCap match {
+      case None => d4
+      case Some(cap) =>
+        val assign = Cluster.kmeansAssign(spark,
+            Sources.table(spark, sfDir, "embeddings"), k = 8, iters = 3)
+          .select(col("vec_id").as("doc_id"), col("cluster_id"))
+        val byCluster = org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster_id").orderBy("doc_id")
+        val overCap = d4.select("doc_id").join(assign, "doc_id")
+          .withColumn("rn", row_number().over(byCluster))
+          .filter(col("rn") > cap).select("doc_id")
+        d4.join(overCap, Seq("doc_id"), "left_anti")
+    }
     // 5. train split (eval nibbles are >= 'c'; see Sampling.sampleSplit)
-    val train = d4.filter(Sampling.hexNibble(col("doc_id")) < "c")
+    val train = d4b.filter(Sampling.hexNibble(col("doc_id")) < "c")
     // 6. PII scrub + 7. sequence packing within each source shard
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy("doc_id")

@@ -63,6 +63,8 @@ object SparkEntry {
     "agg_collect" -> (Aggregates.aggCollect _),
     "agg_minmax_by" -> (Aggregates.aggMinmaxBy _),
     "agg_pctl_group" -> (Aggregates.aggPctlGroup _),
+    "agg_grouping_id" -> (Aggregates.aggGroupingId _),
+    "trend_mom" -> (Aggregates.trendMom _),
     // J: joins
     "join_dim" -> (Relational.joinDim _),
     "join_fact" -> (Relational.joinFact _),
@@ -728,6 +730,24 @@ object SparkEntry {
         |SELECT event_type, CAST(idx AS BIGINT) * 25 / 100.0 AS p,
         |round(v, 4) AS value_at_p
         |FROM u ORDER BY event_type, p""".stripMargin,
+
+    "agg_grouping_id" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+        |count(*) AS n
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_priority, o_orderstatus NULLS FIRST,
+        |o_orderpriority NULLS FIRST""".stripMargin,
+
+    "trend_mom" ->
+      """WITH m AS (SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS ym,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1)
+        |SELECT ym, revenue,
+        |round(100.0 * (revenue - lag(revenue) OVER (ORDER BY ym)) /
+        |  lag(revenue) OVER (ORDER BY ym), 4) AS pct_change
+        |FROM m ORDER BY ym""".stripMargin,
 
     "agg_deciles" ->
       """WITH q AS (SELECT quantile_cont(value,

@@ -380,6 +380,41 @@ object Aggregates {
       .orderBy("event_type", "p")
   }
 
+  /** `agg_grouping_id` — rollup with explicit `grouping()` flags: the
+    * subtotal rows carry a marker distinguishing "NULL because this
+    * level is rolled up" from "NULL in the data" — the disambiguation
+    * every warehouse report needs once group columns are nullable.
+    * Same single Expand-fed hash aggregate as [[aggRollup]]; the
+    * flags are free metadata from the Expand.
+    */
+  def aggGroupingId(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping(col("o_orderstatus")).cast(LongType).as("g_status"),
+        grouping(col("o_orderpriority")).cast(LongType).as("g_priority"),
+        count(lit(1)).as("n"))
+      .orderBy(col("g_status"), col("g_priority"),
+        col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** `trend_mom` — month-over-month revenue trend: monthly decimal-
+    * exact revenue plus the percent change against the previous month.
+    * The heavy work is one grouped aggregate (shuffle rows = months);
+    * the lag window then runs over the bounded month series, so its
+    * single-partition sort is a non-issue at any corpus size — the
+    * standard shape for trend reporting over pre-aggregated series.
+    */
+  def trendMom(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("ym")
+    Sources.table(s, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+      .agg(dsum(col("o_totalprice")).as("revenue"))
+      .select(col("ym"), col("revenue"),
+        round(lit(100.0) * (col("revenue") - lag(col("revenue"), 1).over(w)) /
+          lag(col("revenue"), 1).over(w), 4).as("pct_change"))
+      .orderBy("ym")
+  }
+
   /** `agg_collect` — grouped collection aggregate: the distinct
     * width-100 value buckets per event type as one sorted,
     * comma-joined string. `collect_set` is the order-nondeterministic

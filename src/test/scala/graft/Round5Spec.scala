@@ -325,6 +325,49 @@ class Round5Spec extends SparkSpec {
     }
   }
 
+  test("agg_grouping_id row algebra: detail + subtotals + grand total") {
+    val rows = Aggregates.aggGroupingId(spark, sf).collect()
+    val detail = rows.filter(r => r.getLong(2) == 0 && r.getLong(3) == 0)
+    val sub = rows.filter(r => r.getLong(2) == 0 && r.getLong(3) == 1)
+    val grand = rows.filter(r => r.getLong(2) == 1 && r.getLong(3) == 1)
+    assert(grand.length == 1)
+    val total = grand.head.getLong(4)
+    assert(detail.map(_.getLong(4)).sum == total)
+    assert(sub.map(_.getLong(4)).sum == total)
+    // grouping flags, not data nulls, mark the subtotal rows
+    sub.foreach(r => assert(r.isNullAt(1) && !r.isNullAt(0)))
+  }
+
+  test("trend_mom percent changes reconstruct the revenue series") {
+    val rows = Aggregates.trendMom(spark, sf).collect()
+    assert(rows.head.isNullAt(2), "first month has no previous month")
+    rows.sliding(2).foreach { case Array(prev, cur) =>
+      val expect = BigDecimal(
+        100.0 * (cur.getDouble(1) - prev.getDouble(1)) / prev.getDouble(1))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(cur.getDouble(2) - expect) < 1e-9,
+        s"pct_change mismatch at ${cur.getString(0)}")
+    }
+  }
+
+  test("curation2026 cluster cap bounds per-cluster survivors") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cap").toString
+    val cap = 3
+    val capped = Pipelines.curation2026(spark, sf, s"$base/capped",
+      clusterCap = Some(cap))
+    val plain = Pipelines.curation2026(spark, sf, s"$base/plain")
+    assert(capped.trainDocs <= plain.trainDocs)
+    val outIds = spark.read.parquet(s"$base/capped").select("doc_id")
+    val assign = Cluster.kmeansAssign(spark,
+        Sources.table(spark, sf, "embeddings"), 8, 3)
+      .select(col("vec_id").as("doc_id"), col("cluster_id"))
+    val maxPerCluster = outIds.join(assign, "doc_id")
+      .groupBy("cluster_id").count().agg(max("count")).collect()
+      .head.getLong(0)
+    assert(maxPerCluster <= cap,
+      s"a cluster kept $maxPerCluster docs, cap was $cap")
+  }
+
   test("dedup_bloom never misses a true duplicate") {
     import spark.implicits._
     // all-identical corpus: every new-batch doc duplicates the corpus,
