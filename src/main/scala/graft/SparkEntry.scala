@@ -102,6 +102,8 @@ object SparkEntry {
     "window_range" -> (TimeOps.windowRange _),
     "funnel_steps" -> (TimeOps.funnelSteps _),
     "sessionize" -> (TimeOps.sessionize _),
+    "session_native" -> (TimeOps.sessionNative _),
+    "window_fill" -> (TimeOps.windowFill _),
     "time_resample" -> (TimeOps.timeResample _),
     "window_lag" -> (TimeOps.windowLag _),
     "session_stats" -> (TimeOps.sessionStats _),
@@ -579,6 +581,29 @@ object SparkEntry {
         |PARTITION BY user_id ORDER BY ts, event_id
         |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |FROM g ORDER BY user_id, event_id""".stripMargin,
+
+    "session_native" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        |           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |g AS (SELECT user_id, event_id, us,
+        |  CASE WHEN lag(us) OVER w IS NULL OR us >= lag(us) OVER w + 1800000000
+        |  THEN 1 ELSE 0 END AS new_sess FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |sid AS (SELECT user_id, us, CAST(SUM(new_sess) OVER (
+        |  PARTITION BY user_id ORDER BY us, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id, min(us) AS session_start_us, count(*) AS n
+        |FROM sid GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start_us""".stripMargin,
+
+    "window_fill" ->
+      """SELECT user_id, event_id,
+        |last_value(value IGNORE NULLS) OVER (
+        |  PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+        |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "session_stats" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

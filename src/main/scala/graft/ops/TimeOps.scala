@@ -122,6 +122,45 @@ object TimeOps {
       .orderBy("user_id", "event_id")
   }
 
+  /** `session_native` — the NATIVE `session_window` operator in batch
+    * mode: per-user 30-minute-gap sessions with start time and event
+    * count, the same expression a stream would use (see
+    * [[sessionCounts]]). Spark plans it as a dedicated session-window
+    * aggregate — one shuffle on the user key, sessions merged within
+    * partitions; work scales with per-user rows. Session semantics are
+    * STRICT (a gap of exactly the duration starts a new session), and
+    * the oracle's islands formulation mirrors that with `>=`.
+    * Complements [[sessionize]], which builds the same sessions from
+    * window functions (ids per event rather than one row per session).
+    */
+  def sessionNative(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n"))
+      .orderBy("user_id", "session_start_us")
+
+  /** `window_fill` — forward-fill imputation: each null `value` takes
+    * the most recent non-null value of the same user (`last` with
+    * ignoreNulls over a running frame) — the time-series counterpart
+    * of [[Transforms.fillnaMean]]'s global imputation. One exchange on
+    * the user key; leading nulls stay null (no lookahead), which the
+    * oracle's IGNORE NULLS window mirrors exactly.
+    */
+  def windowFill(s: SparkSession, dir: String): DataFrame = {
+    val run = Window.partitionBy("user_id")
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Sources.table(s, dir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        last(col("value"), ignoreNulls = true).over(run).as("value_filled"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** `session_stats` — per-session rollup on top of the [[sessionize]]
     * formulation: event count, first event, and µs-exact duration per
     * (user, session). The composition a funnel/engagement dashboard

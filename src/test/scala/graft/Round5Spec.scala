@@ -368,6 +368,44 @@ class Round5Spec extends SparkSpec {
       s"a cluster kept $maxPerCluster docs, cap was $cap")
   }
 
+  test("session_native sessions partition the events and match sessionize") {
+    val ev = Sources.table(spark, sf, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull).count()
+    val sessions = TimeOps.sessionNative(spark, sf).collect()
+    assert(sessions.map(_.getLong(2)).sum == ev,
+      "session event counts must partition the input")
+    // same session COUNT per user as the islands formulation
+    val islands = TimeOps.sessionize(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (u, rs) =>
+        u -> rs.map(_.getLong(2)).max }
+    sessions.groupBy(_.getLong(0)).foreach { case (u, rs) =>
+      assert(rs.length == islands(u),
+        s"user $u: native sessions ${rs.length} != islands ${islands(u)}")
+    }
+  }
+
+  test("window_fill forward-fills from the latest non-null only") {
+    val raw = Sources.table(spark, sf, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("value")).collect()
+      .groupBy(_.getLong(0))
+    TimeOps.windowFill(spark, sf).collect()
+      .groupBy(_.getLong(0)).foreach { case (u, rs) =>
+        val ordered = raw(u).sortBy(r => (r.getLong(2), r.getLong(1)))
+        var lastSeen: Option[Double] = None
+        val expect = ordered.map { r =>
+          if (!r.isNullAt(3)) lastSeen = Some(r.getDouble(3))
+          r.getLong(1) -> lastSeen
+        }.toMap
+        rs.foreach { r =>
+          val got = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+          assert(got == expect(r.getLong(1)),
+            s"fill mismatch for user $u event ${r.getLong(1)}")
+        }
+      }
+  }
+
   test("dedup_bloom never misses a true duplicate") {
     import spark.implicits._
     // all-identical corpus: every new-batch doc duplicates the corpus,
