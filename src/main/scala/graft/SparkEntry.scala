@@ -110,6 +110,7 @@ object SparkEntry {
     // L: LLM-pipeline ops
     "text_tokens" -> (TextSim.textTokens _),
     "text_stats" -> (TextSim.textStats _),
+    "source_stats" -> (TextSim.sourceStats _),
     "dedup_text" -> (TextSim.dedupText _),
     "sim_search" -> ((s, d) => TextSim.simSearch(s, d)),
     "multimodal_join" -> (TextSim.multimodalJoin _),
@@ -632,6 +633,19 @@ object SparkEntry {
         |min(n_chars) AS min_chars, max(n_chars) AS max_chars,
         |CAST(SUM(CAST(length(text) AS BIGINT)) AS DOUBLE) / count(*) AS avg_len
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "source_stats" ->
+      """WITH d AS (SELECT doc_id, source, trim(lower(text)) AS norm,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |FROM documents),
+        |h AS (SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT norm) AS n_unique,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM d GROUP BY source)
+        |SELECT source, n_docs, n_unique,
+        |round(1.0 - CAST(n_unique AS DOUBLE) / n_docs, 4) AS dup_rate,
+        |total_tokens,
+        |CAST(total_tokens AS DOUBLE) / n_docs AS avg_tokens
+        |FROM h ORDER BY source""".stripMargin,
 
     "dedup_text" ->
       """SELECT text_hash, count(*) AS n_docs, min(doc_id) AS first_doc FROM

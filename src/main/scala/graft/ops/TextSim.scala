@@ -55,6 +55,32 @@ object TextSim {
           count(lit(1))).as("avg_len"))
       .orderBy("lang")
 
+  /** `source_stats` — the per-source curation dashboard: document
+    * count, distinct-content count (normalized text), duplication
+    * rate, and token volume per source shard — the rollup a curation
+    * run reports per crawl/provider to decide source weights (see
+    * [[graft.ops.Sampling.sampleWeighted]]). One scan, one hash
+    * aggregate keyed on the source; the distinct count hashes
+    * normalized content, so at corpus scale the shuffle carries
+    * (source, hash) pairs, never the text.
+    */
+  def sourceStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("source"),
+        trim(lower(col("text"))).as("norm"),
+        size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("norm")).as("n_unique"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .select(col("source"), col("n_docs"), col("n_unique"),
+        round(lit(1.0) - col("n_unique").cast(DoubleType) /
+          col("n_docs").cast(DoubleType), 4).as("dup_rate"),
+        col("total_tokens"),
+        (col("total_tokens").cast(DoubleType) /
+          col("n_docs").cast(DoubleType)).as("avg_tokens"))
+      .orderBy("source")
+
   /** `dedup_text` — L3, exact near-dup detection: normalize → sha256 →
     * group. The 100 TB-safe shape: the shuffle key is the 32-byte
     * hash, so identical documents land in one reducer regardless of

@@ -406,6 +406,17 @@ class Round5Spec extends SparkSpec {
       }
   }
 
+  test("source_stats counts partition the corpus and bound dup_rate") {
+    val total = Sources.table(spark, sf, "documents").count()
+    val rows = graft.ops.TextSim.sourceStats(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum == total)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "unique <= docs")
+      val d = r.getDouble(3)
+      assert(d >= 0.0 && d < 1.0, s"dup_rate out of range: $d")
+    }
+  }
+
   test("dedup_bloom never misses a true duplicate") {
     import spark.implicits._
     // all-identical corpus: every new-batch doc duplicates the corpus,
