@@ -108,7 +108,7 @@ object Cluster {
     * separable clusters and the size/inertia invariants.
     */
   def clusterKmeans(s: SparkSession, dir: String, k: Int = 8,
-                    iters: Int = 5): DataFrame =
+                    iters: Int = 3): DataFrame =
     kmeansAssign(s, Sources.table(s, dir, "embeddings"), k, iters)
       .groupBy("cluster_id")
       .agg(count(lit(1)).as("n"),
