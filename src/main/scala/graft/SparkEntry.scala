@@ -111,6 +111,8 @@ object SparkEntry {
     "text_tokens" -> (TextSim.textTokens _),
     "text_stats" -> (TextSim.textStats _),
     "source_stats" -> (TextSim.sourceStats _),
+    "text_bigrams" -> ((s, d) => TextSim.textBigrams(s, d)),
+    "outlier_zscore" -> ((s, d) => TextSim.outlierZscore(s, d)),
     "dedup_text" -> (TextSim.dedupText _),
     "sim_search" -> ((s, d) => TextSim.simSearch(s, d)),
     "multimodal_join" -> (TextSim.multimodalJoin _),
@@ -633,6 +635,24 @@ object SparkEntry {
         |min(n_chars) AS min_chars, max(n_chars) AS max_chars,
         |CAST(SUM(CAST(length(text) AS BIGINT)) AS DOUBLE) / count(*) AS avg_len
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "text_bigrams" ->
+      """WITH w AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS words
+        |FROM documents),
+        |bg AS (SELECT unnest(list_transform(range(2, len(words) + 1),
+        |  i -> words[i - 1] || ' ' || words[i])) AS bigram
+        |  FROM w WHERE len(words) >= 2)
+        |SELECT bigram, count(*) AS n FROM bg
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 30""".stripMargin,
+
+    "outlier_zscore" ->
+      """WITH s AS (SELECT CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+        |  CAST(count(value) AS DOUBLE) AS n FROM events),
+        |p AS (SELECT sx / n AS mu, sqrt((sxx - sx * sx / n) / (n - 1)) AS sd FROM s)
+        |SELECT event_id, value, round((value - mu) / sd, 4) AS z
+        |FROM events, p WHERE abs(value - mu) > 3 * sd
+        |ORDER BY event_id""".stripMargin,
 
     "source_stats" ->
       """WITH d AS (SELECT doc_id, source, trim(lower(text)) AS norm,

@@ -55,6 +55,52 @@ object TextSim {
           count(lit(1))).as("avg_len"))
       .orderBy("lang")
 
+  /** `text_bigrams` — corpus-level top bigrams: the n-gram
+    * generalization of [[textTokens]] (the same explode → hash-agg
+    * shape; shuffle ∝ distinct bigrams) and the readable complement of
+    * the hashed-shingle machinery in NearDup (which never builds the
+    * gram string). The transform builds each bigram once per position;
+    * deterministic tie-break on the bigram itself.
+    */
+  def textBigrams(s: SparkSession, dir: String, k: Int = 30): DataFrame =
+    docs(s, dir)
+      .select(split(lower(trim(col("text"))), "\\s+").as("words"))
+      .filter(size(col("words")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(words) - 1)," +
+          " i -> concat(words[i - 1], ' ', words[i]))")).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(k)
+
+  /** `outlier_zscore` — z-score anomaly detection: events more than
+    * three sample standard deviations from the mean. Complements
+    * [[graft.ops.Transforms.outlierIqr]] (quartile-based, robust) with
+    * the parametric rule; mean and std derive from exact decimal power
+    * sums (Σx, Σx² — the [[Aggregates.aggCorr]] discipline), so the
+    * cut line is bit-identical across engines where `stddev_samp`'s
+    * accumulation order would drift. One scan for the 1-row moment
+    * aggregate, broadcast into the filter scan — constant overhead at
+    * any size.
+    */
+  def outlierZscore(s: SparkSession, dir: String,
+                    nSigma: Double = 3.0): DataFrame = {
+    require(nSigma > 0, s"nSigma must be positive, got $nSigma")
+    val ev = Sources.table(s, dir, "events")
+    val p = ev.agg(dsum(col("value")).as("sx"),
+        dsum(col("value") * col("value"), 6).as("sxx"),
+        count(col("value")).cast(DoubleType).as("n"))
+      .select((col("sx") / col("n")).as("mu"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) /
+          (col("n") - 1)).as("sd"))
+    ev.crossJoin(broadcast(p))
+      .filter(abs(col("value") - col("mu")) > lit(nSigma) * col("sd"))
+      .select(col("event_id"), col("value"),
+        round((col("value") - col("mu")) / col("sd"), 4).as("z"))
+      .orderBy("event_id")
+  }
+
   /** `source_stats` — the per-source curation dashboard: document
     * count, distinct-content count (normalized text), duplication
     * rate, and token volume per source shard — the rollup a curation

@@ -417,6 +417,35 @@ class Round5Spec extends SparkSpec {
     }
   }
 
+  test("text_bigrams agrees with a per-doc recount") {
+    val texts = Sources.table(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0))
+    val expect = texts.flatMap { t =>
+      val w = t.trim.toLowerCase.split("\\s+")
+      if (w.length >= 2) w.sliding(2).map(_.mkString(" ")) else Iterator.empty
+    }.groupBy(identity).map { case (b, xs) => b -> xs.length.toLong }
+    graft.ops.TextSim.textBigrams(spark, sf).collect().foreach { r =>
+      assert(expect(r.getString(0)) == r.getLong(1),
+        s"count mismatch for bigram '${r.getString(0)}'")
+    }
+  }
+
+  test("outlier_zscore flags exactly the >3-sigma events") {
+    val rows = graft.ops.TextSim.outlierZscore(spark, sf).collect()
+    assert(rows.nonEmpty, "fixture should have z-score outliers")
+    rows.foreach(r => assert(math.abs(r.getDouble(2)) > 3.0))
+    // and the flagged set is exactly the complement of the in-range set
+    val vals = Sources.table(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .select("value").collect().map(_.getDouble(0))
+    val n = vals.length.toDouble
+    val mu = vals.sum / n
+    val sd = math.sqrt(vals.map(v => (v - mu) * (v - mu)).sum / (n - 1))
+    val expected = vals.count(v => math.abs(v - mu) > 3 * sd)
+    assert(rows.length == expected,
+      s"flagged ${rows.length}, naive recompute says $expected")
+  }
+
   test("dedup_bloom never misses a true duplicate") {
     import spark.implicits._
     // all-identical corpus: every new-batch doc duplicates the corpus,
