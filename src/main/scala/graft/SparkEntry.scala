@@ -89,6 +89,8 @@ object SparkEntry {
     "window_frames" -> (Relational.windowFrames _),
     "filter_exists" -> (Relational.filterExists _),
     "cohort_retention" -> (Relational.cohortRetention _),
+    "share_of_total" -> (Relational.shareOfTotal _),
+    "dedup_time_window" -> (TimeOps.dedupTimeWindow _),
     // X: scalar function surface
     "str_funcs" -> (Relational.strFuncs _),
     "str_regex" -> (Relational.strRegex _),
@@ -452,6 +454,28 @@ object SparkEntry {
         |CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
         |  AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT) AS step_purchase
         |FROM s""".stripMargin,
+
+    "share_of_total" ->
+      """WITH n AS (SELECT n_name,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name)
+        |SELECT n_name, revenue,
+        |round(100.0 * revenue / sum(revenue) OVER (), 4) AS pct_of_total
+        |FROM n ORDER BY n_name""".stripMargin,
+
+    "dedup_time_window" ->
+      """WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+        |  CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr
+        |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  AND event_type IS NOT NULL),
+        |r AS (SELECT user_id, event_type, event_id, hr,
+        | row_number() OVER (PARTITION BY user_id, event_type, hr
+        |   ORDER BY us, event_id) AS rn FROM e)
+        |SELECT user_id, event_type, hr AS hour_start, event_id
+        |FROM r WHERE rn = 1
+        |ORDER BY user_id, event_type, hour_start""".stripMargin,
 
     "cohort_retention" ->
       """WITH o AS (SELECT o_custkey,

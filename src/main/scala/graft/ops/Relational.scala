@@ -495,6 +495,31 @@ object Relational {
     a.crossJoin(broadcast(b)).orderBy("region_a", "region_b")
   }
 
+  /** `share_of_total` — percent-of-total contribution: revenue per
+    * nation with each nation's share of the grand total. The share
+    * divides by `sum() OVER ()` — an empty-frame window over the
+    * ALREADY-AGGREGATED series (25 nations), so the single-partition
+    * window is a non-issue at any order count; the heavy work is the
+    * grouped join underneath, shuffling on bounded keys. Revenue is
+    * decimal-exact, so shares round identically in both engines.
+    */
+  def shareOfTotal(s: SparkSession, dir: String): DataFrame = {
+    val perNation = Sources.table(s, dir, "orders")
+      .join(Sources.table(s, dir, "customer")
+        .select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Sources.table(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(dsum(col("o_totalprice")).as("revenue"))
+    perNation
+      .select(col("n_name"), col("revenue"),
+        round(lit(100.0) * col("revenue") /
+          sum(col("revenue")).over(Window.partitionBy()), 4)
+          .as("pct_of_total"))
+      .orderBy("n_name")
+  }
+
   /** `cohort_retention` — customer cohort analysis: each customer's
     * cohort is their first order month; the output counts distinct
     * active customers per (cohort, activity month) — the retention

@@ -122,6 +122,29 @@ object TimeOps {
       .orderBy("user_id", "event_id")
   }
 
+  /** `dedup_time_window` — time-bounded deduplication: keep the FIRST
+    * event per (user, type) within each hour — the batch shape of
+    * retry/duplicate suppression (the streaming twin is
+    * [[dedupWithinWatermark]], whose state watermarking bounds the
+    * same window). One rank window partitioned by the dedup key plus
+    * the hour bucket; shuffle and sort scale with per-key-per-hour
+    * rows, and WindowGroupLimit keeps the rank-1 cut map-side.
+    */
+  def dedupTimeWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type", "hour_start")
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+    Sources.table(s, dir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        date_trunc("hour", col("ts")).as("hour_start"),
+        col("event_id"), col("ts"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type", "hour_start", "event_id")
+      .orderBy("user_id", "event_type", "hour_start")
+  }
+
   /** `session_native` — the NATIVE `session_window` operator in batch
     * mode: per-user 30-minute-gap sessions with start time and event
     * count, the same expression a stream would use (see

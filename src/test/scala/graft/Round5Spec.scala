@@ -446,6 +446,34 @@ class Round5Spec extends SparkSpec {
       s"flagged ${rows.length}, naive recompute says $expected")
   }
 
+  test("share_of_total percentages sum to 100") {
+    val rows = Relational.shareOfTotal(spark, sf).collect()
+    val total = rows.map(_.getDouble(2)).sum
+    assert(math.abs(total - 100.0) < 0.01, s"shares sum to $total")
+    rows.foreach(r => assert(r.getDouble(2) > 0))
+  }
+
+  test("dedup_time_window keeps exactly one event per key-hour") {
+    val out = TimeOps.dedupTimeWindow(spark, sf)
+    val dupKeys = out.groupBy("user_id", "event_type", "hour_start")
+      .count().filter(col("count") > 1).count()
+    assert(dupKeys == 0, "no (user, type, hour) may appear twice")
+    // kept event is the µs-earliest of its group
+    val all = Sources.table(spark, sf, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        date_trunc("hour", col("ts")).as("hour_start"),
+        col("event_id"), unix_micros(col("ts")).as("us")).collect()
+    val earliest = all.groupBy(r => (r.getLong(0), r.getString(1), r.get(2)))
+      .map { case (k, rs) =>
+        k -> rs.minBy(r => (r.getLong(4), r.getLong(3))).getLong(3) }
+    out.collect().foreach { r =>
+      val k = (r.getLong(0), r.getString(1), r.get(2))
+      assert(r.getLong(3) == earliest(k), s"kept wrong event for $k")
+    }
+  }
+
   test("dedup_bloom never misses a true duplicate") {
     import spark.implicits._
     // all-identical corpus: every new-batch doc duplicates the corpus,
