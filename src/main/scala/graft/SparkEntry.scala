@@ -141,6 +141,7 @@ object SparkEntry {
     "dedup_chunk" -> ((s, d) => NearDup.dedupChunk(s, d)),
     // no-oracle ops (driver records rows-only checks)
     "dedup_bloom" -> ((s, d) => NearDup.dedupBloom(s, d)),
+    "freq_items" -> ((s, d) => Aggregates.freqItems(s, d)),
     "cluster_kmeans" -> ((s, d) => Cluster.clusterKmeans(s, d)),
     "dedup_minhash" -> ((s, d) => NearDup.dedupMinhash(s, d)),
     "agg_distinct_approx" -> (Aggregates.aggDistinctApprox _),

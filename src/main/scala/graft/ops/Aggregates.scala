@@ -380,6 +380,31 @@ object Aggregates {
       .orderBy("event_type", "p")
   }
 
+  /** `freq_items` — approximate heavy hitters over `event_type` and
+    * the width-50 value bucket, via Spark's `stat.freqItems`
+    * (Karp-Papadimitriou-Shenker counting: one pass, bounded memory,
+    * guaranteed SUPERSET of everything above the support threshold —
+    * false positives possible, false negatives not). The sketch-family
+    * sibling of HLL distinct counts, t-digest quantiles, and the Bloom
+    * membership filter; the exact baselines are `agg_having` /
+    * `agg_mode`. NO ORACLE (sketch contents are engine-specific); the
+    * unit spec asserts the superset guarantee against exact counts.
+    * Output: one row per column with the sorted frequent-item list
+    * rendered as a string.
+    */
+  def freqItems(s: SparkSession, dir: String,
+                support: Double = 0.1): DataFrame = {
+    val prepared = Sources.table(s, dir, "events")
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_type"),
+        floor(col("value") / 50.0).cast(LongType).as("bucket"))
+    val fi = prepared.stat.freqItems(Seq("event_type", "bucket"), support)
+    fi.select(
+      concat_ws(",", sort_array(col("event_type_freqItems"))).as("freq_types"),
+      concat_ws(",", sort_array(col("bucket_freqItems"))
+        .cast(ArrayType(StringType))).as("freq_buckets"))
+  }
+
   /** `agg_grouping_id` — rollup with explicit `grouping()` flags: the
     * subtotal rows carry a marker distinguishing "NULL because this
     * level is rolled up" from "NULL in the data" — the disambiguation

@@ -474,6 +474,18 @@ class Round5Spec extends SparkSpec {
     }
   }
 
+  test("freq_items is a superset of the exact above-support items") {
+    val ev = Sources.table(spark, sf, "events")
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+    val n = ev.count().toDouble
+    val exactTypes = ev.groupBy("event_type").count()
+      .filter(col("count") > n * 0.1).collect().map(_.getString(0)).toSet
+    val r = Aggregates.freqItems(spark, sf).collect().head
+    val sketched = r.getString(0).split(",").toSet
+    assert(exactTypes.subsetOf(sketched),
+      s"missing above-support items: ${exactTypes -- sketched}")
+  }
+
   test("dedup_bloom never misses a true duplicate") {
     import spark.implicits._
     // all-identical corpus: every new-batch doc duplicates the corpus,
