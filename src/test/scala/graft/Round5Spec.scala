@@ -486,6 +486,24 @@ class Round5Spec extends SparkSpec {
       s"missing above-support items: ${exactTypes -- sketched}")
   }
 
+  test("round-5 scans prune to the needed columns") {
+    // the ReadSchema fragments of every scan in the (non-AQE-repeated)
+    // plan — column pruning shows up here and nowhere else reliably
+    def readSchemas(df: org.apache.spark.sql.DataFrame): String =
+      plan(df).split("== Initial Plan ==").head.linesIterator
+        .filter(_.contains("ReadSchema")).mkString("\n")
+    val ss = readSchemas(graft.ops.TextSim.sourceStats(spark, sf))
+    assert(ss.nonEmpty && !ss.contains("n_chars") && !ss.contains("label"),
+      s"source_stats must not read profile columns:\n$ss")
+    val cr = readSchemas(Relational.cohortRetention(spark, sf))
+    assert(cr.nonEmpty && !cr.contains("o_totalprice") &&
+      !cr.contains("o_orderstatus"),
+      s"cohort_retention must not read payload columns:\n$cr")
+    val fs = readSchemas(TimeOps.funnelSteps(spark, sf))
+    assert(fs.nonEmpty && !fs.contains("props") && !fs.contains("value"),
+      s"funnel_steps must not read props/value:\n$fs")
+  }
+
   test("dedup_bloom never misses a true duplicate") {
     import spark.implicits._
     // all-identical corpus: every new-batch doc duplicates the corpus,
