@@ -504,6 +504,29 @@ class Round5Spec extends SparkSpec {
       s"funnel_steps must not read props/value:\n$fs")
   }
 
+  test("scd2Apply with an empty update batch carries everything through") {
+    import spark.implicits._
+    val current = Seq((1L, "a", "2020-01-01", "9999-12-31", true))
+      .toDF("key", "attr", "valid_from", "valid_to", "is_current")
+    val empty = Seq.empty[(Long, String, String)]
+      .toDF("key", "attr", "valid_from")
+    val out = Relational.scd2Apply(current, empty, "key", "2026-02-01")
+      .collect()
+    assert(out.length == 1 && out.head.getBoolean(4) &&
+      out.head.getString(3) == "9999-12-31",
+      "no update batch must mean no closed versions")
+  }
+
+  test("kmeans with k larger than the corpus still assigns every vector") {
+    import spark.implicits._
+    val tiny = Seq((0L, Array(0f, 0f)), (1L, Array(10f, 10f)),
+      (2L, Array(20f, 20f))).toDF("vec_id", "embedding")
+    val out = Cluster.kmeansAssign(spark, tiny, k = 5, iters = 2).collect()
+    assert(out.length == 3)
+    assert(out.map(_.getInt(1)).forall(c => c >= 0 && c < 3),
+      "assignments use only the centroids that exist")
+  }
+
   test("dedup_bloom never misses a true duplicate") {
     import spark.implicits._
     // all-identical corpus: every new-batch doc duplicates the corpus,
