@@ -15,9 +15,11 @@ class MetricsConfigSpec extends SparkSpec {
       val (df, _) = Quality.observed(events, Transforms.validEvent,
         lit(1.0))
       val total = df.count()
-      // listener callbacks fire asynchronously after the action
+      // listener callbacks fire asynchronously after the action, and
+      // within one callback the observed metrics land AFTER the query
+      // counter — poll for the key the assertions need, not a proxy
       val deadline = System.nanoTime() + 10000000000L
-      while (listener.snapshot.getOrElse("queries_total", 0.0) < 1.0 &&
+      while (!listener.snapshot.keys.exists(_.startsWith("observed.")) &&
         System.nanoTime() < deadline) Thread.sleep(50)
       val snap = listener.snapshot
       assert(snap.getOrElse("queries_total", 0.0) >= 1.0)
