@@ -37,6 +37,7 @@ object SparkEntry {
     "filter_invalid" -> (Transforms.filterInvalid _),
     "filter_like" -> (Transforms.filterLike _),
     "outlier_iqr" -> (Transforms.outlierIqr _),
+    "outlier_mad" -> ((s, d) => Transforms.outlierMad(s, d)),
     // D: dedup + imputation
     "dedup_rows" -> (Transforms.dedupRows _),
     "agg_dup_count" -> (Transforms.aggDupCount _),
@@ -108,6 +109,7 @@ object SparkEntry {
     "window_fill" -> (TimeOps.windowFill _),
     "time_resample" -> (TimeOps.timeResample _),
     "window_lag" -> (TimeOps.windowLag _),
+    "window_ewma" -> ((s, d) => TimeOps.windowEwma(s, d)),
     "session_stats" -> (TimeOps.sessionStats _),
     // L: LLM-pipeline ops
     "text_tokens" -> (TextSim.textTokens _),
@@ -217,6 +219,24 @@ object SparkEntry {
         |SELECT event_id, value FROM events, b
         |WHERE value < q1 - (q3 - q1) * 1.5 OR value > q3 + (q3 - q1) * 1.5
         |ORDER BY event_id""".stripMargin,
+
+    "outlier_mad" ->
+      """WITH med AS (SELECT quantile_cont(value, 0.5) AS m FROM events),
+        |mad AS (SELECT quantile_cont(abs(value - med.m), 0.5) AS d, max(med.m) AS m
+        |        FROM events, med WHERE value IS NOT NULL GROUP BY ALL),
+        |p AS (SELECT m, d FROM mad)
+        |SELECT event_id, value, round((value - p.m) / p.d, 4) AS mad_score
+        |FROM events, p WHERE abs(value - p.m) > 5 * p.d
+        |ORDER BY event_id""".stripMargin,
+
+    "window_ewma" ->
+      """WITH e AS (SELECT user_id, value, epoch_us(ts) AS us, event_id FROM events
+        |           WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |l AS (SELECT user_id, list(value ORDER BY us, event_id) AS vs
+        |      FROM e GROUP BY user_id)
+        |SELECT user_id,
+        |round(list_reduce(vs, (acc, x) -> 0.3 * x + 0.7 * acc), 4) AS ewma
+        |FROM l ORDER BY user_id""".stripMargin,
 
     "dedup_rows" ->
       """SELECT DISTINCT user_id, event_type FROM events

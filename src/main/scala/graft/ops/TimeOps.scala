@@ -122,6 +122,37 @@ object TimeOps {
       .orderBy("user_id", "event_id")
   }
 
+  /** `window_ewma` — exponentially weighted moving average per user:
+    * the final EWMA of each user's time-ordered values. EWMA is a
+    * RECURSIVE statistic no single window function expresses, so the
+    * plan collects each user's (time, id, value) sequence into one
+    * sorted array (bounded by per-user activity — the same per-key
+    * scaling as every sessionize-family op) and folds it with a
+    * higher-order `aggregate`. The fold runs the identical double
+    * sequence in both engines (DuckDB `list_reduce` seeds with the
+    * first element; the CASE-NULL init mirrors that), so results are
+    * bit-identical. Interpreted HOF is fine here: one lambda step per
+    * event, not a pairwise loop.
+    */
+  def windowEwma(s: SparkSession, dir: String,
+                 alpha: Double = 0.3): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    Sources.table(s, dir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("value").isNotNull)
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("us"), col("event_id").as("id"),
+          col("value").as("v")).as("e"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(col("e"))).as("vs"))
+      .select(col("user_id"),
+        round(expr(
+          s"aggregate(vs, CAST(NULL AS DOUBLE), (acc, x) -> " +
+            s"CASE WHEN acc IS NULL THEN x.v ELSE $alpha * x.v + ${1 - alpha} * acc END)"),
+          4).as("ewma"))
+      .orderBy("user_id")
+  }
+
   /** `dedup_time_window` — time-bounded deduplication: keep the FIRST
     * event per (user, type) within each hour — the batch shape of
     * retry/duplicate suppression (the streaming twin is

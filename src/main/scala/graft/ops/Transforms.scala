@@ -120,6 +120,31 @@ object Transforms {
       .select("p_partkey", "p_name", "p_type")
       .orderBy("p_partkey")
 
+  /** `outlier_mad` — median-absolute-deviation outliers: flag events
+    * more than `k` MADs from the median. The most robust of the
+    * engine's three outlier rules ([[outlierIqr]] quartile-based,
+    * `outlier_zscore` parametric): both center and spread are order
+    * statistics, so a few extreme values cannot drag the cut line.
+    * Two 1-row exact-percentile aggregates chained by broadcast (the
+    * second needs the first's median), then the flagging scan — three
+    * passes, no driver collect, same shape at any size (swap
+    * `approx_percentile` in at 100 TB).
+    */
+  def outlierMad(s: SparkSession, dir: String, k: Double = 5.0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val ev = Sources.table(s, dir, "events")
+    val med = ev.agg(percentile(col("value"), lit(0.5)).as("m"))
+    val mad = ev.crossJoin(broadcast(med))
+      .filter(col("value").isNotNull)
+      .agg(percentile(abs(col("value") - col("m")), lit(0.5)).as("d"),
+        max(col("m")).as("m"))
+    ev.crossJoin(broadcast(mad))
+      .filter(abs(col("value") - col("m")) > lit(k) * col("d"))
+      .select(col("event_id"), col("value"),
+        round((col("value") - col("m")) / col("d"), 4).as("mad_score"))
+      .orderBy("event_id")
+  }
+
   /** `outlier_iqr` — F6, exact Q1/Q3 (etl_2022.py:60-72). The bounds
     * are a 1-row aggregate broadcast into the scan — one extra pass,
     * no driver-side collect, scales to any row count.

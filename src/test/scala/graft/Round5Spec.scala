@@ -527,6 +527,41 @@ class Round5Spec extends SparkSpec {
       "assignments use only the centroids that exist")
   }
 
+  test("outlier_mad matches a naive median/MAD recomputation") {
+    val vals = Sources.table(spark, sf, "events")
+      .filter(col("value").isNotNull).select("value").collect()
+      .map(_.getDouble(0)).sorted
+    def medianOf(xs: Array[Double]): Double = {
+      val n = xs.length
+      if (n % 2 == 1) xs(n / 2) else (xs(n / 2 - 1) + xs(n / 2)) / 2.0
+    }
+    val m = medianOf(vals)
+    val d = medianOf(vals.map(v => math.abs(v - m)).sorted)
+    val expect = vals.count(v => math.abs(v - m) > 5 * d)
+    val got = graft.ops.Transforms.outlierMad(spark, sf).collect()
+    assert(got.length == expect,
+      s"flagged ${got.length}, naive recompute says $expect")
+    got.foreach(r => assert(math.abs(r.getDouble(2)) > 5.0))
+  }
+
+  test("window_ewma equals the sequential fold per user") {
+    val raw = Sources.table(spark, sf, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("value").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value")).collect()
+      .groupBy(_.getLong(0))
+    TimeOps.windowEwma(spark, sf).collect().foreach { r =>
+      val seq = raw(r.getLong(0))
+        .sortBy(x => (x.getLong(1), x.getLong(2))).map(_.getDouble(3))
+      val ewma = seq.tail.foldLeft(seq.head)((acc, x) => 0.3 * x + 0.7 * acc)
+      val expect = BigDecimal(ewma)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(1) == expect,
+        s"ewma mismatch for user ${r.getLong(0)}")
+    }
+  }
+
   test("dedup_bloom never misses a true duplicate") {
     import spark.implicits._
     // all-identical corpus: every new-batch doc duplicates the corpus,
