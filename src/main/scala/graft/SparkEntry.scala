@@ -154,6 +154,15 @@ object SparkEntry {
     "sim_ann_lsh" -> ((s, d) => Ann.simAnnLsh(s, d)),
     "sim_ann_ivf" -> ((s, d) => Ann.simAnnIvf(s, d)),
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
+    // feature preparation + CDC + fuzzy matching (round 5)
+    "agg_weighted" -> (Aggregates.aggWeighted _),
+    "agg_listagg" -> (Aggregates.aggListagg _),
+    "scale_features" -> (Features.scaleFeatures _),
+    "encode_onehot" -> (Features.encodeOnehot _),
+    "encode_freq" -> (Features.encodeFreq _),
+    "dedup_fuzzy" -> ((s, d) => NearDup.dedupFuzzy(s, d)),
+    "snapshot_diff" -> (Relational.snapshotDiff _),
+    "window_median" -> (TimeOps.windowMedian _),
   )
 
   /** The F1–F4 validity predicate, shared by three oracle queries. */
@@ -1086,5 +1095,80 @@ object SparkEntry {
         |round(CAST(shared AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - shared AS DOUBLE), 4) AS jaccard
         |FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b) p
         |WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "agg_weighted" ->
+      s"""SELECT l_returnflag,
+         |round(${dsumSql("l_extendedprice * l_quantity")} /
+         |  ${dsumSql("l_quantity")}, 4) AS wavg_price,
+         |round(${dsumSql("l_extendedprice")} / count(*), 4) AS avg_price
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_listagg" ->
+      """SELECT o_orderstatus,
+        |array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
+        |CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "scale_features" ->
+      s"""WITH s AS (SELECT count(*) AS n, min(value) AS mn, max(value) AS mx,
+         |  ${dsumSql("value", 6)} AS sx, ${dsumSql("value * value", 6)} AS sxx
+         |  FROM events WHERE value IS NOT NULL)
+         |SELECT event_id,
+         |round((value - mn) / (mx - mn), 6) AS value_minmax,
+         |round((value - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS value_z
+         |FROM events, s WHERE value IS NOT NULL ORDER BY event_id""".stripMargin,
+
+    "encode_onehot" ->
+      """SELECT o_orderkey,
+        |CAST(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS BIGINT) AS is_o,
+        |CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS BIGINT) AS is_f,
+        |CAST(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END AS BIGINT) AS is_p
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "encode_freq" ->
+      """WITH f AS (SELECT event_type, count(*) AS cnt FROM events
+        |           WHERE event_type IS NOT NULL GROUP BY event_type),
+        |t AS (SELECT count(*) AS total FROM events WHERE event_type IS NOT NULL)
+        |SELECT e.event_id, e.event_type,
+        |round(CAST(f.cnt AS DOUBLE) / CAST(t.total AS DOUBLE), 6) AS et_freq
+        |FROM events e, f, t WHERE e.event_type = f.event_type
+        |ORDER BY e.event_id""".stripMargin,
+
+    "dedup_fuzzy" ->
+      """WITH v AS (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL),
+        |b AS (SELECT name, unnest(list_distinct([
+        |  regexp_extract(name, '^([^ \t]+)'),
+        |  regexp_extract(name, '([^ \t]+)$')])) AS block FROM v),
+        |p AS (SELECT DISTINCT a.name AS name_a, bb.name AS name_b
+        |      FROM b a JOIN b bb ON a.block = bb.block AND a.name < bb.name)
+        |SELECT name_a, name_b,
+        |CAST(levenshtein(name_a, name_b) AS BIGINT) AS edit_dist
+        |FROM p WHERE levenshtein(name_a, name_b) <= 3
+        |ORDER BY name_a, name_b""".stripMargin,
+
+    "snapshot_diff" ->
+      """WITH old AS (SELECT o_orderkey AS key, o_totalprice AS old_price
+        |             FROM orders WHERE o_orderkey % 10 <> 9),
+        |nw AS (SELECT o_orderkey AS key,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
+        |       ELSE o_totalprice END AS new_price
+        |  FROM orders WHERE o_orderkey % 10 <> 0)
+        |SELECT * FROM (
+        |  SELECT COALESCE(old.key, nw.key) AS o_orderkey,
+        |  CASE WHEN nw.key IS NULL THEN 'removed'
+        |       WHEN old.key IS NULL THEN 'added'
+        |       WHEN old_price <> new_price THEN 'changed' END AS verdict,
+        |  old_price, new_price
+        |  FROM old FULL OUTER JOIN nw ON old.key = nw.key) d
+        |WHERE verdict IS NOT NULL ORDER BY o_orderkey""".stripMargin,
+
+    "window_median" ->
+      """SELECT user_id, event_id,
+        |round(quantile_cont(value, 0.5) OVER (PARTITION BY user_id
+        |  ORDER BY epoch_us(ts), event_id
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS roll_median
+        |FROM events
+        |WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+        |ORDER BY user_id, event_id""".stripMargin,
   )
 }

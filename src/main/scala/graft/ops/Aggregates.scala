@@ -495,4 +495,42 @@ object Aggregates {
           .as("price_per_qty"))
       .orderBy("l_returnflag")
   }
+
+  /** `agg_weighted` — quantity-weighted mean price per return flag,
+    * next to the plain mean it corrects: the aggregate that answers
+    * "what did a UNIT actually cost" when line sizes vary. Both
+    * numerator and denominator are exact decimal sums ([[Num.dsum]]):
+    * price (2 dp) × quantity (integer-valued) stays inside scale-4
+    * exactly, so the final double division is bit-identical in both
+    * engines. One map-side-combined hash aggregate.
+    */
+  def aggWeighted(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(dsum(col("l_extendedprice") * col("l_quantity")).as("swx"),
+        dsum(col("l_quantity")).as("sw"),
+        dsum(col("l_extendedprice")).as("sx"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        round(col("swx") / col("sw"), 4).as("wavg_price"),
+        round(col("sx") / col("n").cast(DoubleType), 4).as("avg_price"))
+      .orderBy("l_returnflag")
+
+  /** `agg_listagg` — ordered string aggregation (LISTAGG / string_agg
+    * with ORDER BY): the distinct order priorities per status as one
+    * sorted CSV cell, the classic report-formatting aggregate.
+    * `collect_set` → `sort_array` → `concat_ws` rather than relying on
+    * any engine's LISTAGG ordering guarantees: the sort happens on the
+    * collected array AFTER aggregation, so shuffle arrival order can't
+    * leak into the cell. Distinct set sizes are vocabulary-bounded
+    * (five priorities), so the per-group array is bytes even when the
+    * group has billions of rows.
+    */
+  def aggListagg(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(concat_ws(",", sort_array(collect_set(col("o_orderpriority"))))
+        .as("priorities"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"))
+      .orderBy("o_orderstatus")
 }

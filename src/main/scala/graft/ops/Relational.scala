@@ -575,4 +575,37 @@ object Relational {
           slice(sort_array(array_distinct(col("toks"))), 1, 5)).as("first5"),
         array_contains(col("toks"), "the").as("has_the"))
       .orderBy("doc_id")
+
+  /** `snapshot_diff` — row-level change-data-capture between two table
+    * snapshots: which keys were added, removed, or changed, with both
+    * versions of the changed value. The audit twin of [[mergeUpsert]]
+    * (which APPLIES changes; this one REPORTS them) and the row-level
+    * complement of [[Aggregates.profileDrift]] (metric-level drift).
+    *
+    * One full outer join on the key — a single co-partitioned shuffle
+    * per side, the minimal plan for set-difference-plus-compare; the
+    * unchanged majority is filtered out AFTER the join predicate
+    * evaluates, so output scales with churn, not table size. Snapshots
+    * here are deterministic key-hash slices of `orders` (10% dropped,
+    * 10% new, every 7th repriced) standing in for two Delta/Iceberg
+    * table versions.
+    */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val orders = Sources.table(s, dir, "orders")
+    val old = orders.filter(col("o_orderkey") % 10 =!= 9)
+      .select(col("o_orderkey").as("key"), col("o_totalprice").as("old_price"))
+    val nw = orders.filter(col("o_orderkey") % 10 =!= 0)
+      .select(col("o_orderkey").as("key"),
+        (when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 10.0)
+          .otherwise(col("o_totalprice"))).as("new_price"))
+    old.join(nw, Seq("key"), "full_outer")
+      .withColumn("verdict",
+        when(col("new_price").isNull, "removed")
+          .when(col("old_price").isNull, "added")
+          .when(col("old_price") =!= col("new_price"), "changed"))
+      .filter(col("verdict").isNotNull)
+      .select(col("key").as("o_orderkey"), col("verdict"),
+        col("old_price"), col("new_price"))
+      .orderBy("o_orderkey")
+  }
 }

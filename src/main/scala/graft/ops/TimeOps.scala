@@ -153,6 +153,31 @@ object TimeOps {
       .orderBy("user_id")
   }
 
+  /** `window_median` — rolling exact median of `value` per user over
+    * the trailing five events: the robust moving-center that MAD-style
+    * monitoring plots where a rolling MEAN would chase single spikes.
+    * `percentile(0.5)` as a window aggregate over a 5-row frame — an
+    * imperative aggregate, so each frame re-sorts its buffer, but the
+    * frame is constant-width: per-row cost is O(frame log frame),
+    * total one exchange + one sort per user partition, same shape as
+    * [[windowLag]]. Event-id tiebreak keeps frame contents (and so the
+    * median) deterministic under equal timestamps. Linear
+    * interpolation on even frames matches the oracle's
+    * `quantile_cont`.
+    */
+  def windowMedian(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+      .rowsBetween(-4, 0)
+    Sources.table(s, dir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("value").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        round(percentile(col("value"), lit(0.5)).over(w), 4)
+          .as("roll_median"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** `dedup_time_window` — time-bounded deduplication: keep the FIRST
     * event per (user, type) within each hour — the batch shape of
     * retry/duplicate suppression (the streaming twin is
