@@ -163,6 +163,7 @@ object SparkEntry {
     "dedup_fuzzy" -> ((s, d) => NearDup.dedupFuzzy(s, d)),
     "snapshot_diff" -> (Relational.snapshotDiff _),
     "window_median" -> (TimeOps.windowMedian _),
+    "pack_concat" -> ((s, d) => Sampling.packConcat(s, d)),
   )
 
   /** The F1–F4 validity predicate, shared by three oracle queries. */
@@ -1170,5 +1171,18 @@ object SparkEntry {
         |FROM events
         |WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "pack_concat" ->
+      """WITH d AS (SELECT doc_id, source, text,
+        |CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |FROM documents),
+        |c AS (SELECT doc_id, source, text, n_tokens,
+        |SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d)
+        |SELECT source, CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS bin_id,
+        |CAST(count(*) AS BIGINT) AS n_docs,
+        |CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+        |string_agg(text, chr(10) ORDER BY doc_id) AS packed
+        |FROM c GROUP BY source, bin_id ORDER BY source, bin_id""".stripMargin,
   )
 }

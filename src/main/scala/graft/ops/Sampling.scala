@@ -100,6 +100,40 @@ object Sampling {
       .orderBy("source", "doc_id")
   }
 
+  /** `pack_concat` — materialized sequence packing: the documents of
+    * each [[packBins]] bin concatenated (newline-separated, doc_id
+    * order) into one training sequence, with its doc count and token
+    * total — the step that turns bin ASSIGNMENTS into the packed
+    * sequences a trainer actually ingests.
+    *
+    * The cumulative-sum window partitions by source, and the bin
+    * aggregate groups by (source, bin_id) — a superset of the window's
+    * partitioning — so the exchange is REUSED: one shuffle end to end.
+    * Per-bin state is budget-bounded (a bin holds ~`budget` tokens by
+    * construction), so the collected array can't blow up an executor
+    * regardless of corpus size. The concat sorts the collected
+    * `(doc_id, text)` structs AFTER aggregation, keeping the cell
+    * independent of shuffle arrival order.
+    */
+  def packConcat(s: SparkSession, dir: String, budget: Long = 256L): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Sources.table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"),
+        size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin_id",
+        floor((col("cum") - col("n_tokens")) / budget.toDouble))
+      .groupBy("source", "bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"),
+        expr("array_join(transform(sort_array(collect_list(" +
+          "struct(doc_id, text))), x -> x.text), '\n')").as("packed"))
+      .orderBy("source", "bin_id")
+  }
+
   /** `sample_weighted` — per-source mixture construction over
     * `documents`: sources src0–src9 kept whole, the long tail kept at
     * ~25% (hash nibbles 0–3). The standard recipe for re-weighting a

@@ -132,6 +132,29 @@ class SamplingSpec extends SparkSpec {
     assert(flagged.values.forall(_ >= 1L))
   }
 
+  test("pack_concat bins agree with pack_bins and concat in doc order") {
+    val bins = Sampling.packBins(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(3)) -> r.getLong(0))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val packed = Sampling.packConcat(spark, sf).collect()
+    assert(packed.map(r => (r.getString(0), r.getLong(1))).toSet ==
+      bins.keySet, "bin key sets differ")
+    val texts = Sources.table(spark, sf, "documents").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    packed.foreach { r =>
+      val ids = bins((r.getString(0), r.getLong(1)))
+      assert(r.getLong(2) == ids.length, "n_docs mismatch")
+      assert(r.getString(4) == ids.map(texts).mkString("\n"),
+        s"packed cell out of order for bin ${(r.getString(0), r.getLong(1))}")
+    }
+    // the bin aggregate reuses the window's source partitioning: one
+    // hash exchange end to end (plus the final presentation sort)
+    val p = Sampling.packConcat(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"bin aggregate should reuse the window exchange:\n${p.take(1500)}")
+  }
+
   test("join_range broadcasts the tier table (no shuffle of the fact)") {
     val df = Relational.joinRange(spark, sf)
     val p = df.queryExecution.executedPlan.toString
