@@ -128,6 +128,31 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("snapshot_diff plans as one co-partitioned full-outer SMJ " +
+    "with the slice filters pushed to both scans") {
+    val p = plan(Relational.snapshotDiff(spark, sf))
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
+      s"expected full-outer sort-merge join:\n${p.take(1500)}")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2,
+      "each snapshot side should shuffle exactly once on the key")
+    assert("% 10".r.findAllIn(p
+      .linesIterator.filter(_.contains("DataFilters")).mkString)
+      .length == 2, "slice predicates must reach both scans")
+  }
+
+  test("window_median runs on a single hash exchange") {
+    val p = plan(graft.ops.TimeOps.windowMedian(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"expected one exchange on user_id:\n${p.take(1500)}")
+  }
+
+  test("encode_onehot is a pure projection — no hash exchange at all") {
+    val p = plan(graft.ops.Features.encodeOnehot(spark, sf))
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("HashAggregate") && !p.contains("Join"),
+      s"one-hot must stay a scan+project:\n${p.take(1500)}")
+  }
+
   test("partitioned parquet writes prune partitions on read-back") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     val ev = graft.ops.Sources.table(spark, sf, "events")
