@@ -164,6 +164,8 @@ object SparkEntry {
     "snapshot_diff" -> (Relational.snapshotDiff _),
     "window_median" -> (TimeOps.windowMedian _),
     "pack_concat" -> ((s, d) => Sampling.packConcat(s, d)),
+    "sample_quality" -> (Sampling.sampleQuality _),
+    "mix_rates" -> ((s, d) => Sampling.mixRates(s, d)),
   )
 
   /** The F1–F4 validity predicate, shared by three oracle queries. */
@@ -1184,5 +1186,30 @@ object SparkEntry {
         |CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
         |string_agg(text, chr(10) ORDER BY doc_id) AS packed
         |FROM c GROUP BY source, bin_id ORDER BY source, bin_id""".stripMargin,
+
+    "sample_quality" ->
+      """WITH q AS (SELECT doc_id,
+        |(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) BETWEEN 10 AND 500)
+        |AND (CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) /
+        |     CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)) < 8.0
+        |AND round(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) /
+        |     greatest(CAST(length(text) AS DOUBLE), 1.0), 4) < 0.2 AS quality_ok
+        |FROM documents)
+        |SELECT doc_id, quality_ok FROM q
+        |WHERE instr('0123456789abcdef',
+        |  substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) <=
+        |  CASE WHEN quality_ok THEN 14 ELSE 4 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "mix_rates" ->
+      """WITH s AS (SELECT source,
+        |CAST(SUM(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)) AS BIGINT)
+        |  AS n_tokens FROM documents GROUP BY source),
+        |t AS (SELECT count(*) AS n_src FROM s)
+        |SELECT source, n_tokens,
+        |round(least(1.0, (20000.0 / n_src) / n_tokens), 6) AS keep_rate,
+        |CAST(floor(least(1.0, (20000.0 / n_src) / n_tokens) * n_tokens) AS BIGINT)
+        |  AS projected_tokens
+        |FROM s, t ORDER BY source""".stripMargin,
   )
 }

@@ -543,10 +543,14 @@ object NearDup {
     a.join(b, "block")
       .filter(col("name_a") < col("name_b"))
       .select("name_a", "name_b").dropDuplicates("name_a", "name_b")
+      // threshold form: the DP matrix only evaluates the |maxDist|
+      // diagonal band and bails out early (returns -1 past the
+      // threshold) — O(len·maxDist) per pair instead of O(len²),
+      // the dominant cost of the candidate stage
       .select(col("name_a"), col("name_b"),
-        levenshtein(col("name_a"), col("name_b")).cast(LongType)
+        levenshtein(col("name_a"), col("name_b"), maxDist).cast(LongType)
           .as("edit_dist"))
-      .filter(col("edit_dist") <= maxDist)
+      .filter(col("edit_dist") =!= -1L)
       .orderBy("name_a", "name_b")
   }
 }

@@ -134,6 +134,51 @@ object Sampling {
       .orderBy("source", "bin_id")
   }
 
+  /** `sample_quality` — quality-tiered deterministic sampling: docs
+    * that pass the [[TextSim.textQuality]] gate keep 14/16 of their
+    * hash buckets (~87.5%), failing docs keep 4/16 (25%) — the
+    * classifier-bucket → per-bucket-keep-rate recipe quality-weighted
+    * corpus construction uses (keep some low-quality text, just less
+    * of it). Membership is `rank(hash nibble) <= tier cutoff`: a pure
+    * projection+filter, stable under corpus growth like [[sampleHash]],
+    * and engine-portable (md5 + instr run identically in the oracle).
+    */
+  def sampleQuality(s: SparkSession, dir: String): DataFrame = {
+    val rank = expr("instr('0123456789abcdef', h)")
+    TextSim.textQuality(s, dir)
+      .select(col("doc_id"), col("quality_ok"),
+        hexNibble(col("doc_id")).as("h"))
+      .filter(rank <= when(col("quality_ok"), 14).otherwise(4))
+      .select("doc_id", "quality_ok")
+      .orderBy("doc_id")
+  }
+
+  /** `mix_rates` — source-mixture balancing: given each source's token
+    * volume and a global token budget split evenly across sources,
+    * the per-source keep rate (capped at 1 — a source can't contribute
+    * more than it has) and the projected post-sampling token count.
+    * The planning aggregate a pretraining data team runs before
+    * [[sampleWeighted]]-style execution; one map-side-combined
+    * groupBy, then a 1-row broadcast of the source count — the big
+    * table is scanned once.
+    */
+  def mixRates(s: SparkSession, dir: String,
+               budget: Double = 20000.0): DataFrame = {
+    val perSource = Sources.table(s, dir, "documents")
+      .groupBy("source")
+      .agg(sum(size(split(trim(col("text")), "\\s+")).cast(LongType))
+        .as("n_tokens"))
+    val rate = least(lit(1.0),
+      (lit(budget) / col("n_src")) / col("n_tokens"))
+    perSource
+      .crossJoin(broadcast(perSource.agg(count(lit(1)).as("n_src"))))
+      .select(col("source"), col("n_tokens"),
+        round(rate, 6).as("keep_rate"),
+        floor(rate * col("n_tokens")).cast(LongType)
+          .as("projected_tokens"))
+      .orderBy("source")
+  }
+
   /** `sample_weighted` — per-source mixture construction over
     * `documents`: sources src0–src9 kept whole, the long tail kept at
     * ~25% (hash nibbles 0–3). The standard recipe for re-weighting a

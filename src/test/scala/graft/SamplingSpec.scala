@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Relational, Sampling, Sources, Transforms}
+import graft.ops.{Relational, Sampling, Sources, TextSim, Transforms}
 import org.apache.spark.sql.functions._
 
 /** Deterministic-sampling invariants: reproducibility, membership
@@ -153,6 +153,42 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
       s"bin aggregate should reuse the window exchange:\n${p.take(1500)}")
+  }
+
+  test("sample_quality keeps tiered hash buckets per quality verdict") {
+    val verdicts = TextSim.textQuality(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("quality_ok")))
+      .toMap
+    val alphabet = "0123456789abcdef"
+    val expected = verdicts.filter { case (id, ok) =>
+      val nib = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.head
+      alphabet.indexOf(nib) + 1 <= (if (ok) 14 else 4)
+    }.keySet
+    val got = Sampling.sampleQuality(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == expected, "membership drifted from the tier rule")
+    // the tiers actually bite: pass-rate for ok docs ≫ for bad docs
+    val okKeep = got.count(verdicts(_)).toDouble /
+      math.max(verdicts.count(_._2), 1)
+    val badKeep = got.count(!verdicts(_)).toDouble /
+      math.max(verdicts.count(!_._2), 1)
+    assert(okKeep > badKeep, s"tiering inverted: $okKeep vs $badKeep")
+  }
+
+  test("mix_rates caps rates at 1 and projects floor(rate * tokens)") {
+    val budget = 20000.0
+    val rows = Sampling.mixRates(spark, sf, budget).collect()
+    val share = budget / rows.length
+    rows.foreach { r =>
+      val (n, rate, proj) = (r.getLong(1), r.getDouble(2), r.getLong(3))
+      val exact = math.min(1.0, share / n)
+      assert(math.abs(rate - exact) < 1e-6, s"rate mismatch for ${r.getString(0)}")
+      assert(proj == math.floor(exact * n).toLong, "projection mismatch")
+      assert(proj <= n, "cannot keep more tokens than exist")
+      if (n <= share) assert(rate == 1.0, "under-budget source must keep all")
+    }
   }
 
   test("join_range broadcasts the tier table (no shuffle of the fact)") {
