@@ -166,6 +166,8 @@ object SparkEntry {
     "pack_concat" -> ((s, d) => Sampling.packConcat(s, d)),
     "sample_quality" -> (Sampling.sampleQuality _),
     "mix_rates" -> ((s, d) => Sampling.mixRates(s, d)),
+    "text_bigram_lm" -> (TextSim.textBigramLm _),
+    "window_anomaly" -> ((s, d) => TimeOps.windowAnomaly(s, d)),
   )
 
   /** The F1–F4 validity predicate, shared by three oracle queries. */
@@ -1211,5 +1213,41 @@ object SparkEntry {
         |CAST(floor(least(1.0, (20000.0 / n_src) / n_tokens) * n_tokens) AS BIGINT)
         |  AS projected_tokens
         |FROM s, t ORDER BY source""".stripMargin,
+
+    "text_bigram_lm" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+        |           FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(2, len(words) + 1),
+        |  i -> {'w1': words[i - 1], 'w2': words[i]})) AS b
+        |  FROM t WHERE len(words) >= 2),
+        |g AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+        |bf AS (SELECT w1, w2, count(*) AS c2 FROM g GROUP BY w1, w2),
+        |uf AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM bf GROUP BY w1),
+        |p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(CAST(round(ln(CAST(c1 AS DOUBLE) / c2) * 1e6, 0) AS BIGINT))
+        |    AS BIGINT) AS s6
+        |  FROM g JOIN bf USING (w1, w2) JOIN uf USING (w1) GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams,
+        |CAST((2 * s6 + n_bigrams * 100) // (2 * n_bigrams * 100) AS DOUBLE)
+        |  / 10000.0 AS avg_nll
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "window_anomaly" ->
+      """WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events
+        |           WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |f AS (SELECT user_id, event_id, value,
+        |  count(*) OVER w AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(value * value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sxx
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
+        |g AS (SELECT user_id, event_id, value, n, sx,
+        |  (sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS v
+        |  FROM f),
+        |z AS (SELECT user_id, event_id, value,
+        |  round((value - sx / CAST(n AS DOUBLE)) / sqrt(v), 4) AS roll_z
+        |  FROM g WHERE n >= 5 AND v > 0)
+        |SELECT user_id, event_id, value, roll_z FROM z
+        |WHERE abs(roll_z) > 2 ORDER BY user_id, event_id""".stripMargin,
   )
 }

@@ -467,6 +467,57 @@ object TextSim {
       .orderBy("doc_id")
   }
 
+  /** `text_bigram_lm` — bigram language-model quality score: per doc,
+    * the mean conditional negative log-likelihood −log P(w₂|w₁) under
+    * corpus bigram statistics (P = count(w₁w₂) / count(w₁ as bigram
+    * head)). The order-aware upgrade of the unigram [[textLogprob]]:
+    * scrambled or templated text scores high even when its unigrams
+    * are common, which is exactly what perplexity filters catch. No
+    * smoothing needed — every scored bigram exists in the corpus it
+    * was counted from.
+    *
+    * Shapes: one exploded bigram pass, two map-side-combined count
+    * aggregates (the conditional denominator folds from the bigram
+    * counts — no second corpus scan), two equi-joins back (AQE
+    * broadcasts them while the vocab is small, shuffles when it
+    * isn't). The per-doc mean is ALL-INTEGER: per-bigram NLLs round to
+    * micro-nat longs, and the 4-dp mean is a half-up integer division
+    * `(2·Σ + d) DIV 2d` — at sf0.1 one doc's mean landed exactly on a
+    * `round(double, 4)` half-boundary where Spark (exact binary
+    * expansion) and DuckDB (scaled multiply) round differently, the
+    * failure mode [[graft.ops.Num]] fixes for sums, closed here for
+    * means.
+    */
+  def textBigramLm(s: SparkSession, dir: String): DataFrame =
+    textBigramLm(docs(s, dir))
+
+  /** [[textBigramLm]] over any `(doc_id, text)` relation. */
+  def textBigramLm(docs: DataFrame): DataFrame = {
+    val bg = docs
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("words"))
+      .filter(size(col("words")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(words) - 1)," +
+          " i -> struct(words[i - 1] AS w1, words[i] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bf = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val uf = bf.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    bg.join(bf, Seq("w1", "w2")).join(uf, Seq("w1"))
+      .select(col("doc_id"),
+        round(log(col("c1").cast(DoubleType) / col("c2")) * 1e6, 0)
+          .cast(LongType).as("nll6"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll6")).as("s6"))
+      // half-up mean at 4 dp in pure long arithmetic: d = n·100 turns
+      // micro-nats into the target scale; (2s+d) DIV 2d is
+      // round-half-up for non-negative s (NLLs are ≥ 0: c1 ≥ c2)
+      .withColumn("d", col("n_bigrams") * 100L)
+      .select(col("doc_id"), col("n_bigrams"),
+        (expr("(2 * s6 + d) DIV (2 * d)").cast(DoubleType) / 10000.0)
+          .as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
   /** `doc_winnow` — full winnowing fingerprints (rolling-hash k-byte
     * shingles, minimum per w-window — [[graft.functions.Winnow]]):
     * per-doc fingerprint count plus a stable digest of the set, so

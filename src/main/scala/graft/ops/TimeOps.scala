@@ -178,6 +178,47 @@ object TimeOps {
       .orderBy("user_id", "event_id")
   }
 
+  /** `window_anomaly` — rolling z-score anomaly detection: events more
+    * than `nSigma` sample deviations from their user's trailing-window
+    * mean, the self-calibrating alert rule for per-key streams whose
+    * baselines differ (a global cut like
+    * [[graft.ops.TextSim.outlierZscore]] can't flag a spike that's
+    * normal for one user and anomalous for another). Frame mean/std
+    * come from exact decimal power sums over the trailing `frame` rows
+    * (the [[graft.ops.Aggregates.aggCorr]] discipline applied to
+    * window frames), so the cut line is bit-identical across engines;
+    * warm-up rows (fewer than `minN` points) and zero-variance frames
+    * are excluded, which both engines decide identically on exact
+    * inputs. One exchange on user_id, constant-width frames — the
+    * same scaling shape as [[windowMedian]].
+    */
+  def windowAnomaly(s: SparkSession, dir: String, nSigma: Double = 2.0,
+                    frame: Int = 10, minN: Int = 5): DataFrame = {
+    require(nSigma > 0 && frame >= minN && minN >= 2,
+      s"need nSigma>0, frame>=minN>=2; got $nSigma/$frame/$minN")
+    val w = Window.partitionBy("user_id")
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+      .rowsBetween(-(frame - 1), 0)
+    val n = col("n").cast(DoubleType)
+    val variance = (col("sxx") - col("sx") * col("sx") / n) / (n - 1)
+    Sources.table(s, dir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), col("value"),
+        count(lit(1)).over(w).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).over(w)
+          .cast(DoubleType).as("sx"),
+        sum((col("value") * col("value")).cast(DecimalType(18, 6))).over(w)
+          .cast(DoubleType).as("sxx"))
+      .withColumn("v", variance)
+      .filter(col("n") >= minN && col("v") > 0)
+      .withColumn("roll_z",
+        round((col("value") - col("sx") / n) / sqrt(col("v")), 4))
+      .filter(abs(col("roll_z")) > nSigma)
+      .select("user_id", "event_id", "value", "roll_z")
+      .orderBy("user_id", "event_id")
+  }
+
   /** `dedup_time_window` — time-bounded deduplication: keep the FIRST
     * event per (user, type) within each hour — the batch shape of
     * retry/duplicate suppression (the streaming twin is

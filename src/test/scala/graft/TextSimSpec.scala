@@ -183,4 +183,56 @@ class TextSimSpec extends SparkSpec {
     assert(r(1L).getBoolean(6), "looping doc must be flagged")
     assert(r(2L).getDouble(5) == 0.0 && !r(2L).getBoolean(6))
   }
+
+  test("text_bigram_lm scores match hand-computed conditional NLLs") {
+    import spark.implicits._
+    // corpus bigrams: "a b"×2 (doc1, doc3), "a c"×1, head 'a' appears
+    // 3 times ⇒ P(b|a)=2/3, P(c|a)=1/3
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "a b")).toDF("doc_id", "text")
+    val r = TextSim.textBigramLm(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    def nll(p: Double) = BigDecimal(-math.log(p)).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(1L) == ((1L, nll(2.0 / 3))) && r(3L) == r(1L))
+    assert(r(2L) == ((1L, nll(1.0 / 3))))
+    // order-awareness: unigram-identical but scrambled text scores worse
+    val order = Seq((1L, "x y x y x y"), (2L, "y x y y x x")).toDF("doc_id", "text")
+    val s2 = TextSim.textBigramLm(order).collect()
+      .map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(s2(2L) > s2(1L), s"scrambled doc must score higher: $s2")
+  }
+
+  test("window_anomaly flags match a brute-force trailing-frame recompute") {
+    val out = graft.ops.TimeOps.windowAnomaly(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val ev = Sources.table(spark, sf, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    var expected = 0
+    ev.groupBy(_._1).foreach { case (uid, es) =>
+      val ordered = es.sortBy(e => (e._3, e._2))
+      ordered.indices.foreach { i =>
+        val f = ordered.slice(math.max(0, i - 9), i + 1).map(_._4)
+        if (f.length >= 5) {
+          val mu = f.sum / f.length
+          val v = f.map(x => (x - mu) * (x - mu)).sum / (f.length - 1)
+          if (v > 0) {
+            val z = (ordered(i)._4 - mu) / math.sqrt(v)
+            if (math.abs(z) > 2.0 + 1e-4) {
+              expected += 1
+              val got = out.get((uid, ordered(i)._2))
+              assert(got.isDefined, s"missing flag for $uid/${ordered(i)._2}")
+              assert(math.abs(got.get - z) < 5e-3, s"z mismatch: ${got.get} vs $z")
+            }
+          }
+        }
+      }
+    }
+    // every flag accounted for (allowing rounded-boundary slack)
+    assert(out.size >= expected && out.size > 0,
+      s"flag count drifted: got ${out.size}, brute force $expected")
+  }
 }
