@@ -168,6 +168,7 @@ object SparkEntry {
     "mix_rates" -> ((s, d) => Sampling.mixRates(s, d)),
     "text_bigram_lm" -> (TextSim.textBigramLm _),
     "window_anomaly" -> ((s, d) => TimeOps.windowAnomaly(s, d)),
+    "set_intersect" -> (Relational.setIntersect _),
   )
 
   /** The F1–F4 validity predicate, shared by three oracle queries. */
@@ -1249,5 +1250,11 @@ object SparkEntry {
         |  FROM g WHERE n >= 5 AND v > 0)
         |SELECT user_id, event_id, value, roll_z FROM z
         |WHERE abs(roll_z) > 2 ORDER BY user_id, event_id""".stripMargin,
+
+    "set_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
   )
 }

@@ -127,6 +127,19 @@ object Relational {
         .select(col("l_orderkey").as("o_orderkey")))
       .orderBy("o_orderkey")
 
+  /** `set_intersect` — U2's complement: customers holding BOTH a
+    * finished and an open order. Plans as distinct + left-semi hash
+    * join — one shuffle per side on the key, like [[setExcept]]'s
+    * anti-join; both sides prune to the single key column before the
+    * exchange.
+    */
+  def setIntersect(s: SparkSession, dir: String): DataFrame = {
+    val o = Sources.table(s, dir, "orders")
+    o.filter(col("o_orderstatus") === "F").select("o_custkey")
+      .intersect(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
   /** `str_funcs` — X1, string function surface over `documents`
     * (upper/lower/length/substring/concat/split_part/trim).
     */

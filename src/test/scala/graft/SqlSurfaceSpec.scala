@@ -66,4 +66,18 @@ class SqlSurfaceSpec extends SparkSpec {
       .collect()(0).getLong(0)
     assert(fp > 0)
   }
+
+  test("set_intersect equals the semi-join-of-distincts formulation") {
+    import org.apache.spark.sql.functions.col
+    val got = graft.ops.Relational.setIntersect(spark, sf).collect()
+      .map(_.getLong(0))
+    assert(got.sameElements(got.sorted) && got.distinct.length == got.length)
+    val o = Sources.table(spark, sf, "orders")
+    val expected = o.filter(col("o_orderstatus") === "F")
+      .select("o_custkey").distinct()
+      .join(o.filter(col("o_orderstatus") === "O").select("o_custkey")
+        .distinct(), Seq("o_custkey"), "left_semi")
+      .collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(expected))
+  }
 }
