@@ -169,6 +169,22 @@ object SparkEntry {
     "text_bigram_lm" -> (TextSim.textBigramLm _),
     "window_anomaly" -> ((s, d) => TimeOps.windowAnomaly(s, d)),
     "set_intersect" -> (Relational.setIntersect _),
+    // round-5 widening: set/join surface, feature prep, corpus + vector
+    // profiles, gap statistics
+    "union_distinct" -> (Transforms.unionDistinct _),
+    "set_except_all" -> (Relational.setExceptAll _),
+    "join_nullsafe" -> (Relational.joinNullsafe _),
+    "encode_target" -> ((s, d) => Features.encodeTarget(s, d)),
+    "encode_bucket" -> (Features.encodeBucket _),
+    "scale_robust" -> (Features.scaleRobust _),
+    "text_normalize" -> ((s, d) => TextSim.textNormalize(s, d)),
+    "corpus_stats" -> ((s, d) => TextSim.corpusStats(s, d)),
+    "filter_len_band" -> (TextSim.filterLenBand _),
+    "embed_norms" -> (TextSim.embedNorms _),
+    "embed_label_stats" -> (TextSim.embedLabelStats _),
+    "gap_stats" -> (TimeOps.gapStats _),
+    "bpe_pairs" -> ((s, d) => TextSim.bpePairs(s, d)),
+    "dedup_containment" -> ((s, d) => NearDup.dedupContainment(s, d)),
   )
 
   /** The F1–F4 validity predicate, shared by three oracle queries. */
@@ -1256,5 +1272,136 @@ object SparkEntry {
         |INTERSECT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         |ORDER BY o_custkey""".stripMargin,
+
+    "union_distinct" ->
+      """SELECT user_id, event_type FROM events
+        |WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND value >= 50.0
+        |UNION
+        |SELECT user_id, event_type FROM events
+        |WHERE user_id IS NOT NULL AND event_type = 'click'
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "set_except_all" ->
+      """SELECT o_custkey FROM orders
+        |EXCEPT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "join_nullsafe" ->
+      """WITH a AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id),
+        |c AS (SELECT user_id, count(*) AS n_clicks FROM events
+        |      WHERE event_type = 'click' GROUP BY user_id)
+        |SELECT a.user_id, a.n_events, c.n_clicks
+        |FROM a JOIN c ON a.user_id IS NOT DISTINCT FROM c.user_id
+        |ORDER BY a.user_id NULLS FIRST""".stripMargin,
+
+    "encode_target" ->
+      s"""WITH ev AS (SELECT event_id, event_type, value FROM events
+         |            WHERE event_type IS NOT NULL AND value IS NOT NULL),
+         |g AS (SELECT ${dsumSql("value")} / count(*) AS mu FROM ev),
+         |e AS (SELECT event_type, ${dsumSql("value")} AS sv, count(*) AS n
+         |      FROM ev GROUP BY event_type)
+         |SELECT ev.event_id, ev.event_type,
+         |round((e.sv + 50.0 * g.mu) / (CAST(e.n AS DOUBLE) + 50.0), 6) AS et_target
+         |FROM ev, e, g WHERE ev.event_type = e.event_type
+         |ORDER BY ev.event_id""".stripMargin,
+
+    "encode_bucket" ->
+      """WITH c AS (SELECT quantile_cont(l_extendedprice,
+        |  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |CAST(1 + list_sum(list_transform(cuts,
+        |  c -> CASE WHEN l_extendedprice > c THEN 1 ELSE 0 END)) AS BIGINT) AS bucket
+        |FROM lineitem, c ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "scale_robust" ->
+      """WITH s AS (SELECT quantile_cont(value, 0.5) AS med,
+        |  quantile_cont(value, 0.75) - quantile_cont(value, 0.25) AS iqr
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_id, round((value - med) / iqr, 6) AS value_robust
+        |FROM events, s WHERE value IS NOT NULL ORDER BY event_id""".stripMargin,
+
+    "text_normalize" ->
+      """SELECT doc_id,
+        |regexp_replace(regexp_replace(lower(trim(text)),
+        |  '[^a-z0-9 .,!?'']', '', 'g'), '\s+', ' ', 'g') AS norm_text,
+        |sha256(regexp_replace(regexp_replace(lower(trim(text)),
+        |  '[^a-z0-9 .,!?'']', '', 'g'), '\s+', ' ', 'g')) AS norm_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "corpus_stats" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> x <> '') AS toks FROM documents),
+        |a AS (SELECT count(*) AS n_docs,
+        |      CAST(SUM(len(toks)) AS BIGINT) AS total_tokens FROM t),
+        |v AS (SELECT count(DISTINCT token) AS unique_tokens
+        |      FROM (SELECT unnest(toks) AS token FROM t))
+        |SELECT n_docs, total_tokens, unique_tokens,
+        |round(CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 4)
+        |  AS avg_doc_tokens,
+        |round(CAST(unique_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)
+        |  AS type_token_ratio
+        |FROM a, v""".stripMargin,
+
+    "filter_len_band" ->
+      """WITH b AS (SELECT lang, quantile_cont(n_chars, 0.05) AS p05,
+        |  quantile_cont(n_chars, 0.95) AS p95 FROM documents GROUP BY lang)
+        |SELECT doc_id, d.lang, n_chars FROM documents d JOIN b ON d.lang = b.lang
+        |WHERE n_chars >= p05 AND n_chars <= p95
+        |ORDER BY doc_id""".stripMargin,
+
+    "embed_norms" ->
+      """SELECT vec_id, label,
+        |round(sqrt(list_sum(list_transform(embedding,
+        |  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "embed_label_stats" ->
+      """WITH n AS (SELECT label,
+        |  round(sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2
+        |  FROM embeddings)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+        |round(CAST(SUM(CAST(l2 AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4)
+        |  AS avg_l2_norm
+        |FROM n GROUP BY label ORDER BY label""".stripMargin,
+
+    "gap_stats" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+        |           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |l AS (SELECT user_id,
+        |  us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap
+        |  FROM e)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |min(gap) AS min_gap_us, max(gap) AS max_gap_us,
+        |CAST(SUM(gap) // count(gap) AS BIGINT) AS avg_gap_us
+        |FROM l GROUP BY user_id HAVING count(*) >= 2
+        |ORDER BY user_id""".stripMargin,
+
+    "bpe_pairs" ->
+      """WITH t AS (SELECT unnest(list_filter(
+        |  string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |p AS (SELECT unnest(list_transform(range(1, length(tok)),
+        |  i -> substring(tok, i, 2))) AS pair FROM t WHERE length(tok) >= 2)
+        |SELECT pair, count(*) AS n FROM p GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 30""".stripMargin,
+
+    "dedup_containment" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+        |idx AS (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i FROM t),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS gram FROM idx),
+        |rare AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 20),
+        |rg AS (SELECT g.doc_id, g.gram FROM g JOIN rare USING (gram)),
+        |sizes AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+        |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |FROM rg a JOIN rg b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT * FROM (SELECT doc_a, doc_b,
+        |round(CAST(shared AS DOUBLE) / CAST(sa.n_grams AS DOUBLE), 4) AS contain_a_in_b,
+        |round(CAST(shared AS DOUBLE) / CAST(sb.n_grams AS DOUBLE), 4) AS contain_b_in_a
+        |FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b) p
+        |WHERE greatest(contain_a_in_b, contain_b_in_a) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

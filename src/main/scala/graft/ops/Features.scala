@@ -85,4 +85,77 @@ object Features {
       .select(col("event_id"), col("event_type"), col("et_freq"))
       .orderBy("event_id")
   }
+
+  /** `encode_target` — smoothed target (mean) encoding of
+    * `events.event_type` against `value`: each category maps to
+    * `(Σv + m·μ) / (n + m)` with prior weight m=50 shrinking rare
+    * categories toward the global mean μ — the standard
+    * leakage-resistant form. Fit = one grouped aggregate + one global
+    * aggregate (both exact-decimal sums per [[Num]], so the doubles
+    * agree bit-for-bit with the oracle); transform = broadcast
+    * join-back. Same 100 TB shape as [[encodeFreq]]: the big side never
+    * shuffles.
+    */
+  def encodeTarget(s: SparkSession, dir: String, m: Double = 50.0): DataFrame = {
+    val ev = Sources.table(s, dir, "events")
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+    val global = ev.agg(
+      (dsum(col("value")) / count(lit(1))).as("mu"))
+    val enc = ev.groupBy("event_type")
+      .agg(dsum(col("value")).as("sv"), count(lit(1)).as("n"))
+      .crossJoin(broadcast(global))
+      .select(col("event_type"),
+        round((col("sv") + lit(m) * col("mu")) /
+          (col("n").cast(DoubleType) + lit(m)), 6).as("et_target"))
+    ev.join(broadcast(enc), "event_type")
+      .select(col("event_id"), col("event_type"), col("et_target"))
+      .orderBy("event_id")
+  }
+
+  /** `encode_bucket` — exact-decile binning of `lineitem
+    * .l_extendedprice`: fit = ONE exact percentile aggregate producing
+    * the 9 interior cut points; transform = broadcast the 1-row cut
+    * tuple and assign `bucket = 1 + Σᵢ [price > cutᵢ]` as a pure
+    * projection. This is the scale-correct quantile discretizer — the
+    * rank-based alternative (`ntile(10)` over a global sort) funnels
+    * every row through one window partition, while this shape keeps
+    * the big side shuffle-free. At 100 TB swap the exact percentile
+    * for `approx_percentile` (the cut points, not the assignment, are
+    * the only approximation).
+    */
+  def encodeBucket(s: SparkSession, dir: String): DataFrame = {
+    val li = Sources.table(s, dir, "lineitem")
+    val cuts = li.agg(expr(
+      "percentile(l_extendedprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+      .as("cuts"))
+    li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .crossJoin(broadcast(cuts))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (lit(1L) + expr(
+          "aggregate(cuts, 0L, (acc, c) -> acc + IF(l_extendedprice > c, 1L, 0L))"))
+          .as("bucket"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** `scale_robust` — robust scaling of `events.value`:
+    * `(x − median) / IQR`, the outlier-insensitive counterpart of
+    * [[scaleFeatures]]'s z-score (median/IQR break down at 50%/25%
+    * contamination vs the mean's 0%). Fit = one exact-percentile
+    * aggregate (3 order statistics in a single pass); transform =
+    * broadcast + project. Exact percentiles for the oracle; at 100 TB
+    * the fit becomes `approx_percentile` and the transform is
+    * unchanged.
+    */
+  def scaleRobust(s: SparkSession, dir: String): DataFrame = {
+    val ev = Sources.table(s, dir, "events")
+      .filter(col("value").isNotNull)
+    val stats = ev.agg(
+      expr("percentile(value, 0.5)").as("med"),
+      (expr("percentile(value, 0.75)") - expr("percentile(value, 0.25)"))
+        .as("iqr"))
+    ev.crossJoin(broadcast(stats))
+      .select(col("event_id"),
+        round((col("value") - col("med")) / col("iqr"), 6).as("value_robust"))
+      .orderBy("event_id")
+  }
 }

@@ -266,6 +266,59 @@ object NearDup {
     pairs.orderBy("doc_a", "doc_b")
   }
 
+  /** `dedup_containment` — asymmetric containment similarity
+    * `C(A,B) = |A∩B| / |A|` over distinctive 3-token shingles: the
+    * near-dup measure Jaccard misses. A short document wholly quoted
+    * inside a long one has tiny Jaccard (union is dominated by the
+    * long doc) but containment ≈ 1 in the short→long direction — the
+    * standard detector for quote-inclusion / boilerplate-wrapping in
+    * corpus curation. Same inverted-index discipline as [[dedupNgram]]
+    * (posting lists + df cutoff, pair work bounded per shingle, never
+    * N²); emits both directions' containment and keeps pairs whose
+    * max ≥ `minContain`.
+    */
+  def dedupContainment(s: SparkSession, dir: String, n: Int = 3,
+                       maxDf: Int = 20,
+                       minContain: Double = 0.5): DataFrame =
+    dedupContainment(s, Sources.table(s, dir, "documents"), n, maxDf,
+      minContain)
+
+  /** [[dedupContainment]] over any `(doc_id, text)` relation. */
+  def dedupContainment(s: SparkSession, docs: DataFrame, n: Int,
+                       maxDf: Int, minContain: Double): DataFrame = {
+    val grams = shingleHashesOf(s, docs, n).withColumnRenamed("th", "gram")
+    val posts = grams.groupBy("gram")
+      .agg(collect_set(col("doc_id")).as("docs"))
+      .filter(size(col("docs")) <= maxDf)
+      .persist()
+    // sizes count ALL distinct grams per doc (not just distinctive
+    // ones) — containment denominators must reflect the true shingle
+    // set, or a doc made of stop-shingles would inflate to 1.0
+    val sizes = grams.select("doc_id", "gram").distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val shared = posts
+      .select(explode(col("docs")).as("doc_a"), col("docs"))
+      .select(col("doc_a"), explode(col("docs")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared"))
+    val pairs = shared
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_grams").as("na")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_grams").as("nb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("shared").cast(DoubleType) / col("na").cast(DoubleType), 4)
+          .as("contain_a_in_b"),
+        round(col("shared").cast(DoubleType) / col("nb").cast(DoubleType), 4)
+          .as("contain_b_in_a"))
+      .filter(greatest(col("contain_a_in_b"), col("contain_b_in_a"))
+        >= minContain)
+      .localCheckpoint()
+    posts.unpersist(blocking = false)
+    pairs.orderBy("doc_a", "doc_b")
+  }
+
   /** `decontaminate` — train/eval contamination detection: flag every
     * train-split document sharing a *distinctive* 3-token shingle
     * (document frequency ≤ `maxDf`) with any held-out document, with

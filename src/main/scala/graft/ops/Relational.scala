@@ -140,6 +140,44 @@ object Relational {
       .orderBy("o_custkey")
   }
 
+  /** `set_except_all` — bag-semantics EXCEPT ALL: each customer's order
+    * rows minus one row per open order, multiplicity preserved (a
+    * customer with 3 orders, 1 open, keeps 2 rows). Plans as a single
+    * shuffle on the key with per-side counts subtracted (Spark rewrites
+    * exceptAll to a summed-multiplicity generate) — no row-by-row
+    * anti-join, so the 100 TB cost is one exchange per side, same as
+    * the distinct-semantics [[setExcept]].
+    */
+  def setExceptAll(s: SparkSession, dir: String): DataFrame = {
+    val o = Sources.table(s, dir, "orders")
+    o.select("o_custkey")
+      .exceptAll(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  /** `join_nullsafe` — null-safe equality join (`<=>` / SQL
+    * `IS NOT DISTINCT FROM`): the NULL user bucket joins like any other
+    * key instead of silently dropping. Shape: two pre-aggregated
+    * one-row-per-key sides (map-side combined) hash-joined on the
+    * null-safe key — Spark treats `<=>` as an equi-join key (hashing
+    * null to a regular bucket), so this stays a single-exchange hash
+    * join, NOT the nested-loop fallback a general null-tolerant
+    * predicate would force. The null group is real data here: events
+    * with missing user_id are exactly the rows the validation stage
+    * (F1-F4) quarantines, and this join is how a quality dashboard
+    * correlates their volume with their click share.
+    */
+  def joinNullsafe(s: SparkSession, dir: String): DataFrame = {
+    val ev = Sources.table(s, dir, "events")
+    val all = ev.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("click_user"))
+      .agg(count(lit(1)).as("n_clicks"))
+    all.join(clicks, col("user_id") <=> col("click_user"))
+      .select(col("user_id"), col("n_events"), col("n_clicks"))
+      .orderBy(asc_nulls_first("user_id"))
+  }
+
   /** `str_funcs` — X1, string function surface over `documents`
     * (upper/lower/length/substring/concat/split_part/trim).
     */

@@ -600,4 +600,131 @@ object TextSim {
         col("top_bigram_frac") > 0.18 || col("dup_word_frac") > 0.9)
       .orderBy("doc_id")
   }
+
+  /** `text_normalize` — canonical text normalization, the step every
+    * dedup/quality stage assumes upstream: lowercase, trim, strip
+    * non-alphanumerics (keeping basic sentence punctuation), collapse
+    * whitespace runs. Pure per-row projection — zero shuffles, fully
+    * codegen'd, embarrassingly parallel at any scale. Emitting the
+    * normalized text AND its sha2 lets downstream exact dedup
+    * ([[dedupText]]) run straight off this output.
+    */
+  def textNormalize(s: SparkSession, dir: String): DataFrame =
+    textNormalize(docs(s, dir))
+
+  /** [[textNormalize]] over any `(doc_id, text)` relation. */
+  def textNormalize(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(lower(trim(col("text"))), "[^a-z0-9 .,!?']", ""),
+          "\\s+", " ").as("norm_text"))
+      .withColumn("norm_hash", sha2(col("norm_text"), 256))
+      .orderBy("doc_id")
+
+  /** `corpus_stats` — the one-row corpus summary a curation run logs
+    * per snapshot: document count, token volume, distinct vocabulary,
+    * mean document length, and type-token ratio (vocabulary richness).
+    * Two single-pass aggregates (per-doc token counts summed exactly;
+    * distinct over the exploded token stream) merged by a trivial
+    * cross of two 1-row relations. The distinct-token count is the
+    * only term that scales with vocabulary — at 100 TB it becomes
+    * `approx_count_distinct` ([[Aggregates.aggDistinctApprox]] is the
+    * precedent) and everything else is already map-side combined.
+    */
+  def corpusStats(s: SparkSession, dir: String): DataFrame =
+    corpusStats(docs(s, dir))
+
+  /** [[corpusStats]] over any `(doc_id, text)` relation. */
+  def corpusStats(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      filter(tokens(trim(col("text"))), t => t =!= "").as("toks"))
+    val perDoc = toks.select(size(col("toks")).cast(LongType).as("n_toks"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_tokens"))
+    val vocab = toks.select(explode(col("toks")).as("token"))
+      .agg(countDistinct(col("token")).as("unique_tokens"))
+    perDoc.crossJoin(vocab)
+      .select(col("n_docs"), col("total_tokens"), col("unique_tokens"),
+        round(col("total_tokens").cast(DoubleType) /
+          col("n_docs").cast(DoubleType), 4).as("avg_doc_tokens"),
+        round(col("unique_tokens").cast(DoubleType) /
+          col("total_tokens").cast(DoubleType), 6).as("type_token_ratio"))
+  }
+
+  /** `filter_len_band` — per-language length-percentile filtering: keep
+    * documents whose `n_chars` sits inside their language's [p05, p95]
+    * band, the standard "too short / truncated or boilerplate-bloated"
+    * curation cut (per-language because length distributions differ by
+    * script). Fit = one exact-percentile aggregate PER LANGUAGE (a few
+    * rows total); transform = broadcast-join the band table and filter.
+    * The big side never shuffles; at 100 TB the fit switches to
+    * `approx_percentile` per lang.
+    */
+  def filterLenBand(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val bands = d.groupBy("lang").agg(
+      expr("percentile(n_chars, 0.05)").as("p05"),
+      expr("percentile(n_chars, 0.95)").as("p95"))
+    d.join(broadcast(bands), "lang")
+      .filter(col("n_chars") >= col("p05") && col("n_chars") <= col("p95"))
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** `bpe_pairs` — corpus-wide character-pair frequencies within
+    * words: the statistic the first BPE merge step ranks (count every
+    * adjacent symbol pair, merge the most frequent). Same explode →
+    * hash-agg shape as [[textTokens]]: the pair stream map-side
+    * combines, so shuffle volume is bounded by distinct pairs (≤
+    * alphabet², a few KB) regardless of corpus size — a full BPE
+    * trainer iterates this exact aggregate. Deterministic tie-break on
+    * the pair itself.
+    */
+  def bpePairs(s: SparkSession, dir: String, k: Int = 30): DataFrame =
+    bpePairs(docs(s, dir), k)
+
+  /** [[bpePairs]] over any `(doc_id, text)` relation. */
+  def bpePairs(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .select(explode(tokens(trim(col("text")))).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(tok) - 1)," +
+          " i -> substring(tok, i, 2))")).as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+
+  /** `embed_norms` — per-vector L2 norm over `embeddings.embedding`:
+    * the health check a vector pipeline runs before cosine math
+    * (zero-norm or NaN vectors poison similarity joins). Per-row
+    * in-order fold over the array — both engines reduce the same
+    * float→double casts in the same element order, so the rounded
+    * norms agree bit-for-bit. Pure projection: zero shuffles.
+    */
+  def embedNorms(s: SparkSession, dir: String): DataFrame =
+    embedNormsUnordered(s, dir).orderBy("vec_id")
+
+  // norm projection without the presentation sort, for re-aggregation
+  private def embedNormsUnordered(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        round(sqrt(expr(
+          "aggregate(embedding, CAST(0.0 AS DOUBLE)," +
+            " (s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")), 4)
+          .as("l2_norm"))
+
+  /** `embed_label_stats` — per-label vector profile: count and mean L2
+    * norm. The grouped reduction over [[embedNorms]]'s projection —
+    * norms are rounded to a 4-dp lattice first, then summed as exact
+    * decimals ([[Num.dsum]]), so the per-label means are
+    * order-independent and engine-portable. One scan, one hash agg
+    * keyed on the (tiny-cardinality) label.
+    */
+  def embedLabelStats(s: SparkSession, dir: String): DataFrame =
+    embedNormsUnordered(s, dir)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vectors"),
+        round(dsum(col("l2_norm")) / count(lit(1)), 4).as("avg_l2_norm"))
+      .orderBy("label")
 }

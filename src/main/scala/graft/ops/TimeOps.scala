@@ -361,6 +361,35 @@ object TimeOps {
       .orderBy("user_id", "event_id")
   }
 
+  /** `gap_stats` — per-user inter-event-gap profile: the grouped
+    * reduction of [[windowLag]]'s per-row deltas (event count, min /
+    * mean / max gap in exact integer µs). Plan: ONE hash exchange on
+    * the user key feeds both the lag window and the re-aggregation —
+    * the groupBy key equals the window partition key, so Catalyst
+    * reuses the partitioning and no second shuffle appears. The mean
+    * is exact INTEGER µs (floor of Σgap/n): a double quotient at 1e10
+    * µs magnitude has ~4e-6 ulp, so `round(x, 4)` sits on half-way
+    * grid points where Spark's BigDecimal HALF_UP and the oracle's
+    * float rounding disagree — integer division sidesteps the lattice
+    * entirely.
+    */
+  def gapStats(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+    Sources.table(s, dir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"),
+        (unix_micros(col("ts")) -
+          lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"),
+        expr("sum(gap_us) div count(gap_us)").as("avg_gap_us"))
+      .filter(col("n_events") >= 2)
+      .orderBy("user_id")
+  }
+
   // ---- streaming builders (T1–T6, unit-tested via MemoryStream) -------
 
   /** T1 — event-driven file ingestion: the engine analog of the SQS

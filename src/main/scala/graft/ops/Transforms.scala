@@ -237,4 +237,22 @@ object Transforms {
         dsum(col("o_totalprice")).as("total_price"))
       .orderBy("o_orderstatus")
   }
+
+  /** `union_distinct` — U1's distinct-semantics counterpart (SQL
+    * `UNION` vs `UNION ALL`): merge two OVERLAPPING event slices
+    * (high-value events ∪ click events) into one deduplicated
+    * (user_id, event_type) relation. Plans as union → hash-distinct:
+    * one shuffle on the full row, with partial (map-side) distinct
+    * ahead of the exchange — at 100 TB the shuffle carries only the
+    * per-partition-unique pairs, not the raw slices.
+    */
+  def unionDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = Sources.table(s, dir, "events")
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+    val hi = ev.filter(col("value") >= 50.0).select("user_id", "event_type")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "event_type")
+    hi.union(clicks).distinct()
+      .orderBy("user_id", "event_type")
+  }
 }
