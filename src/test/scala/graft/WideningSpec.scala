@@ -176,6 +176,12 @@ class WideningSpec extends SparkSpec {
     }
   }
 
+  test("gap_stats reuses the window's exchange for the aggregate") {
+    val p = plan(TimeOps.gapStats(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one hash exchange:\n${p.take(2000)}")
+  }
+
   test("bpe_pairs counts match a driver-side recount") {
     val got = TextSim.bpePairs(spark, sf, 30).collect()
       .map(r => r.getString(0) -> r.getLong(1))
