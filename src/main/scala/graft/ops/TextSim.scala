@@ -672,12 +672,17 @@ object TextSim {
 
   /** `bpe_pairs` — corpus-wide character-pair frequencies within
     * words: the statistic the first BPE merge step ranks (count every
-    * adjacent symbol pair, merge the most frequent). Same explode →
-    * hash-agg shape as [[textTokens]]: the pair stream map-side
-    * combines, so shuffle volume is bounded by distinct pairs (≤
-    * alphabet², a few KB) regardless of corpus size — a full BPE
-    * trainer iterates this exact aggregate. Deterministic tie-break on
-    * the pair itself.
+    * adjacent symbol pair, merge the most frequent). Two-level
+    * aggregate: tokens are counted FIRST (one map-side-combined
+    * groupBy — natural-language token streams are extremely
+    * repetitive), then the per-character explode runs over the
+    * DISTINCT vocabulary with the token count as a weight. The
+    * expensive stage — an interpreted `transform` lambda allocating a
+    * 2-char string per position (see SCALE.md's interpreted-lambda
+    * audit) — thus scales with vocabulary size, not corpus size, and
+    * the final shuffle is bounded by distinct pairs (≤ alphabet², a
+    * few KB). A full BPE trainer iterates exactly this aggregate.
+    * Deterministic tie-break on the pair itself.
     */
   def bpePairs(s: SparkSession, dir: String, k: Int = 30): DataFrame =
     bpePairs(docs(s, dir), k)
@@ -687,11 +692,12 @@ object TextSim {
     docs
       .select(explode(tokens(trim(col("text")))).as("tok"))
       .filter(length(col("tok")) >= 2)
-      .select(explode(expr(
+      .groupBy("tok").agg(count(lit(1)).as("tok_n"))
+      .select(col("tok_n"), explode(expr(
         "transform(sequence(1, length(tok) - 1)," +
           " i -> substring(tok, i, 2))")).as("pair"))
       .groupBy("pair")
-      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("tok_n")).as("n"))
       .orderBy(col("n").desc, col("pair"))
       .limit(k)
 
