@@ -185,6 +185,7 @@ object SparkEntry {
     "gap_stats" -> (TimeOps.gapStats _),
     "bpe_pairs" -> ((s, d) => TextSim.bpePairs(s, d)),
     "dedup_containment" -> ((s, d) => NearDup.dedupContainment(s, d)),
+    "profile_drift" -> (Aggregates.profileDriftQuery _),
   )
 
   /** The F1–F4 validity predicate, shared by three oracle queries. */
@@ -1403,5 +1404,28 @@ object SparkEntry {
         |FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b) p
         |WHERE greatest(contain_a_in_b, contain_b_in_a) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "profile_drift" -> {
+      def p(c: String, pred: String) =
+        s"""SELECT '$c' AS col_name,
+           |${dsumSql(c)} / count($c) AS mean,
+           |quantile_cont($c, 0.5) AS median,
+           |round(stddev_samp($c), 4) AS std
+           |FROM lineitem WHERE $pred""".stripMargin
+      def prof(alias: String, pred: String) =
+        s"""$alias AS (SELECT * FROM (${p("l_quantity", pred)}
+           |UNION ALL ${p("l_extendedprice", pred)}
+           |UNION ALL ${p("l_discount", pred)}) t)""".stripMargin
+      s"""WITH ${prof("pb", "l_orderkey % 2 = 0")},
+         |${prof("pa", "l_orderkey % 2 = 1")}
+         |SELECT col_name,
+         |round(abs(pa.mean - pb.mean) / greatest(abs(pb.mean), 1e-12), 4) AS mean_drift,
+         |round(abs(pa.median - pb.median) / greatest(abs(pb.median), 1e-12), 4) AS median_drift,
+         |round(abs(pa.std - pb.std) / greatest(abs(pb.std), 1e-12), 4) AS std_drift,
+         |(round(abs(pa.mean - pb.mean) / greatest(abs(pb.mean), 1e-12), 4) > 0.1
+         | OR round(abs(pa.median - pb.median) / greatest(abs(pb.median), 1e-12), 4) > 0.1
+         | OR round(abs(pa.std - pb.std) / greatest(abs(pb.std), 1e-12), 4) > 0.1) AS drifted
+         |FROM pb JOIN pa USING (col_name) ORDER BY col_name""".stripMargin
+    },
   )
 }

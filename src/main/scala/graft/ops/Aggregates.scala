@@ -81,8 +81,14 @@ object Aggregates {
     * column (all three single-scan aggregates, unioned).
     * pandas semantics preserved: exact median, sample stddev (ddof=1).
     */
-  def aggProfile(s: SparkSession, dir: String): DataFrame = {
-    val li = Sources.table(s, dir, "lineitem")
+  def aggProfile(s: SparkSession, dir: String): DataFrame =
+    profileOf(Sources.table(s, dir, "lineitem"))
+
+  /** [[aggProfile]]'s per-column profile over any relation carrying the
+    * three lineitem numerics — the reusable "fit" half of
+    * [[profileDrift]].
+    */
+  def profileOf(li: DataFrame): DataFrame = {
     def profile(c: String): DataFrame =
       li.agg(
         count(col(c)).as("n"),
@@ -97,6 +103,20 @@ object Aggregates {
       .unionByName(profile("l_extendedprice"))
       .unionByName(profile("l_discount"))
       .orderBy("col_name")
+  }
+
+  /** `profile_drift` — the declared-query form of [[profileDrift]]:
+    * profile two deterministic snapshots of `lineitem` (even vs odd
+    * order keys — the stand-in for yesterday's batch vs today's) and
+    * emit per-metric relative drift + verdict. Two scans for the
+    * profiles (each a 3-row result), then the drift join broadcasts —
+    * monitoring cost is profile cost, constant output at any scale.
+    */
+  def profileDriftQuery(s: SparkSession, dir: String): DataFrame = {
+    val li = Sources.table(s, dir, "lineitem")
+    profileDrift(
+      profileOf(li.filter(col("l_orderkey") % 2 === 0)),
+      profileOf(li.filter(col("l_orderkey") % 2 === 1)))
   }
 
   /** `agg_rates` — A6, valid/invalid counts + rate (etl_2020.py:20-34,
