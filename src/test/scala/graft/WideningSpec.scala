@@ -220,6 +220,20 @@ class WideningSpec extends SparkSpec {
     assert(r.getDouble(3) < 0.5, "long doc is not contained in short")
   }
 
+  test("projection-only queries never hash-shuffle; set ops pay one") {
+    def hashEx(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange hashpartitioning".r.findAllIn(plan(df)).size
+    // pure projections: the only exchange is the presentation sort
+    assert(hashEx(TextSim.textNormalize(spark, sf)) == 0)
+    assert(hashEx(TextSim.embedNorms(spark, sf)) == 0)
+    // distinct-union and EXCEPT ALL: one keyed exchange each, with
+    // partial (map-side) aggregation ahead of it
+    val ud = plan(Transforms.unionDistinct(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(ud).size == 1 &&
+      "HashAggregate".r.findAllIn(ud).size == 2, s"union_distinct:\n$ud")
+    assert(hashEx(Relational.setExceptAll(spark, sf)) == 1)
+  }
+
   test("fit-transform encoders broadcast the statistics, not the data") {
     Seq(Features.encodeTarget(spark, sf),
       Features.scaleRobust(spark, sf),
