@@ -100,7 +100,8 @@ object Ann {
         transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
     val trained = Cluster.kmeansCentroids(s, emb, nLists, iters)
     val centroids = s.range(1).select(
-      array(trained.map(c => array(c.map(lit): _*)): _*).as("cs"))
+      array(trained.toIndexedSeq.map(c =>
+        array(c.toIndexedSeq.map(lit): _*)): _*).as("cs"))
     ivfSearch(s, e, centroids, queryId, k, nProbe)
   }
 

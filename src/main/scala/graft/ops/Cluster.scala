@@ -59,12 +59,12 @@ object Cluster {
   private def assignExpr(s: SparkSession,
                          centroids: Array[Array[Double]]): org.apache.spark.sql.Column = {
     val scored = centroids.zipWithIndex.map { case (c, i) =>
-      val cLit = array(c.map(lit): _*)
+      val cLit = array(c.toIndexedSeq.map(lit): _*)
       val d2 = lit(c.map(x => x * x).sum) -
         lit(2.0) * graft.functions.VectorFunctions.dot(s, col("v"), cLit)
       struct(d2.as("d2"), lit(i).as("cid"))
     }
-    least(scored: _*)
+    least(scored.toIndexedSeq: _*)
   }
 
   /** The Lloyd iteration alone: returns the trained centroids (k × d

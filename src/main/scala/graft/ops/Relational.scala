@@ -454,7 +454,7 @@ object Relational {
       .withColumn("valid_from", lit(batchDate))
       .withColumn("valid_to", lit("9999-12-31"))
       .withColumn("is_current", lit(true))
-      .select(closed.columns.map(col): _*)
+      .select(closed.columns.toIndexedSeq.map(col): _*)
     closed.unionByName(carried).unionByName(fresh)
   }
 
