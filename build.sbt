@@ -1,6 +1,8 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
 name := "etljobsspark"
+// warning-clean build: surface deprecations at every compile
+Compile / scalacOptions ++= Seq("-deprecation", "-unchecked")
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
 // Test-only deps resolve from the pre-warmed coursier cache; anything
@@ -20,6 +22,7 @@ run / outputStrategy := Some(StdoutOutput)
 // output, so every post-JSON byte shrinks the budget for the line
 // itself (this overflowed in rounds 3–4 and zeroed the bench grade).
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess // used by the `run` command path
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
