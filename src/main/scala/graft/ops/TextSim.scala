@@ -670,6 +670,23 @@ object TextSim {
       .orderBy("doc_id")
   }
 
+  /** Streaming exact-text dedup: the [[dedupText]] semantics applied to
+    * a document STREAM — new docs whose normalized content hash was
+    * already seen within the watermark horizon are dropped,
+    * `dropDuplicatesWithinWatermark` bounding the dedup state the way
+    * an unbounded `dropDuplicates` on a stream cannot (state grows
+    * with the horizon, not the corpus). This is the ingest-time
+    * half of corpus dedup: cheap exact dedup at arrival, the full
+    * near-dup pass ([[graft.ops.NearDup]]) runs batch-side on the
+    * deduplicated store. Input needs `(ts, text)`; emits the arriving
+    * schema + `text_hash`.
+    */
+  def streamDedupDocs(docs: DataFrame,
+                      watermark: String = "1 hour"): DataFrame =
+    docs.withColumn("text_hash", sha2(trim(lower(col("text"))), 256))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("text_hash")
+
   /** `bpe_pairs` — corpus-wide character-pair frequencies within
     * words: the statistic the first BPE merge step ranks (count every
     * adjacent symbol pair, merge the most frequent). Two-level

@@ -172,6 +172,25 @@ class StreamingSpec extends SparkSpec {
       s"got $sessions")
   }
 
+  test("streaming corpus dedup drops in-horizon exact duplicates") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    stream.addData(Seq(
+      (1L, t("2024-01-01 00:00:00"), "the quick brown fox"),
+      (2L, t("2024-01-01 00:10:00"), "THE QUICK BROWN FOX  "), // dup after norm
+      (3L, t("2024-01-01 00:20:00"), "an entirely different doc")))
+    val name = s"sink_${System.nanoTime()}"
+    val q = graft.ops.TextSim.streamDedupDocs(
+        stream.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table(name).collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 3L),
+      s"expected the trim/case-normalized duplicate dropped, kept ${kept.toSeq}")
+  }
+
   test("T1+T2 file source feeds foreachBatch sink (micro-batch ETL loop)") {
     import spark.implicits._
     val inDir = java.nio.file.Files.createTempDirectory("graft-in").toString
