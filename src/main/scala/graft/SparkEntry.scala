@@ -1324,10 +1324,10 @@ object SparkEntry {
 
     "text_normalize" ->
       """SELECT doc_id,
-        |regexp_replace(regexp_replace(lower(trim(text)),
-        |  '[^a-z0-9 .,!?'']', '', 'g'), '\s+', ' ', 'g') AS norm_text,
-        |sha256(regexp_replace(regexp_replace(lower(trim(text)),
-        |  '[^a-z0-9 .,!?'']', '', 'g'), '\s+', ' ', 'g')) AS norm_hash
+        |trim(regexp_replace(regexp_replace(lower(text),
+        |  '[^a-z0-9 .,!?'']', '', 'g'), '\s+', ' ', 'g')) AS norm_text,
+        |sha256(trim(regexp_replace(regexp_replace(lower(text),
+        |  '[^a-z0-9 .,!?'']', '', 'g'), '\s+', ' ', 'g'))) AS norm_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "corpus_stats" ->

@@ -612,12 +612,18 @@ object TextSim {
   def textNormalize(s: SparkSession, dir: String): DataFrame =
     textNormalize(docs(s, dir))
 
-  /** [[textNormalize]] over any `(doc_id, text)` relation. */
+  /** [[textNormalize]] over any `(doc_id, text)` relation.
+    *
+    * Order matters for the fixpoint: strip → collapse → TRIM —
+    * stripping can create fresh leading/trailing spaces ("@@@ hi" →
+    * " hi"), so trimming first would leave output a second pass still
+    * changes.
+    */
   def textNormalize(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-        regexp_replace(
-          regexp_replace(lower(trim(col("text"))), "[^a-z0-9 .,!?']", ""),
-          "\\s+", " ").as("norm_text"))
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 .,!?']", ""),
+          "\\s+", " ")).as("norm_text"))
       .withColumn("norm_hash", sha2(col("norm_text"), 256))
       .orderBy("doc_id")
 

@@ -104,7 +104,17 @@ class WideningSpec extends SparkSpec {
   }
 
   test("text_normalize is idempotent and canonical") {
-    val norm = TextSim.textNormalize(spark, sf)
+    import spark.implicits._
+    // corpus docs PLUS adversarial shapes: stripping '@' creates fresh
+    // edge whitespace, which only a post-collapse trim canonicalizes
+    val adversarial = Seq(
+      (100001L, "@@@ hello @@@"), (100002L, "  Tabs\tand\nnewlines  "),
+      (100003L, "½unicode¾ prefix"), (100004L, "...!?..."),
+      (100005L, ""), (100006L, "@#$%^&*"))
+      .toDF("doc_id", "text")
+    val input = Sources.table(spark, sf, "documents")
+      .select("doc_id", "text").unionByName(adversarial)
+    val norm = TextSim.textNormalize(input)
     val again = TextSim.textNormalize(
       norm.select(col("doc_id"), col("norm_text").as("text")))
     val joined = norm.select(col("doc_id"), col("norm_text").as("once"))
@@ -115,6 +125,7 @@ class WideningSpec extends SparkSpec {
       val t = r.getString(0)
       assert(!t.contains("  "), "double space survived")
       assert(t == t.toLowerCase, "uppercase survived")
+      assert(t == t.trim, "edge whitespace survived")
     }
   }
 
