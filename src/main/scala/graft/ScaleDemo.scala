@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Corpus-scale demonstration over the graft-docs connector: runs the
+  * near-dup / text surface on a generated corpus far beyond the test
+  * fixtures and prints per-stage wall-clock. SPARK_GRAFT_DOCS sets the
+  * corpus size (default 200k docs).
+  */
+object ScaleDemo {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val n = sys.env.getOrElse("SPARK_GRAFT_DOCS", "200000").toLong
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val corpus = spark.read.format("graft-docs")
+      .option("numDocs", n).option("numPartitions", cpus.toInt * 2)
+      .option("seed", 42).load()
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"$name%-18s ${(System.nanoTime() - t0) / 1e9}%8.1f s   ($rows rows)")
+    }
+    time("corpus_stats") { graft.ops.TextSim.corpusStats(corpus).count() }
+    time("dedup_text") {
+      corpus.groupBy(sha2(trim(lower(col("text"))), 256).as("h"))
+        .count().filter(col("count") > 1).count()
+    }
+    time("minhash_sigs") {
+      graft.ops.NearDup.minhashSignatures(spark, corpus, 64).count()
+    }
+    time("dedup_minhash") {
+      graft.ops.NearDup.dedupMinhash(spark, corpus, 64, 16, 0.4).count()
+    }
+    spark.stop()
+  }
+}

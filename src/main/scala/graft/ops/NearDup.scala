@@ -108,37 +108,47 @@ object NearDup {
       s"bands ($bands) must divide numHashes ($numHashes) — trailing " +
         "signature slots would be silently excluded from banding")
     val r = numHashes / bands
-    // Carry the signature THROUGH the banding explode so the bucket
-    // self-join yields both signatures directly: no re-join against a
-    // signature table, and no persist (a .persist() here would be
-    // pinned by the CacheManager for the session lifetime unless the
-    // caller unpersists — wrong shape for a query-returning library
-    // fn). Cost: the banding shuffle carries the sig array per band
-    // row (numHashes longs × bands per doc) — same order as what
-    // MinHashLSH-style banded joins ship.
-    val banded = minhashSignatures(s, docs, numHashes)
-      .select(col("doc_id"), col("sig"), posexplode(expr(
+    // The banding shuffle carries ONLY (doc_id, band_idx, band_hash) —
+    // 3 longs per band row. Carrying the signature through instead
+    // (the earlier formulation, and what MinHashLSH-style joins ship)
+    // puts numHashes longs on every band row: ~8 KB/doc at 64 hashes ×
+    // 16 bands, 20× this shuffle's bytes, and it dominated a 200k-doc
+    // run. Signatures re-enter AFTER candidate dedup, when the pair
+    // set is collision-sized, via two joins against the persisted
+    // signature table (persist is released below once the 1-row
+    // summary is materialized through localCheckpoint).
+    val sigs = minhashSignatures(s, docs, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs
+      .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $r + 1, $r)))"))
         .as(Seq("band_idx", "band_hash")))
-    val est = banded.select(col("doc_id").as("doc_a"),
-        col("sig").as("sig_a"), col("band_idx"), col("band_hash"))
+    val cand = banded.select(col("doc_id").as("doc_a"),
+        col("band_idx"), col("band_hash"))
       .join(banded.select(col("doc_id").as("doc_b"),
-        col("sig").as("sig_b"), col("band_idx"), col("band_hash")),
+        col("band_idx"), col("band_hash")),
         Seq("band_idx", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
+      // dedup multi-band collisions BEFORE scoring: est_jaccard is
+      // per-pair, so scoring each collision would be wasted work
+      .select("doc_a", "doc_b").distinct()
+    val est = cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+        "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+        "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0))," +
           " 0, (acc, v) -> acc + v)").cast(DoubleType) / numHashes.toDouble)
           .as("est_jaccard"))
-      // a pair may collide in several bands; est_jaccard is identical
-      // for every collision of the same pair, so max = dedup
-      .groupBy("doc_a", "doc_b")
-      .agg(max(col("est_jaccard")).as("est_jaccard"))
       .filter(col("est_jaccard") >= minSim)
-    est.agg(
-      count(lit(1)).as("n_candidate_pairs"),
-      coalesce(round(avg(col("est_jaccard")), 4), lit(0.0))
-        .as("avg_jaccard_sim"))
+    val out = est.agg(
+        count(lit(1)).as("n_candidate_pairs"),
+        coalesce(round(avg(col("est_jaccard")), 4), lit(0.0))
+          .as("avg_jaccard_sim"))
+      .localCheckpoint()
+    sigs.unpersist(blocking = false)
+    out
   }
 
   /** Per-document 64-bit SimHash over token hashes: bit b of the

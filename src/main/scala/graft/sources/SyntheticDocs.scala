@@ -73,13 +73,19 @@ object SyntheticDocs {
   }
 
   /** Content is a pure function of (seed, docId): ~3% of ids alias to
-    * a canonical id's content (planted exact duplicates).
+    * a NEARBY canonical id's content (planted exact duplicates).
+    * Nearby, not global: aliasing every dup to a handful of global
+    * canonicals would plant a few giant identical-content clusters,
+    * whose identical minhash signatures blow up LSH band buckets
+    * quadratically — real crawl dups come as many small clusters, and
+    * the generator must reproduce that shape for near-dup benchmarks
+    * to be honest.
     */
   private[sources] def genDoc(seed: Long, docId: Long,
                               vocab: Int, avgTokens: Int): (String, String, String) = {
     val base = mix(seed ^ docId)
     val contentId = if (java.lang.Long.remainderUnsigned(base, 32) == 0)
-      docId % 17 else docId // planted dup: alias to a small id's content
+      docId - docId % 37 else docId // dup: alias to the 37-block canonical
     val h0 = mix(seed ^ contentId)
     val nTokens = (avgTokens / 2 + java.lang.Long.remainderUnsigned(h0, avgTokens)).toInt
     val sb = new java.lang.StringBuilder(nTokens * 5)
