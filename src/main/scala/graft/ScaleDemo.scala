@@ -35,6 +35,22 @@ object ScaleDemo {
     time("dedup_minhash") {
       graft.ops.NearDup.dedupMinhash(spark, corpus, 64, 16, 0.4).count()
     }
+    // similarity surface over generated 64-dim vectors (pure function
+    // of vec_id — same replay-determinism rule as the docs connector)
+    val vecs = spark.range(n).repartition(cpus.toInt * 2)
+      .select(col("id").as("vec_id"), expr(
+        "transform(sequence(1, 64)," +
+          " i -> CAST(pmod(xxhash64(id, i), 2000) - 1000 AS FLOAT) / 1000.0)")
+        .as("embedding"))
+    time("sim_search_brute") {
+      graft.ops.TextSim.simSearch(spark, vecs, 0L, 10).count()
+    }
+    time("sim_ann_lsh") {
+      graft.ops.Ann.simAnnLsh(spark, vecs, 0L, 10, 8, 64).count()
+    }
+    time("sim_ann_ivf") {
+      graft.ops.Ann.simAnnIvf(spark, vecs, 0L, 10, 16, 4).count()
+    }
     spark.stop()
   }
 }
