@@ -51,6 +51,17 @@ object ScaleDemo {
     time("sim_ann_ivf") {
       graft.ops.Ann.simAnnIvf(spark, vecs, 0L, 10, 16, 4).count()
     }
+    // the stored-codes path: pay indexing once, then probes read only
+    // nProbe/nLists of the corpus (partition pruning on list_id)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    time("ivf_index_build") {
+      graft.ops.Ann.ivfIndexWrite(spark, vecs, idx, 16, 2); 1L
+    }
+    val qv = vecs.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    time("ivf_index_probe") {
+      graft.ops.Ann.ivfIndexProbe(spark, idx, qv, 10, 4).count()
+    }
     spark.stop()
   }
 }

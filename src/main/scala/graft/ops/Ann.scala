@@ -167,4 +167,63 @@ object Ann {
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
+
+  // ---- materialized IVF index (the stored-codes path) ----------------
+
+  /** Build and persist an IVF index under `indexDir`: train centroids
+    * once (broadcast Lloyd's), assign every vector to its nearest
+    * list, and write the assignments as parquet PARTITIONED BY
+    * `list_id`, plus the tiny centroid table. This is the stored-codes
+    * layout the on-the-fly ANN queries can't exploit (SCALE.md
+    * measured them at brute-force speed): once list membership is on
+    * disk as a partition column, a probe's `list_id IN (…)` filter is
+    * a PARTITION filter — Spark plans the scan over only the probed
+    * directories and the other (nLists − nProbe)/nLists of the corpus
+    * is never read. Index build is one training run + one write pass;
+    * at 100 TB it re-runs only on re-index, not per query.
+    */
+  def ivfIndexWrite(s: SparkSession, emb: DataFrame, indexDir: String,
+                    nLists: Int = 16, iters: Int = 3): Unit = {
+    val trained = Cluster.kmeansCentroids(s, emb, nLists, iters)
+    Cluster.assignWith(s, emb, trained)
+      .withColumnRenamed("cluster_id", "list_id")
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$indexDir/lists")
+    val rows = trained.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+      (i, c.toIndexedSeq)
+    }
+    s.createDataFrame(rows).toDF("list_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+  }
+
+  /** Probe a materialized IVF index: rank lists by cosine between the
+    * query vector and the stored centroids (driver-side — nLists·dims
+    * doubles), then scan ONLY the `nProbe` nearest lists' partitions
+    * and return the exact top-k within them. `nProbe = nLists` scans
+    * everything and is exactly brute force — the accuracy baseline the
+    * unit test pins the probe against.
+    */
+  def ivfIndexProbe(s: SparkSession, indexDir: String,
+                    queryVec: Seq[Double], k: Int = 10,
+                    nProbe: Int = 4): DataFrame = {
+    val nd = (a: Column, b: Column) => graft.functions.VectorFunctions.dot(s, a, b)
+    val qNorm = math.sqrt(queryVec.map(x => x * x).sum)
+    val probed = s.read.parquet(s"$indexDir/centroids").collect()
+      .map { r =>
+        val c = r.getSeq[Double](r.fieldIndex("centroid"))
+        val cos = c.zip(queryVec).map { case (a, b) => a * b }.sum /
+          (math.sqrt(c.map(x => x * x).sum) * qNorm)
+        (r.getInt(r.fieldIndex("list_id")), cos)
+      }
+      .sortBy { case (id, cos) => (-cos, id) }
+      .take(nProbe).map(_._1)
+    val qLit = array(queryVec.map(lit): _*)
+    s.read.parquet(s"$indexDir/lists")
+      .filter(col("list_id").isin(probed.toIndexedSeq: _*))
+      .select(col("vec_id"),
+        round(nd(col("v"), qLit) /
+          (sqrt(nd(col("v"), col("v"))) * lit(qNorm)), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
 }

@@ -54,6 +54,15 @@ object Cluster {
         col("embedding").cast(ArrayType(DoubleType)).as("v"))
       .repartition(s.sparkContext.defaultParallelism)
 
+  /** Assignment under GIVEN centroids — `(vec_id, v, cluster_id)` —
+    * so a caller that already trained (e.g. [[graft.ops.Ann]]'s
+    * materialized index) does not pay a second Lloyd run.
+    */
+  def assignWith(s: SparkSession, emb: DataFrame,
+                 centroids: Array[Array[Double]]): DataFrame =
+    vectors(s, emb).select(col("vec_id"), col("v"),
+      assignExpr(s, centroids).getField("cid").as("cluster_id"))
+
   // argmin_c ||v - c||^2 = argmin_c (|c|^2 - 2 v·c): one DotProduct
   // per centroid against a broadcast literal, ties to the lower id
   private def assignExpr(s: SparkSession,
