@@ -186,6 +186,7 @@ object SparkEntry {
     "bpe_pairs" -> ((s, d) => TextSim.bpePairs(s, d)),
     "dedup_containment" -> ((s, d) => NearDup.dedupContainment(s, d)),
     "profile_drift" -> (Aggregates.profileDriftQuery _),
+    "chunk_docs" -> ((s, d) => TextSim.chunkDocs(s, d)),
   )
 
   /** The F1–F4 validity predicate, shared by three oracle queries. */
@@ -1427,5 +1428,16 @@ object SparkEntry {
          | OR round(abs(pa.std - pb.std) / greatest(abs(pb.std), 1e-12), 4) > 0.1) AS drifted
          |FROM pb JOIN pa USING (col_name) ORDER BY col_name""".stripMargin
     },
+
+    "chunk_docs" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |           FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |      unnest(generate_series(0, greatest(len(toks) - 17, 0), 48)) AS st
+        |      FROM t)
+        |SELECT doc_id, CAST(st // 48 AS BIGINT) AS chunk_id,
+        |CAST(len(toks[st + 1 : st + 64]) AS BIGINT) AS n_chunk_tokens,
+        |array_to_string(toks[st + 1 : st + 64], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
   )
 }

@@ -676,6 +676,38 @@ object TextSim {
       .orderBy("doc_id")
   }
 
+  /** `chunk_docs` — overlapping token-window chunking: split each
+    * document into windows of `size` tokens advancing by
+    * `size − overlap`, the preprocessing step RAG indexing and
+    * long-document pretraining both start from (the chunk, not the
+    * document, is the retrieval/packing unit). Pure per-row generate:
+    * one codegen'd Generate per doc, zero shuffles before the
+    * presentation sort — embarrassingly parallel at any corpus size.
+    * Chunk ids are window ordinals, so (doc_id, chunk_id) is a stable
+    * key for downstream embedding/dedup joins.
+    */
+  def chunkDocs(s: SparkSession, dir: String, size: Int = 64,
+                overlap: Int = 16): DataFrame =
+    chunkDocs(docs(s, dir), size, overlap)
+
+  /** [[chunkDocs]] over any `(doc_id, text)` relation. */
+  def chunkDocs(docs: DataFrame, size: Int, overlap: Int): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val stride = size - overlap
+    docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, greatest(size(toks) - $overlap - 1, 0), $stride)," +
+          s" st -> slice(toks, st + 1, $size))"))
+        .as(Seq("chunk_id", "chunk")))
+      .select(col("doc_id"), col("chunk_id").cast(LongType).as("chunk_id"),
+        org.apache.spark.sql.functions.size(col("chunk")).cast(LongType)
+          .as("n_chunk_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Streaming exact-text dedup: the [[dedupText]] semantics applied to
     * a document STREAM — new docs whose normalized content hash was
     * already seen within the watermark horizon are dropped,

@@ -231,6 +231,30 @@ class WideningSpec extends SparkSpec {
     assert(r.getDouble(3) < 0.5, "long doc is not contained in short")
   }
 
+  test("chunk_docs windows cover every token and overlap correctly") {
+    import spark.implicits._
+    val text = (1 to 150).map(i => s"t$i").mkString(" ")
+    val rows = TextSim.chunkDocs(
+        Seq((1L, text), (2L, "short doc")).toDF("doc_id", "text"),
+        size = 64, overlap = 16)
+      .collect()
+    val d1 = rows.filter(_.getLong(0) == 1L).sortBy(_.getLong(1))
+    // 150 tokens, stride 48: starts 0/48/96 -> sizes 64/64/54
+    assert(d1.map(_.getLong(2)).toSeq == Seq(64L, 64L, 54L))
+    val chunks = d1.map(_.getString(3).split(" ").toSeq)
+    // stride-aligned reconstruction covers the doc exactly
+    val rebuilt = chunks.head ++ chunks.tail.flatMap(_.drop(16))
+    assert(rebuilt == text.split(" ").toSeq, "token coverage broken")
+    // consecutive chunks share exactly the overlap suffix/prefix
+    chunks.sliding(2).foreach { w =>
+      if (w.length == 2)
+        assert(w(0).takeRight(16) == w(1).take(16), "overlap mismatch")
+    }
+    // a doc shorter than one window is a single whole chunk
+    val d2 = rows.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2.head.getString(3) == "short doc")
+  }
+
   test("projection-only queries never hash-shuffle; set ops pay one") {
     def hashEx(df: org.apache.spark.sql.DataFrame): Int =
       "Exchange hashpartitioning".r.findAllIn(plan(df)).size
