@@ -10,11 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: absorb executor init + first-job codegen + first read
-    // of each hot table so none of it is charged to whichever query
-    // happens to run first. Through Sources.table (a raw read of
-    // events would die on its TIMESTAMP(NANOS) column); never fatal.
-    Seq("lineitem", "events", "documents", "embeddings").foreach { t =>
+    // warmup: absorb executor init + first-job codegen + the one-time
+    // listing/schema read of EVERY table (Sources.table caches the
+    // relation per session) so none of it is charged to whichever
+    // query happens to touch a table first. Never fatal.
+    Seq("lineitem", "events", "documents", "embeddings", "orders",
+      "customer", "nation", "region", "part", "supplier").foreach { t =>
       try { graft.ops.Sources.table(spark, sfDir, t).count(): Unit }
       catch { case _: Throwable => () }
     }

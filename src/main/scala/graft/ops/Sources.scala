@@ -100,11 +100,24 @@ object Sources {
     * both engines see identical values.
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    } else spark.read.parquet(s"$sfDir/$name.parquet")
+    tableCache.computeIfAbsent((spark, sfDir, name), _ =>
+      if (name == "events") {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(s"$sfDir/events.parquet")
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      } else spark.read.parquet(s"$sfDir/$name.parquet"))
+
+  // One relation per (session, dir, table) — the registered-catalog
+  // shape: file listing + schema read happen once per session instead
+  // of on every query that touches the table. DataFrames are immutable
+  // plan fragments, so reuse is free; each query's plan is still
+  // analyzed/optimized independently. Keyed on the session so a
+  // stopped session's entries are never served to its successor.
+  // Assumes snapshot-immutable table dirs (true of the sf fixtures and
+  // of any sanely-versioned lake layout); a mutating path must go
+  // through spark.read directly.
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
   /** CSV reader with an explicit schema — the engine analog of the
     * reference's header-based CSV extract (`src/etl_2016.py:4-10`,
