@@ -187,6 +187,7 @@ object SparkEntry {
     "dedup_containment" -> ((s, d) => NearDup.dedupContainment(s, d)),
     "profile_drift" -> (Aggregates.profileDriftQuery _),
     "chunk_docs" -> ((s, d) => TextSim.chunkDocs(s, d)),
+    "embed_quantize" -> (TextSim.embedQuantize _),
   )
 
   /** The F1–F4 validity predicate, shared by three oracle queries. */

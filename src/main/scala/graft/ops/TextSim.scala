@@ -775,6 +775,47 @@ object TextSim {
             " (s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")), 4)
           .as("l2_norm"))
 
+  /** `embed_quantize` — int8 scalar quantization of the embedding
+    * column: fit per-dimension [min, max] ranges (one exploded
+    * aggregate, shuffle ∝ dims), collect the d-sized range table to
+    * the driver (the [[graft.ops.Cluster]] centroid discipline — KBs),
+    * and emit each vector's reconstruction error under 255-level
+    * codes as a pure projection against the literal ranges. This is
+    * the compression step a vector index applies before storage (4×
+    * smaller than float32); the reported per-vector max/mean absolute
+    * error is the quality gate a pipeline alerts on. NO ORACLE
+    * (rows-only): per-dim float reductions are not portably
+    * SQL-expressible; the unit test pins the error bound
+    * `max_abs_err ≤ max_dim_span / 510`.
+    */
+  def embedQuantize(s: SparkSession, dir: String): DataFrame =
+    embedQuantize(s, Sources.table(s, dir, "embeddings"))
+
+  /** [[embedQuantize]] over any `(vec_id, embedding)` relation. */
+  def embedQuantize(s: SparkSession, emb: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"),
+      col("embedding").cast(ArrayType(DoubleType)).as("v"))
+    val ranges = e.select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("dim").agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .orderBy("dim").collect()
+    val lo = array(ranges.map(r => lit(r.getDouble(1))).toIndexedSeq: _*)
+    val span = array(ranges.map { r =>
+      val s0 = r.getDouble(2) - r.getDouble(1)
+      lit(if (s0 > 0) s0 else 1.0) // constant dim: any span, err is 0
+    }.toIndexedSeq: _*)
+    e.select(col("vec_id"), lo.as("lo"), span.as("span"), col("v"))
+      .select(col("vec_id"), expr(
+        """transform(sequence(0, size(v) - 1), i ->
+          |  abs(lo[i] + round((v[i] - lo[i]) * 255.0 / span[i])
+          |      * span[i] / 255.0 - v[i]))""".stripMargin).as("errs"))
+      .select(col("vec_id"),
+        round(array_max(col("errs")), 6).as("max_abs_err"),
+        round(expr(
+          "aggregate(errs, CAST(0.0 AS DOUBLE), (a, x) -> a + x)" +
+            " / size(errs)"), 6).as("mean_abs_err"))
+      .orderBy("vec_id")
+  }
+
   /** `embed_label_stats` — per-label vector profile: count and mean L2
     * norm. The grouped reduction over [[embedNorms]]'s projection —
     * norms are rounded to a 4-dp lattice first, then summed as exact

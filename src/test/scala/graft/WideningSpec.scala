@@ -255,6 +255,21 @@ class WideningSpec extends SparkSpec {
     assert(d2.length == 1 && d2.head.getString(3) == "short doc")
   }
 
+  test("embed_quantize error is bounded by the 255-level grid") {
+    val e = Sources.table(spark, sf, "embeddings")
+    val maxSpan = e.select(posexplode(col("embedding")
+        .cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy("dim").agg((max(col("x")) - min(col("x"))).as("span"))
+      .agg(max("span")).head().getDouble(0)
+    val bound = maxSpan / 510.0 + 1e-9
+    TextSim.embedQuantize(spark, sf).collect().foreach { r =>
+      assert(r.getDouble(1) <= bound + 5e-7, // 6-dp output rounding
+        s"vec ${r.getLong(0)}: max_abs_err ${r.getDouble(1)} > $bound")
+      assert(r.getDouble(2) <= r.getDouble(1) + 5e-7,
+        "mean err exceeds max err")
+    }
+  }
+
   test("projection-only queries never hash-shuffle; set ops pay one") {
     def hashEx(df: org.apache.spark.sql.DataFrame): Int =
       "Exchange hashpartitioning".r.findAllIn(plan(df)).size
