@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row}
+import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SparkSession}
 
 /** Write-side surface — the engine analog of the reference's load
   * phase across eras: SQLite/MySQL batch inserts
@@ -94,4 +94,51 @@ object Sinks {
       .option("password", password)
       .option("batchsize", batchSize)
       .option("isolationLevel", "READ_COMMITTED")
+
+  private val manifestName = "_graft_manifest.json"
+
+  /** Committed parquet write — the engine analog of the reference's
+    * explicit transaction commit/rollback (etl_2018.py:69-92,
+    * etl_2025.py:144-156): write the data, THEN write a manifest
+    * recording the row count, so the manifest's existence is the
+    * commit point. The count is captured with `observe()` during the
+    * write job itself (no second pass); a failed/partial write leaves
+    * no manifest and [[readCommitted]] refuses the directory — the
+    * "rollback" needs no undo because readers never see uncommitted
+    * state. Returns the committed row count.
+    */
+  def parquetCommitted(df: DataFrame, dir: String): Long = {
+    import org.apache.spark.sql.functions._
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(dir)
+    val n = obs.get("n").asInstanceOf[Long]
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, manifestName),
+      s"""{"rows": $n, "committed": true}""")
+    n
+  }
+
+  /** Read a [[parquetCommitted]] directory, refusing uncommitted or
+    * torn state: a missing manifest means the writer never reached its
+    * commit point; a row-count mismatch means the directory was
+    * modified after commit. The verification count is metadata-only
+    * (parquet footers), not a data scan.
+    */
+  def readCommitted(spark: SparkSession, dir: String): DataFrame = {
+    val p = java.nio.file.Paths.get(dir, manifestName)
+    require(java.nio.file.Files.exists(p),
+      s"$dir has no $manifestName — uncommitted write, refusing to read")
+    val declared =
+      """"rows":\s*(\d+)""".r.findFirstMatchIn(
+        java.nio.file.Files.readString(p))
+        .map(_.group(1).toLong)
+        .getOrElse(throw new IllegalStateException(
+          s"$dir: unparseable $manifestName"))
+    val df = spark.read.parquet(dir)
+    val actual = df.count()
+    require(actual == declared,
+      s"$dir: manifest declares $declared rows but parquet holds $actual")
+    df
+  }
 }

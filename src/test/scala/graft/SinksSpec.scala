@@ -90,4 +90,27 @@ class SinksSpec extends SparkSpec {
     // writer validates options don't throw
     assert(w != null)
   }
+
+  test("committed write: manifest is the commit point, readers verify it") {
+    val out = java.nio.file.Files.createTempDirectory("graft-txn")
+      .resolve("t").toString
+    val src = Sources.table(spark, sf, "nation")
+    val n = Sinks.parquetCommitted(src, out)
+    assert(n == src.count(), "observed count != source count")
+    assert(Sinks.readCommitted(spark, out).count() == n)
+    // simulate a write that died before its commit point
+    val manifest = java.nio.file.Paths.get(out, "_graft_manifest.json")
+    java.nio.file.Files.delete(manifest)
+    val e = intercept[IllegalArgumentException] {
+      Sinks.readCommitted(spark, out)
+    }
+    assert(e.getMessage.contains("uncommitted"))
+    // simulate post-commit tampering (manifest/data divergence)
+    java.nio.file.Files.writeString(manifest,
+      s"""{"rows": ${n + 1}, "committed": true}""")
+    val e2 = intercept[IllegalArgumentException] {
+      Sinks.readCommitted(spark, out)
+    }
+    assert(e2.getMessage.contains("declares"))
+  }
 }
