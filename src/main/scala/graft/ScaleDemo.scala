@@ -35,6 +35,11 @@ object ScaleDemo {
     time("dedup_minhash") {
       graft.ops.NearDup.dedupMinhash(spark, corpus, 64, 16, 0.4).count()
     }
+    time("cluster_neardups") {
+      graft.ops.NearDup.connectedComponents(
+        graft.ops.NearDup.dedupNgram(spark, corpus, 3, 20, 0.5)
+          .select("doc_a", "doc_b")).count()
+    }
     // similarity surface over generated 64-dim vectors (pure function
     // of vec_id — same replay-determinism rule as the docs connector)
     val vecs = spark.range(n).repartition(cpus.toInt * 2)
