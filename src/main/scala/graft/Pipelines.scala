@@ -177,29 +177,48 @@ object Pipelines {
     */
   def curation2026(spark: SparkSession, sfDir: String, outDir: String,
                    budget: Long = 256L,
+                   clusterCap: Option[Int] = None): CurationRun =
+    curationOver(spark, Sources.table(spark, sfDir, "documents"),
+      clusterCap.map(_ => Sources.table(spark, sfDir, "embeddings")),
+      outDir, budget, clusterCap)
+
+  /** [[curation2026]] over ANY `(doc_id, text, source)` corpus — the
+    * generalized capstone, so the same pipeline runs on the fixtures,
+    * on the `graft-docs` connector at millions of documents, or on a
+    * user's crawl. `embeddings` is required only when `clusterCap`
+    * asks for semantic balancing.
+    */
+  def curationOver(spark: SparkSession, docs: DataFrame,
+                   embeddings: Option[DataFrame], outDir: String,
+                   budget: Long = 256L,
                    clusterCap: Option[Int] = None): CurationRun = {
     import graft.ops.{Cluster, NearDup, Sampling, TextSim}
-    val docs = Sources.table(spark, sfDir, "documents")
     // 1. exact dedup: canonical = min doc id per normalized content hash
     val exactKeep = docs
       .select(col("doc_id"), sha2(trim(lower(col("text"))), 256).as("h"))
       .groupBy("h").agg(min("doc_id").as("doc_id")).select("doc_id")
     val d1 = docs.join(exactKeep, "doc_id")
     // 2. near-dup survivors: non-canonical cluster members drop
-    val nearDrop = NearDup.dedupCluster(spark, sfDir)
+    val nearDrop = NearDup.connectedComponents(
+        NearDup.dedupNgram(spark, docs, 3, 20, 0.2).select("doc_a", "doc_b"))
       .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
     val d2 = d1.join(nearDrop, Seq("doc_id"), "left_anti")
-    // 3. decontamination: train docs sharing distinctive grams with eval
-    val contaminated = NearDup.decontaminate(spark, sfDir).select("doc_id")
+    // 3. decontamination: train docs sharing distinctive grams with the
+    //    held-out split (same md5 rule as the declared query)
+    val isEval = Sampling.hexNibble(col("doc_id")) >= "e"
+    val contaminated = NearDup.decontaminateAgainst(spark,
+        docs.filter(!isEval).select("doc_id", "text"),
+        docs.filter(isEval).select("doc_id", "text"))
+      .select("doc_id")
     val d3 = d2.join(contaminated, Seq("doc_id"), "left_anti")
     // 4. quality gate: heuristic thresholds + Gopher repetition rules
     //    (looping/boilerplate text) + an information-density floor
     //    (near-zero token entropy = degenerate text both rule sets miss)
-    val qualityOk = TextSim.textQuality(spark, sfDir)
+    val qualityOk = TextSim.textQuality(docs)
       .filter(col("quality_ok")).select("doc_id")
-    val notRepetitive = TextSim.textRepetition(spark, sfDir)
+    val notRepetitive = TextSim.textRepetition(docs)
       .filter(!col("repetitive")).select("doc_id")
-    val denseEnough = TextSim.textEntropy(spark, sfDir)
+    val denseEnough = TextSim.textEntropy(docs)
       .filter(col("entropy") > 1.0).select("doc_id")
     val d4 = d3.join(qualityOk, "doc_id").join(notRepetitive, "doc_id")
       .join(denseEnough, "doc_id")
@@ -207,8 +226,9 @@ object Pipelines {
     val d4b = clusterCap match {
       case None => d4
       case Some(cap) =>
-        val assign = Cluster.kmeansAssign(spark,
-            Sources.table(spark, sfDir, "embeddings"), k = 8, iters = 3)
+        val emb = embeddings.getOrElse(throw new IllegalArgumentException(
+          "clusterCap requires an embeddings relation"))
+        val assign = Cluster.kmeansAssign(spark, emb, k = 8, iters = 3)
           .select(col("vec_id").as("doc_id"), col("cluster_id"))
         val byCluster = org.apache.spark.sql.expressions.Window
           .partitionBy("cluster_id").orderBy("doc_id")

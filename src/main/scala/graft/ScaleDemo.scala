@@ -67,6 +67,13 @@ object ScaleDemo {
     time("ivf_index_probe") {
       graft.ops.Ann.ivfIndexProbe(spark, idx, qv, 10, 4).count()
     }
+    // the 2026 capstone, end to end: exact dedup -> near-dup cluster
+    // survivors -> decontaminate -> quality gates -> split -> scrub ->
+    // pack -> parquet
+    val cur = java.nio.file.Files.createTempDirectory("graft-cur").toString
+    time("curation_pipeline") {
+      Pipelines.curationOver(spark, corpus, None, cur).trainDocs
+    }
     spark.stop()
   }
 }

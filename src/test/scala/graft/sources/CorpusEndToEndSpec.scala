@@ -48,6 +48,22 @@ class CorpusEndToEndSpec extends graft.SparkSpec {
       s"engine found ${got.length} groups, generator planted ${expected.size}")
   }
 
+  test("curationOver removes exactly the planted dups at stage 1") {
+    val out = java.nio.file.Files.createTempDirectory("graft-cur").toString
+    val run = graft.Pipelines.curationOver(spark, corpus, None, out)
+    val plantedExtras = expectedGroups.values.map(_.size - 1).sum
+    assert(run.input == n)
+    assert(run.afterExactDedup == n - plantedExtras,
+      s"exact dedup kept ${run.afterExactDedup}, expected ${n - plantedExtras}")
+    // every later stage can only narrow
+    val stages = Seq(run.input, run.afterExactDedup, run.afterNearDedup,
+      run.afterDecontamination, run.afterQuality)
+    stages.sliding(2).foreach { w =>
+      assert(w(0) >= w(1), s"stage grew: $stages")
+    }
+    assert(run.trainDocs > 0 && run.bins > 0)
+  }
+
   test("banded MinHash surfaces every planted identical pair") {
     val expectedPairs = expectedGroups.values
       .map(g => g.size.toLong * (g.size - 1) / 2).sum
