@@ -64,4 +64,42 @@ object Metrics {
     spark.listenerManager.register(l)
     l
   }
+
+  /** Serve a listener's [[MetricsListener.snapshot]] in Prometheus
+    * text exposition format (text/plain; version=0.0.4) on
+    * `http://<host>:<port>/metrics` — the engine analog of the
+    * reference's `start_http_server(9090)`
+    * (`/root/reference/src/etl_2025.py:268`). Pure-JDK
+    * `com.sun.net.httpserver`, no new dependencies; port 0 binds an
+    * ephemeral port (tests). Metric names are sanitized to the
+    * Prometheus charset ([a-zA-Z0-9_:]) and prefixed `graft_`.
+    * Returns the server; call [[stopMetricsServer]] (or
+    * `.stop(0)`) to release the port.
+    */
+  def serveMetrics(listener: MetricsListener, port: Int = 9090)
+      : com.sun.net.httpserver.HttpServer = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(port), 0)
+    server.createContext("/metrics",
+      new com.sun.net.httpserver.HttpHandler {
+        override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+          val body = listener.snapshot.toSeq.sortBy(_._1)
+            .map { case (k, v) =>
+              val name = "graft_" + k.replaceAll("[^a-zA-Z0-9_:]", "_")
+              s"# TYPE $name counter\n$name $v"
+            }.mkString("", "\n", "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          ex.getResponseHeaders.set("Content-Type",
+            "text/plain; version=0.0.4; charset=utf-8")
+          ex.sendResponseHeaders(200, body.length.toLong)
+          val os = ex.getResponseBody
+          try os.write(body) finally os.close()
+        }
+      })
+    server.start()
+    server
+  }
+
+  def stopMetricsServer(server: com.sun.net.httpserver.HttpServer): Unit =
+    server.stop(0)
 }

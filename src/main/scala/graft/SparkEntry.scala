@@ -1054,13 +1054,13 @@ object SparkEntry {
         |FROM c ORDER BY source, doc_id""".stripMargin,
 
     "decontaminate" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+      raw"""WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
         |idx AS (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i FROM t),
         |g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS gram FROM idx),
         |lab AS (SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'e' AS is_test FROM documents),
         |gl AS (SELECT g.doc_id, g.gram, lab.is_test FROM g JOIN lab USING (doc_id)),
         |bad AS (SELECT gram FROM gl GROUP BY gram
-        |HAVING count(*) <= 20 AND bool_or(is_test))
+        |HAVING count(*) <= ${NearDup.DefaultMaxDf} AND bool_or(is_test))
         |SELECT doc_id, count(*) AS n_shared FROM gl JOIN bad USING (gram)
         |WHERE NOT is_test GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
@@ -1089,10 +1089,10 @@ object SparkEntry {
         |ORDER BY doc_id, tfidf DESC, token""".stripMargin,
 
     "dedup_cluster" ->
-      """WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+      raw"""WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
         |idx AS (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i FROM t),
         |g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS gram FROM idx),
-        |rare AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 20),
+        |rare AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= ${NearDup.DefaultMaxDf}),
         |rg AS (SELECT g.doc_id, g.gram FROM g JOIN rare USING (gram)),
         |sizes AS (SELECT doc_id, count(*) AS n_grams FROM rg GROUP BY doc_id),
         |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
@@ -1100,7 +1100,7 @@ object SparkEntry {
         |pairs AS (SELECT doc_a, doc_b FROM (SELECT doc_a, doc_b,
         |round(CAST(shared AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - shared AS DOUBLE), 4) AS jaccard
         |FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b) p
-        |WHERE jaccard >= 0.2),
+        |WHERE jaccard >= ${NearDup.DefaultMinJaccard}),
         |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
         |reach(a, b) AS (SELECT a, b FROM e
         |UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a AND r.a <> e.b)
@@ -1108,10 +1108,10 @@ object SparkEntry {
         |GROUP BY a ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+      raw"""WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
         |idx AS (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i FROM t),
         |g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS gram FROM idx),
-        |rare AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 20),
+        |rare AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= ${NearDup.DefaultMaxDf}),
         |rg AS (SELECT g.doc_id, g.gram FROM g JOIN rare USING (gram)),
         |sizes AS (SELECT doc_id, count(*) AS n_grams FROM rg GROUP BY doc_id),
         |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
@@ -1119,7 +1119,7 @@ object SparkEntry {
         |SELECT * FROM (SELECT doc_a, doc_b,
         |round(CAST(shared AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - shared AS DOUBLE), 4) AS jaccard
         |FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b) p
-        |WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b""".stripMargin,
+        |WHERE jaccard >= ${NearDup.DefaultMinJaccard} ORDER BY doc_a, doc_b""".stripMargin,
 
     "agg_weighted" ->
       s"""SELECT l_returnflag,
@@ -1392,10 +1392,10 @@ object SparkEntry {
         |ORDER BY n DESC, pair LIMIT 30""".stripMargin,
 
     "dedup_containment" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+      raw"""WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
         |idx AS (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i FROM t),
         |g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS gram FROM idx),
-        |rare AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 20),
+        |rare AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= ${NearDup.DefaultMaxDf}),
         |rg AS (SELECT g.doc_id, g.gram FROM g JOIN rare USING (gram)),
         |sizes AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
         |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
@@ -1404,7 +1404,7 @@ object SparkEntry {
         |round(CAST(shared AS DOUBLE) / CAST(sa.n_grams AS DOUBLE), 4) AS contain_a_in_b,
         |round(CAST(shared AS DOUBLE) / CAST(sb.n_grams AS DOUBLE), 4) AS contain_b_in_a
         |FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b) p
-        |WHERE greatest(contain_a_in_b, contain_b_in_a) >= 0.5
+        |WHERE greatest(contain_a_in_b, contain_b_in_a) >= ${NearDup.DefaultMinContain}
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "profile_drift" -> {
@@ -1430,15 +1430,18 @@ object SparkEntry {
          |FROM pb JOIN pa USING (col_name) ORDER BY col_name""".stripMargin
     },
 
-    "chunk_docs" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+    "chunk_docs" -> {
+      val size = TextSim.DefaultChunkSize
+      val stride = size - TextSim.DefaultChunkOverlap
+      raw"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
         |           FROM documents),
         |c AS (SELECT doc_id, toks,
-        |      unnest(generate_series(0, greatest(len(toks) - 17, 0), 48)) AS st
+        |      unnest(generate_series(0, greatest(len(toks) - ${TextSim.DefaultChunkOverlap + 1}, 0), $stride)) AS st
         |      FROM t)
-        |SELECT doc_id, CAST(st // 48 AS BIGINT) AS chunk_id,
-        |CAST(len(toks[st + 1 : st + 64]) AS BIGINT) AS n_chunk_tokens,
-        |array_to_string(toks[st + 1 : st + 64], ' ') AS chunk_text
-        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+        |SELECT doc_id, CAST(st // $stride AS BIGINT) AS chunk_id,
+        |CAST(len(toks[st + 1 : st + $size]) AS BIGINT) AS n_chunk_tokens,
+        |array_to_string(toks[st + 1 : st + $size], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+    },
   )
 }

@@ -193,6 +193,9 @@ object Ann {
       (i, c.toIndexedSeq)
     }
     s.createDataFrame(rows).toDF("list_id", "centroid")
+      // coalesce(1) is safe ONLY because this is the nLists-row
+      // centroid table (bounded metadata, one tiny file beats nLists
+      // footers on the probe path) — never copy this onto a data write
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
   }
 
@@ -208,12 +211,19 @@ object Ann {
                     nProbe: Int = 4): DataFrame = {
     val nd = (a: Column, b: Column) => graft.functions.VectorFunctions.dot(s, a, b)
     val qNorm = math.sqrt(queryVec.map(x => x * x).sum)
+    // a zero-norm query has no direction to rank by: every cosine is
+    // 0/0, the centroid sort order would be NaN-unspecified and every
+    // cos_sim null — refuse loudly instead (matches simSearch)
+    require(qNorm > 0, "ivfIndexProbe needs a non-zero query vector")
     val probed = s.read.parquet(s"$indexDir/centroids").collect()
       .map { r =>
         val c = r.getSeq[Double](r.fieldIndex("centroid"))
         val cos = c.zip(queryVec).map { case (a, b) => a * b }.sum /
           (math.sqrt(c.map(x => x * x).sum) * qNorm)
-        (r.getInt(r.fieldIndex("list_id")), cos)
+        // a zero-norm centroid (empty-list placeholder) ranks last
+        // deterministically rather than NaN-poisoning the sort
+        (r.getInt(r.fieldIndex("list_id")),
+          if (cos.isNaN) Double.NegativeInfinity else cos)
       }
       .sortBy { case (id, cos) => (-cos, id) }
       .take(nProbe).map(_._1)
@@ -223,6 +233,9 @@ object Ann {
       .select(col("vec_id"),
         round(nd(col("v"), qLit) /
           (sqrt(nd(col("v"), col("v"))) * lit(qNorm)), 4).as("cos_sim"))
+      // zero-norm stored vectors yield null cos_sim — drop them from
+      // the ranking rather than floating nulls into the top-k
+      .filter(col("cos_sim").isNotNull)
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }

@@ -8,11 +8,13 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, plus decode / feature-extract /
   * frame-sample stages.
   *
-  * The decode step is a clearly-marked deterministic STUB (this
-  * container has no image/audio codecs); everything around it — the
-  * schema, the per-partition batch shape, the partition-preserving
-  * mapPartitions, the metadata struct — is the real Spark plumbing a
-  * production decoder would drop into.
+  * The decode step is REAL: PNG/JPEG payloads are decoded with the
+  * JDK's `javax.imageio` (no external codecs needed) and WAV payloads
+  * with `javax.sound.sampled`; features are computed from the decoded
+  * pixels / PCM samples. Payloads that fail to decode fall back to a
+  * clearly-marked byte-slice featurizer so a corrupt record degrades
+  * instead of killing the task — the per-record error-isolation shape
+  * a production media pipeline needs.
   */
 object Multimodal {
 
@@ -23,29 +25,90 @@ object Multimodal {
   case class MediaFeatures(doc_id: Long, format: String,
                            feat: Array[Float], feat_norm: Double)
 
-  /** Build a multimodal relation from `documents`: the text bytes
-    * stand in for an encoded image/audio payload. Schema:
+  // ---- deterministic payload synthesis (test-data side) ----
+
+  /** splitmix64 — deterministic per-(doc, index) pseudo-randomness for
+    * payload synthesis; retry-safe like SyntheticDocs' (seed, doc_id)
+    * convention.
+    */
+  private def mix(a: Long, b: Long): Long = {
+    var z = a * 0x9E3779B97F4A7C15L + b
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Render a deterministic `side`×`side` RGB image for a doc id and
+    * encode it with the requested ImageIO writer ("png" or "jpeg").
+    */
+  def encodeImage(docId: Long, fmt: String, side: Int = 8): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < side * side) {
+      img.setRGB(i % side, i / side, (mix(docId, i) & 0xFFFFFF).toInt)
+      i += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, out)
+    out.toByteArray
+  }
+
+  /** Synthesize a deterministic mono 16-bit PCM WAV (8 kHz) for a doc
+    * id, written through `javax.sound.sampled` so the container is a
+    * spec-correct RIFF/WAVE file.
+    */
+  def encodeWav(docId: Long, nSamples: Int = 64): Array[Byte] = {
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = (mix(docId, i) & 0xFFFF).toInt - 32768 // full-range sample
+      pcm(2 * i) = (s & 0xFF).toByte                 // little-endian
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Build a multimodal relation from `documents`: each doc carries a
+    * REAL encoded payload (PNG / JPEG / WAV round-robin by id),
+    * synthesized deterministically from the doc id inside a
+    * partition-preserving mapPartitions (one encoder init per task —
+    * ImageIO's disk cache is disabled once per JVM below). Schema:
     * (doc_id LONG, media BINARY, format STRING, n_bytes LONG).
     */
-  def mediaTable(s: SparkSession, dir: String): DataFrame =
+  def mediaTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     Sources.table(s, dir, "documents")
-      .select(col("doc_id"),
-        col("text").cast(BinaryType).as("media"),
-        // deterministic fake format tag derived from the id
-        when(col("doc_id") % 3 === 0, "png")
-          .when(col("doc_id") % 3 === 1, "jpeg")
-          .otherwise("wav").as("format"),
-        length(col("text")).cast(LongType).as("n_bytes"))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // no temp-file cache in tasks
+        it.map { id =>
+          val fmt = (id % 3) match {
+            case 0 => "png"
+            case 1 => "jpeg"
+            case _ => "wav"
+          }
+          val bytes =
+            if (fmt == "wav") encodeWav(id, 64 + (id % 64).toInt)
+            else encodeImage(id, fmt)
+          MediaRecord(id, bytes, fmt, bytes.length.toLong)
+        }
+      }.toDF()
+  }
 
-  /** STUB decoder: a real implementation would call an image/audio
-    * codec here (per partition, reusing the codec instance across the
-    * partition's rows — the expensive init happens once per task, not
-    * once per row). The stub emits a deterministic 8-dim "feature":
-    * mean byte value of 8 equal slices of the payload, scaled to
-    * [0, 1]. Replace the body marked STUB to productionize.
+  /** Fallback featurizer for payloads that fail to decode (or carry an
+    * unknown format tag): mean byte value of 8 equal slices of the
+    * payload, scaled to [0, 1]. Keeps corrupt records flowing with a
+    * well-defined feature instead of failing the task.
     */
-  def decodeFeatures(media: Array[Byte]): Array[Float] = {
-    // ---- STUB: deterministic fake decode (no codecs in container) ----
+  def byteSliceFeatures(media: Array[Byte]): Array[Float] = {
     if (media == null || media.isEmpty) return Array.fill(8)(0f)
     val slice = math.max(media.length / 8, 1)
     (0 until 8).map { i =>
@@ -59,21 +122,105 @@ object Multimodal {
         (sum.toDouble / (until - from) / 255.0).toFloat
       }
     }.toArray
-    // ---- end STUB ----
+  }
+
+  /** Image features from REAL decoded pixels (`javax.imageio`):
+    * [w/256, h/256, meanR/255, meanG/255, meanB/255, meanLuma/255,
+    * stddevLuma/255, fraction of pixels brighter than meanLuma].
+    * All 8 dims land in [0, 1].
+    */
+  def imageFeatures(img: java.awt.image.BufferedImage): Array[Float] = {
+    val w = img.getWidth; val h = img.getHeight; val n = w * h
+    var sr = 0.0; var sg = 0.0; var sb = 0.0; var sl = 0.0; var sl2 = 0.0
+    val luma = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val rgb = img.getRGB(i % w, i / w)
+      val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+      val l = 0.299 * r + 0.587 * g + 0.114 * b
+      sr += r; sg += g; sb += b; sl += l; sl2 += l * l; luma(i) = l
+      i += 1
+    }
+    val meanL = sl / n
+    val varL = math.max(sl2 / n - meanL * meanL, 0.0)
+    val brighter = luma.count(_ > meanL).toDouble / n
+    Array(
+      (math.min(w, 256) / 256.0).toFloat, (math.min(h, 256) / 256.0).toFloat,
+      (sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat,
+      (sb / n / 255.0).toFloat, (meanL / 255.0).toFloat,
+      (math.sqrt(varL) / 255.0).toFloat, brighter.toFloat)
+  }
+
+  /** Audio features from REAL decoded PCM (`javax.sound.sampled`),
+    * 16-bit little-endian samples: [min(n,4096)/4096, mean|s|/32768,
+    * rms/32768, zero-crossing rate, max|s|/32768, rate/48000,
+    * channels/8, mean|s| of first half / 32768]. All in [0, 1].
+    */
+  def audioFeatures(fmt: javax.sound.sampled.AudioFormat,
+                    pcm: Array[Byte]): Array[Float] = {
+    val n = pcm.length / 2
+    if (n == 0) return Array.fill(8)(0f)
+    val s = new Array[Int](n)
+    var i = 0
+    while (i < n) { // 16-bit LE signed
+      s(i) = ((pcm(2 * i) & 0xFF) | (pcm(2 * i + 1) << 8)).toShort.toInt
+      i += 1
+    }
+    var sumAbs = 0.0; var sumSq = 0.0; var maxAbs = 0.0; var zc = 0
+    var firstHalfAbs = 0.0
+    i = 0
+    while (i < n) {
+      val a = math.abs(s(i).toDouble)
+      sumAbs += a; sumSq += s(i).toDouble * s(i); maxAbs = math.max(maxAbs, a)
+      if (i > 0 && (s(i) >= 0) != (s(i - 1) >= 0)) zc += 1
+      if (i < n / 2) firstHalfAbs += a
+      i += 1
+    }
+    Array(
+      (math.min(n, 4096) / 4096.0).toFloat,
+      (sumAbs / n / 32768.0).toFloat,
+      (math.sqrt(sumSq / n) / 32768.0).toFloat,
+      (if (n > 1) zc.toDouble / (n - 1) else 0.0).toFloat,
+      (maxAbs / 32768.0).toFloat,
+      (fmt.getSampleRate / 48000.0).toFloat,
+      (fmt.getChannels / 8.0).toFloat,
+      (if (n / 2 > 0) firstHalfAbs / (n / 2) / 32768.0 else 0.0).toFloat)
+  }
+
+  /** REAL decoder: PNG/JPEG through `javax.imageio`, WAV through
+    * `javax.sound.sampled` — both pure-JDK, no external codec deps.
+    * Undecodable or unknown-format payloads fall back to
+    * [[byteSliceFeatures]] rather than failing the task.
+    */
+  def decodeFeatures(format: String, media: Array[Byte]): Array[Float] = {
+    if (media == null || media.isEmpty) return Array.fill(8)(0f)
+    try format match {
+      case "png" | "jpeg" | "jpg" =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(media))
+        if (img == null) byteSliceFeatures(media) else imageFeatures(img)
+      case "wav" =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(media))
+        try audioFeatures(ais.getFormat, ais.readAllBytes())
+        finally ais.close()
+      case _ => byteSliceFeatures(media)
+    } catch { case scala.util.control.NonFatal(_) => byteSliceFeatures(media) }
   }
 
   /** Feature extraction over the binary column: partition-preserving
-    * mapPartitions (no shuffle), one decoder per partition. This is
-    * the Scala analog of a Pandas-UDF `mapInPandas` batch stage: rows
-    * stream through in partition-sized batches.
+    * mapPartitions (no shuffle), one decoder setup per partition. This
+    * is the Scala analog of a Pandas-UDF `mapInPandas` batch stage:
+    * rows stream through in partition-sized batches.
     */
   def extractFeatures(media: Dataset[MediaRecord])
                      (implicit s: SparkSession): Dataset[MediaFeatures] = {
     import s.implicits._
     media.mapPartitions { it =>
-      // per-partition decoder init would go here (once per task)
+      // per-partition decoder init (once per task, not once per row)
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
-        val f = decodeFeatures(r.media)
+        val f = decodeFeatures(r.format, r.media)
         val norm = math.sqrt(f.map(x => x.toDouble * x.toDouble).sum)
         MediaFeatures(r.doc_id, r.format, f,
           math.rint(norm * 10000) / 10000)
@@ -84,9 +231,9 @@ object Multimodal {
   /** Resize: shrink each payload to `targetBytes` by stride-sampling
     * its bytes — the binary-plumbing shape of an image resize (a real
     * implementation swaps the sampler for a codec's scale call inside
-    * the same per-partition stage; see [[decodeFeatures]] for the
-    * stub convention). Codegen'd expressions only: the stride is
-    * computed per row, the gather is one transform + substr chain.
+    * the same per-partition stage). Codegen'd expressions only: the
+    * stride is computed per row, the gather is one transform + substr
+    * chain.
     */
   def resize(df: DataFrame, targetBytes: Int = 64): DataFrame =
     df.withColumn("media_resized", expr(
@@ -118,8 +265,9 @@ object Multimodal {
         .as(Seq("frame_idx", "frame_bytes")))
 
   /** `multimodal_features` — the declared (rows-only) query: media
-    * table → stub decode → per-format feature statistics. NO ORACLE
-    * (binary decode is not expressible in the DuckDB harness).
+    * table (real encoded payloads) → real codec decode → per-format
+    * feature statistics. NO ORACLE (binary decode is not expressible
+    * in the DuckDB harness); determinism is asserted in unit tests.
     */
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     implicit val sp: SparkSession = s

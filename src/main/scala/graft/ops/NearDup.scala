@@ -79,6 +79,14 @@ object NearDup {
         array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig"))
   }
 
+  /** Shared defaults — referenced by BOTH the Scala entry points and
+    * the oracle SQL in [[graft.SparkEntry]] (via interpolation), so a
+    * default change can never silently desynchronize query and oracle.
+    */
+  final val DefaultMaxDf = 20
+  final val DefaultMinJaccard = 0.2
+  final val DefaultMinContain = 0.5
+
   /** `dedup_minhash` — banded MinHash+LSH near-dup summary.
     *
     * Classic banding: the 64-hash signature splits into 16 bands of
@@ -95,6 +103,15 @@ object NearDup {
     * tables are single-row bands (collision P = j per table): at
     * sf0.1 that made ~every moderately-similar pair a candidate and
     * took 310 s; this runs in seconds with the same contract.
+    *
+    * NOTE: this entry point (like [[dedupNgram]] / [[dedupContainment]])
+    * materializes EAGERLY at call time — the persisted intermediate is
+    * released by running the job through `localCheckpoint` before
+    * returning, trading build-without-execute laziness for not pinning
+    * cache blocks on the session. Callers that only want the plan
+    * (explain tooling) pay the computation; checkpointed blocks do not
+    * survive executor loss (acceptable: the checkpoint holds the small
+    * RESULT, recomputable by re-calling the function).
     */
   def dedupMinhash(s: SparkSession, dir: String, numHashes: Int = 64,
                    bands: Int = 16, minSim: Double = 0.4): DataFrame =
@@ -216,10 +233,12 @@ object NearDup {
     * cutoff drops stop-shingles, and pairs are generated INSIDE each
     * posting list (≤ maxDf²/2 combinations, array ops in codegen) —
     * one shuffle on the shingle, no self-join, fan-out bounded per
-    * shingle regardless of corpus size.
+    * shingle regardless of corpus size. Materializes eagerly at call
+    * time (see the note on [[dedupMinhash]]).
     */
   def dedupNgram(s: SparkSession, dir: String, n: Int = 3,
-                 maxDf: Int = 20, minJaccard: Double = 0.2): DataFrame =
+                 maxDf: Int = DefaultMaxDf,
+                 minJaccard: Double = DefaultMinJaccard): DataFrame =
     dedupNgram(s, Sources.table(s, dir, "documents"), n, maxDf, minJaccard)
 
   /** [[dedupNgram]] over any `(doc_id, text)` relation. */
@@ -285,11 +304,12 @@ object NearDup {
     * corpus curation. Same inverted-index discipline as [[dedupNgram]]
     * (posting lists + df cutoff, pair work bounded per shingle, never
     * N²); emits both directions' containment and keeps pairs whose
-    * max ≥ `minContain`.
+    * max ≥ `minContain`. Materializes eagerly at call time (see the
+    * note on [[dedupMinhash]]).
     */
   def dedupContainment(s: SparkSession, dir: String, n: Int = 3,
-                       maxDf: Int = 20,
-                       minContain: Double = 0.5): DataFrame =
+                       maxDf: Int = DefaultMaxDf,
+                       minContain: Double = DefaultMinContain): DataFrame =
     dedupContainment(s, Sources.table(s, dir, "documents"), n, maxDf,
       minContain)
 
@@ -341,7 +361,8 @@ object NearDup {
     * doc id — candidate work bounded by posting sizes, the
     * dedup_ngram discipline applied to the decontamination problem.
     */
-  def decontaminate(s: SparkSession, dir: String, maxDf: Int = 20): DataFrame = {
+  def decontaminate(s: SparkSession, dir: String,
+                    maxDf: Int = DefaultMaxDf): DataFrame = {
     val lab = Sources.table(s, dir, "documents")
       .select(col("doc_id"),
         (Sampling.hexNibble(col("doc_id")) >= "e").as("is_test"))
@@ -521,10 +542,13 @@ object NearDup {
     * `observe()` on the checkpoint job — zero extra jobs. The fixpoint
     * is schedule- and partitioning-independent, so results are
     * deterministic. Iterations are bounded by component diameter —
-    * near-dup clusters are shallow; `maxIters` turns a pathological
-    * chain into an explicit error rather than an endless job. (At
-    * extreme scale swap in large-star/small-star — same join shapes,
-    * fewer rounds.)
+    * near-dup clusters are shallow, so this is normally the fastest
+    * path; when a pathological graph (diameter > `maxIters`) fails to
+    * converge, the computation FALLS BACK to
+    * [[connectedComponentsStar]], whose round count is
+    * O(log² n) regardless of diameter — the adversarial-input
+    * guarantee documented in SCALE.md, now implemented rather than
+    * assumed away.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs.unionByName(pairs.select(
@@ -561,9 +585,99 @@ object NearDup {
       prevSum = curSum
       iter += 1
     }
+    if (converged)
+      labels.select(col("doc_id"), col("label").as("cluster_id"))
+    else
+      // diameter > maxIters: switch to the O(log² n)-round algorithm
+      // instead of erroring — `edges` is already symmetrized and
+      // checkpointed, so the upstream pipeline does not re-run
+      connectedComponentsStar(edges)
+  }
+
+  /** Connected components via alternating large-star / small-star
+    * rewiring (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14 — public algorithm): converges in O(log² n)
+    * rounds REGARDLESS of component diameter, vs label propagation's
+    * diameter-bounded iteration count. Same contract as
+    * [[connectedComponents]]: one `(doc_id, cluster_id)` row per
+    * non-isolated node, cluster id = component minimum.
+    *
+    * Each round is two join+aggregate passes over the edge set (the
+    * exact shuffle shapes label propagation uses — nothing new has to
+    * hold in memory):
+    *
+    *   - **large-star**: every node points its LARGER neighbors at
+    *     the minimum of its closed neighborhood — long tails collapse
+    *     toward small ids from every node simultaneously;
+    *   - **small-star**: every node collapses its smaller-or-equal
+    *     neighborhood onto that neighborhood's minimum — local stars
+    *     flatten into one level.
+    *
+    * Both preserve connectivity; the fixpoint is one star per
+    * component centered at its minimum node. Convergence is detected
+    * by an `observe()`d multiset signature of the edge set (count +
+    * two independent 64-bit hash sums in DECIMAL(38,0) — stable
+    * signature ⟺ stable edge multiset, with no extra comparison job);
+    * every round re-checkpoints, so plan depth stays constant.
+    */
+  def connectedComponentsStar(pairs: DataFrame,
+                              maxRounds: Int = 64): DataFrame = {
+    // canonical directed edges: larger id -> smaller id, no self-loops
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    def checkpointWithSig(df: DataFrame)
+        : (DataFrame, (Long, java.math.BigDecimal, java.math.BigDecimal)) = {
+      val obs = org.apache.spark.sql.Observation()
+      val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+      val out = df.observe(obs,
+          count(lit(1)).as("n"),
+          coalesce(sum(dec(xxhash64(col("u"), col("v")))), dec(lit(0))).as("h1"),
+          coalesce(sum(dec(xxhash64(col("v"), col("u"), lit(7)))), dec(lit(0))).as("h2"))
+        .localCheckpoint()
+      (out, (obs.get("n").asInstanceOf[Long],
+        obs.get("h1").asInstanceOf[java.math.BigDecimal],
+        obs.get("h2").asInstanceOf[java.math.BigDecimal]))
+    }
+    var prevSig: (Long, java.math.BigDecimal, java.math.BigDecimal) = null
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // ---- large-star ----
+      val sym = edges.unionByName(
+        edges.select(col("v").as("u"), col("u").as("v")))
+      val cnMin = sym.groupBy("u")
+        .agg(least(col("u"), min(col("v"))).as("m"))
+      val large = sym.filter(col("v") > col("u"))
+        .join(cnMin, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct() // (larger nbr -> neighborhood min); u > v invariant holds
+      // ---- small-star (input edges all point large -> small) ----
+      val nMin = large.groupBy("u").agg(min(col("v")).as("m"))
+      val (next, sig) = checkpointWithSig(
+        large.join(nMin, "u")
+          .select(
+            // the edge to the min neighbor rewires to (u, m) — kept as
+            // is; every other smaller neighbor v re-points at m
+            when(col("v") === col("m"), col("u")).otherwise(col("v")).as("u"),
+            col("m").as("v"))
+          .filter(col("u") =!= col("v"))
+          .distinct())
+      edges = next
+      converged = prevSig != null && sig == prevSig
+      prevSig = sig
+      round += 1
+    }
     require(converged,
-      s"label propagation did not converge in $maxIters iterations")
-    labels.select(col("doc_id"), col("label").as("cluster_id"))
+      s"large-star/small-star did not converge in $maxRounds rounds")
+    // fixpoint edge set IS the star: (member -> root) for every
+    // non-root member; add the root's self-row to match the
+    // label-propagation contract
+    edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .unionByName(edges.select(col("v").as("doc_id"),
+        col("v").as("cluster_id")).distinct())
   }
 
   /** `dedup_fuzzy` — edit-distance fuzzy matching over the part-name

@@ -113,9 +113,16 @@ object Sinks {
     df.observe(obs, count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(dir)
     val n = obs.get("n").asInstanceOf[Long]
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(dir, manifestName),
-      s"""{"rows": $n, "committed": true}""")
+    // temp-write + ATOMIC_MOVE: manifest existence must be the commit
+    // point, so it can never be observed half-written (a torn
+    // Files.writeString would read as "unparseable manifest" instead
+    // of "uncommitted")
+    val target = java.nio.file.Paths.get(dir, manifestName)
+    val tmp = java.nio.file.Paths.get(dir, s".$manifestName.tmp")
+    java.nio.file.Files.writeString(tmp, s"""{"rows": $n, "committed": true}""")
+    java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     n
   }
 

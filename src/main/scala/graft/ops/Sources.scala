@@ -99,13 +99,38 @@ object Sources {
     * truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP, so
     * both engines see identical values.
     */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // evict this session's entries when its SparkContext ends, so a
+    // long-lived multi-session host never pins stopped sessions (and
+    // their relations) through the cache
+    if (evictionHooked.add(spark))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+            evictCache(spark)
+            evictionHooked.remove(spark): Unit
+          }
+        })
     tableCache.computeIfAbsent((spark, sfDir, name), _ =>
       if (name == "events") {
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.read.parquet(s"$sfDir/events.parquet")
           .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       } else spark.read.parquet(s"$sfDir/$name.parquet"))
+  }
+
+  /** Drop every cached relation belonging to `spark` — called
+    * automatically on session stop, callable directly by hosts that
+    * know a table dir's files changed (the cache assumes
+    * snapshot-immutable dirs; see note below).
+    */
+  def evictCache(spark: SparkSession): Unit =
+    tableCache.keySet.removeIf(_._1 eq spark): Unit
+
+  /** Drop the whole relation cache (all sessions) — the escape hatch
+    * for long-lived hosts. */
+  def clearCache(): Unit = tableCache.clear()
 
   // One relation per (session, dir, table) — the registered-catalog
   // shape: file listing + schema read happen once per session instead
@@ -118,6 +143,10 @@ object Sources {
   // through spark.read directly.
   private val tableCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  // sessions whose application-end eviction hook is already registered
+  private val evictionHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
 
   /** CSV reader with an explicit schema — the engine analog of the
     * reference's header-based CSV extract (`src/etl_2016.py:4-10`,

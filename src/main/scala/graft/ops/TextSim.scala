@@ -686,8 +686,15 @@ object TextSim {
     * Chunk ids are window ordinals, so (doc_id, chunk_id) is a stable
     * key for downstream embedding/dedup joins.
     */
-  def chunkDocs(s: SparkSession, dir: String, size: Int = 64,
-                overlap: Int = 16): DataFrame =
+  /** Shared chunking defaults — referenced by the oracle SQL in
+    * [[graft.SparkEntry]] (via interpolation), so a default change can
+    * never silently desynchronize query and oracle.
+    */
+  final val DefaultChunkSize = 64
+  final val DefaultChunkOverlap = 16
+
+  def chunkDocs(s: SparkSession, dir: String, size: Int = DefaultChunkSize,
+                overlap: Int = DefaultChunkOverlap): DataFrame =
     chunkDocs(docs(s, dir), size, overlap)
 
   /** [[chunkDocs]] over any `(doc_id, text)` relation. */

@@ -66,12 +66,36 @@ class ClusterTfidfSpec extends SparkSpec {
     assert(flipped == got)
   }
 
-  test("connectedComponents errors on a chain deeper than maxIters") {
+  test("chain deeper than maxIters falls back to star and still resolves") {
     import spark.implicits._
+    // diameter 40 ≫ maxIters=3: label propagation alone would stop
+    // with interior nodes still carrying non-minimal labels; the
+    // large-star/small-star fallback must resolve the component
+    // exactly regardless of diameter
     val longChain = (0L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    intercept[IllegalArgumentException] {
-      NearDup.connectedComponents(longChain, maxIters = 3).collect()
-    }
+    val got = NearDup.connectedComponents(longChain, maxIters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 40L).map(_ -> 0L).toMap)
+  }
+
+  test("connectedComponentsStar matches label propagation on crafted graphs") {
+    import spark.implicits._
+    val edges = Seq(
+      (10L, 11L), (11L, 12L), (12L, 10L),             // triangle
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L), // chain
+      (5L, 30L)                                       // cross-magnitude pair
+    ).toDF("doc_a", "doc_b")
+    val star = NearDup.connectedComponentsStar(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = NearDup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == prop)
+    assert(star(24L) == 20L && star(30L) == 5L && star(10L) == 10L)
+    // determinism under reversed orientation
+    val flipped = NearDup.connectedComponentsStar(
+      edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flipped == star)
   }
 
   test("clustering is deterministic across runs") {

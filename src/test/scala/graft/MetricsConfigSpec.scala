@@ -30,6 +30,30 @@ class MetricsConfigSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("metrics HTTP endpoint serves Prometheus exposition after a query") {
+    val listener = Metrics.install(spark)
+    val server = Metrics.serveMetrics(listener, port = 0) // ephemeral port
+    try {
+      Sources.table(spark, sf, "region").count()
+      // listener callbacks fire asynchronously — poll for the counter
+      val deadline = System.nanoTime() + 10000000000L
+      while (listener.snapshot.getOrElse("queries_total", 0.0) < 1.0 &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      val port = server.getAddress.getPort
+      val body = new String(
+        new java.net.URI(s"http://127.0.0.1:$port/metrics").toURL
+          .openStream().readAllBytes(), "UTF-8")
+      assert(body.contains("# TYPE graft_queries_total counter"))
+      val m = """(?m)^graft_queries_total (\S+)""".r.findFirstMatchIn(body)
+      assert(m.isDefined, s"no graft_queries_total sample in:\n$body")
+      assert(m.get.group(1).toDouble >= 1.0)
+      assert(body.contains("graft_query_duration_ms_sum"))
+    } finally {
+      Metrics.stopMetricsServer(server)
+      spark.listenerManager.unregister(listener)
+    }
+  }
+
   test("EngineConfig loads reference-shaped keys with defaults") {
     val props =
       """aws.s3_bucket=my-bucket

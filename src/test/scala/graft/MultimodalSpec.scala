@@ -3,9 +3,9 @@ package graft
 import graft.ops.Multimodal
 import org.apache.spark.sql.functions._
 
-/** Multimodal plumbing: binary media columns, stubbed decode through
-  * partition-preserving mapPartitions, and frame sampling over the
-  * binary payload.
+/** Multimodal plumbing: binary media columns, REAL codec decode
+  * (javax.imageio / javax.sound.sampled) through partition-preserving
+  * mapPartitions, and frame sampling over the binary payload.
   */
 class MultimodalSpec extends SparkSpec {
 
@@ -17,6 +17,64 @@ class MultimodalSpec extends SparkSpec {
     val formats = m.select("format").distinct()
       .collect().map(_.getString(0)).toSet
     assert(formats == Set("png", "jpeg", "wav"))
+  }
+
+  test("known 2x2 image decodes to the hand-computed feature vector") {
+    // red, green, blue, white — every mean is computable by hand
+    val img = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFF0000); img.setRGB(1, 0, 0x00FF00)
+    img.setRGB(0, 1, 0x0000FF); img.setRGB(1, 1, 0xFFFFFF)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val f = Multimodal.decodeFeatures("png", out.toByteArray)
+    assert(f(0) == 2f / 256f && f(1) == 2f / 256f)      // true decoded dims
+    assert(f(2) == 0.5f && f(3) == 0.5f && f(4) == 0.5f) // channel means
+    // mean luma = (.299 + .587 + .114 + 1)*255/4 = 127.5
+    assert(f(5) == (127.5 / 255.0).toFloat)
+    assert(f(7) == 0.5f) // green and white sit above the mean luma
+    val lumas = Seq(0.299 * 255, 0.587 * 255, 0.114 * 255, 255.0)
+    val sd = math.sqrt(lumas.map(l => (l - 127.5) * (l - 127.5)).sum / 4)
+    assert(math.abs(f(6) - sd / 255.0) < 1e-6)
+  }
+
+  test("known PCM decodes to the hand-computed audio features") {
+    // 4 samples: 0, 16384, -16384, 32767 (16-bit LE mono 8 kHz)
+    val samples = Seq(0, 16384, -16384, 32767)
+    val pcm = samples.flatMap(s =>
+      Seq((s & 0xFF).toByte, ((s >> 8) & 0xFF).toByte)).toArray
+    val afmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), afmt, 4L)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val f = Multimodal.decodeFeatures("wav", out.toByteArray)
+    assert(f(0) == 4f / 4096f)                               // sample count
+    assert(f(1) == ((16384 + 16384 + 32767) / 4.0 / 32768.0).toFloat)
+    assert(f(3) == 2f / 3f)        // sign changes at i=2 and i=3
+    assert(f(4) == (32767 / 32768.0).toFloat)                // peak
+    assert(f(5) == (8000 / 48000.0).toFloat && f(6) == 0.125f)
+  }
+
+  test("mediaTable payloads are real encodings, decoded for real") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val media = Multimodal.mediaTable(spark, sf).as[Multimodal.MediaRecord]
+    val feats = Multimodal.extractFeatures(media).toDF()
+      .withColumn("f0", element_at(col("feat"), 1))
+      .withColumn("f1", element_at(col("feat"), 2))
+    // every image row must carry the true 8x8 decoded dims in f0/f1 —
+    // the byte-slice fallback (mean byte of a slice) could not produce
+    // exactly 8/256 on both dims across every row
+    val d = 8f / 256f
+    val badImg = feats.filter(col("format").isin("png", "jpeg") &&
+      (col("f0") =!= d || col("f1") =!= d)).count()
+    assert(badImg == 0)
+    // every wav row decoded with the true 8 kHz rate in f5
+    val badWav = feats.filter(col("format") === "wav" &&
+      element_at(col("feat"), 6) =!= (8000f / 48000f)).count()
+    assert(badWav == 0)
   }
 
   test("extractFeatures keeps one row per record, fixed feature width") {

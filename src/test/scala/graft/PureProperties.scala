@@ -11,29 +11,44 @@ import org.scalacheck.{Gen, Prop, Properties}
   */
 object PureProperties extends Properties("graft.pure") {
 
-  // ---- Multimodal.decodeFeatures (the stub decoder contract) --------
+  // ---- Multimodal.decodeFeatures (the decoder contract) -------------
 
   private val bytesGen: Gen[Array[Byte]] =
     Gen.chooseNum(0, 4096).flatMap(n =>
       Gen.listOfN(n, Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
         .map(_.toArray))
 
+  private val formatGen: Gen[String] =
+    Gen.oneOf("png", "jpeg", "wav", "mp4", "bin")
+
+  // random bytes are almost never a valid PNG/JPEG/WAV, so these also
+  // exercise the corrupt-payload fallback path under every format tag
   property("decodeFeatures is 8-wide with values in [0,1]") =
-    Prop.forAll(bytesGen) { media =>
-      val f = Multimodal.decodeFeatures(media)
+    Prop.forAll(formatGen, bytesGen) { (fmt, media) =>
+      val f = Multimodal.decodeFeatures(fmt, media)
       f.length == 8 && f.forall(x => x >= 0f && x <= 1f)
     }
 
   property("decodeFeatures is deterministic") =
-    Prop.forAll(bytesGen) { media =>
-      Multimodal.decodeFeatures(media).toSeq ==
-        Multimodal.decodeFeatures(media).toSeq
+    Prop.forAll(formatGen, bytesGen) { (fmt, media) =>
+      Multimodal.decodeFeatures(fmt, media).toSeq ==
+        Multimodal.decodeFeatures(fmt, media).toSeq
     }
 
   property("decodeFeatures handles null and empty payloads") = Prop {
-    Multimodal.decodeFeatures(null).toSeq == Seq.fill(8)(0f) &&
-    Multimodal.decodeFeatures(Array.empty[Byte]).toSeq == Seq.fill(8)(0f)
+    Multimodal.decodeFeatures("png", null).toSeq == Seq.fill(8)(0f) &&
+    Multimodal.decodeFeatures("wav", Array.empty[Byte]).toSeq == Seq.fill(8)(0f)
   }
+
+  property("real encoded payloads decode to real features") =
+    Prop.forAll(Gen.chooseNum(0L, 100000L)) { id =>
+      // encoded-image features carry the true 8x8 dims in f0/f1, which
+      // the byte-slice fallback could only hit by coincidence
+      val f = Multimodal.decodeFeatures("png", Multimodal.encodeImage(id, "png"))
+      val w = Multimodal.decodeFeatures("wav", Multimodal.encodeWav(id, 64))
+      f(0) == 8f / 256f && f(1) == 8f / 256f &&
+        w(0) == 64f / 4096f && w(5) == 8000f / 48000f
+    }
 
   // ---- Winnow (rolling-hash fingerprints, evaluated directly) -------
 
