@@ -23,12 +23,18 @@ object Bench {
     val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "false")
     val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", "8")
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
-    val spark = SparkSession.builder()
+    // Extra SQL confs for A/B profiling runs, semicolon-separated:
+    //   SPARK_GRAFT_CONF="spark.sql.join.preferSortMergeJoin=false"
+    val extraConf = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .map { kv => val i = kv.indexOf('='); (kv.take(i), kv.drop(i + 1)) }
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    extraConf.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: absorb executor init + first-job codegen + the one-time
     // listing/schema read of EVERY table (Sources.table caches the
