@@ -24,11 +24,14 @@ object Cluster {
     * O(N·k·d) map work plus a shuffle bounded by k·d rows, the shape
     * that survives a billion-vector corpus.
     *
-    * Determinism: init = the `k` lowest-id vectors (no RNG), a FIXED
-    * iteration count (no data-dependent stopping), and ties in the
-    * argmin break toward the lower cluster id. Per-dimension means
-    * use exact decimal sums, so centroids — and therefore every
-    * assignment — are bit-identical run to run.
+    * Determinism: init = the `k` lowest-id vectors (no RNG), an
+    * iteration count bounded by `iters` with one data-dependent but
+    * fully deterministic early exit — when a round reproduces the
+    * previous centroids BIT-EXACTLY (possible because per-dimension
+    * means use exact decimal sums), every later round would be a
+    * no-op, so stopping is lossless and identical run to run. Ties in
+    * the argmin break toward the lower cluster id, so centroids — and
+    * therefore every assignment — are bit-identical run to run.
     *
     * Returns `(vec_id, cluster_id, dist2)` — the assignment under the
     * final centroids, with the squared euclidean distance as the
@@ -84,10 +87,14 @@ object Cluster {
                       iters: Int): Array[Array[Double]] = {
     require(k >= 1, s"k must be positive, got $k")
     require(iters >= 1, s"iters must be positive, got $iters")
-    val e = vectors(s, emb)
+    // persist across the Lloyd loop: every iteration re-reads the
+    // vector relation otherwise (scan + cast per round). Standard
+    // practice for iterative algorithms; released before returning.
+    val e = vectors(s, emb).persist()
     var centroids: Array[Array[Double]] = e.orderBy("vec_id").limit(k)
       .collect().map(_.getSeq[Double](1).toArray)
-    for (_ <- 1 to iters) {
+    var converged = false
+    for (_ <- 1 to iters if !converged) {
       val assigned = e.select(col("vec_id"), col("v"),
         assignExpr(s, centroids).getField("cid").as("cid"))
       // per-dimension decimal-exact means, k*d rows on the shuffle
@@ -105,8 +112,14 @@ object Cluster {
         val dims = r.getMap[Int, Double](1)
         next(r.getInt(0)) = Array.tabulate(dims.size)(dims(_))
       }
+      // bit-exact fixed point (exact decimal means make this well-
+      // defined): all further rounds would reproduce these centroids,
+      // so the early exit is lossless AND deterministic
+      converged = next.indices.forall(i =>
+        java.util.Arrays.equals(next(i), centroids(i)))
       centroids = next
     }
+    e.unpersist(blocking = false)
     centroids
   }
 

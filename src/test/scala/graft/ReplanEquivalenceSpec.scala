@@ -98,6 +98,26 @@ class ReplanEquivalenceSpec extends SparkSpec {
     assert(windowed == joined && windowed.nonEmpty)
   }
 
+  test("kmeans early exit is lossless: converged centroids match a long run") {
+    import spark.implicits._
+    // separable fixture converges in a few rounds; after the bit-exact
+    // fixed point, every further iteration is a no-op — so a 50-iter
+    // budget must return exactly the centroids of a 5-iter budget
+    val pts = (0 until 30).map { i =>
+      val c = i % 3
+      (i.toLong, Array.tabulate(4)(d =>
+        (c * 100.0 + (i / 3) * 0.01 + d * 0.001).toFloat))
+    }
+    val emb = pts.toDF("vec_id", "embedding")
+    val short = graft.ops.Cluster.kmeansCentroids(spark, emb, 3, 5)
+    val long = graft.ops.Cluster.kmeansCentroids(spark, emb, 3, 50)
+    assert(short.length == long.length)
+    short.indices.foreach { i =>
+      assert(java.util.Arrays.equals(short(i), long(i)),
+        s"centroid $i diverged between iteration budgets")
+    }
+  }
+
   test("text_entropy: single-aggregate fold equals the three-stage shape") {
     def lnd(c: org.apache.spark.sql.Column) = round(log(c), 8)
     val tf = graft.ops.Sources.table(spark, sf, "documents").select(col("doc_id"), col("text"))
