@@ -31,7 +31,8 @@ object Bench {
     //   SPARK_GRAFT_CONF="spark.sql.join.preferSortMergeJoin=false"
     val extraConf = sys.env.get("SPARK_GRAFT_CONF").toSeq
       .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
-      .map { kv => val i = kv.indexOf('='); (kv.take(i), kv.drop(i + 1)) }
+      .map { kv => val i = kv.indexOf('=')
+        (kv.take(i).trim, kv.drop(i + 1).trim) } // "k = v" spacing ok
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", parts)

@@ -83,9 +83,17 @@ object Metrics {
     server.createContext("/metrics",
       new com.sun.net.httpserver.HttpHandler {
         override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
-          val body = listener.snapshot.toSeq.sortBy(_._1)
-            .map { case (k, v) =>
-              val name = "graft_" + k.replaceAll("[^a-zA-Z0-9_:]", "_")
+          // two raw keys may sanitize to the same metric name; a
+          // duplicate name makes Prometheus reject the WHOLE scrape,
+          // so collisions get a stable per-key hash suffix instead
+          val snap = listener.snapshot.toSeq.sortBy(_._1)
+          val sanitized = snap.map { case (k, _) =>
+            "graft_" + k.replaceAll("[^a-zA-Z0-9_:]", "_") }
+          val counts = sanitized.groupBy(identity).view.mapValues(_.size)
+          val body = snap.zip(sanitized)
+            .map { case ((k, v), base) =>
+              val name = if (counts(base) > 1)
+                f"${base}_${k.hashCode & 0xffffff}%06x" else base
               s"# TYPE $name counter\n$name $v"
             }.mkString("", "\n", "\n")
             .getBytes(java.nio.charset.StandardCharsets.UTF_8)

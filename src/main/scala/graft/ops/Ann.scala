@@ -23,10 +23,8 @@ object Ann {
     * engine-independent, no RNG state.
     */
   private def planeComponent(p: Int, d: Int): Double = {
-    var z = (p.toLong * 1000003L + d.toLong) + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z = z ^ (z >>> 31)
+    val z = graft.functions.SplitMix64.avalanche(
+      p.toLong * 1000003L + d.toLong + graft.functions.SplitMix64.Gamma)
     z.toDouble / Long.MaxValue.toDouble
   }
 

@@ -91,6 +91,7 @@ object Cluster {
     // vector relation otherwise (scan + cast per round). Standard
     // practice for iterative algorithms; released before returning.
     val e = vectors(s, emb).persist()
+    try {
     var centroids: Array[Array[Double]] = e.orderBy("vec_id").limit(k)
       .collect().map(_.getSeq[Double](1).toArray)
     var converged = false
@@ -119,8 +120,10 @@ object Cluster {
         java.util.Arrays.equals(next(i), centroids(i)))
       centroids = next
     }
-    e.unpersist(blocking = false)
     centroids
+    // finally, not straight-line: a mid-loop failure (executor loss,
+    // bad cast) must not leave the vector blocks pinned on the session
+    } finally e.unpersist(blocking = false)
   }
 
   /** `cluster_kmeans` — the declared-query wrapper: cluster the

@@ -31,12 +31,9 @@ object Multimodal {
     * payload synthesis; retry-safe like SyntheticDocs' (seed, doc_id)
     * convention.
     */
-  private def mix(a: Long, b: Long): Long = {
-    var z = a * 0x9E3779B97F4A7C15L + b
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
+  private def mix(a: Long, b: Long): Long =
+    graft.functions.SplitMix64.avalanche(
+      a * graft.functions.SplitMix64.Gamma + b)
 
   /** Render a deterministic `side`×`side` RGB image for a doc id and
     * encode it with the requested ImageIO writer ("png" or "jpeg").
@@ -182,8 +179,10 @@ object Multimodal {
       (math.sqrt(sumSq / n) / 32768.0).toFloat,
       (if (n > 1) zc.toDouble / (n - 1) else 0.0).toFloat,
       (maxAbs / 32768.0).toFloat,
-      (fmt.getSampleRate / 48000.0).toFloat,
-      (fmt.getChannels / 8.0).toFloat,
+      // clamped so exotic-but-valid inputs (96 kHz, >8 channels)
+      // cannot push features outside the documented [0, 1] range
+      math.min(fmt.getSampleRate / 48000.0, 1.0).toFloat,
+      math.min(fmt.getChannels / 8.0, 1.0).toFloat,
       (if (n / 2 > 0) firstHalfAbs / (n / 2) / 32768.0 else 0.0).toFloat)
   }
 
@@ -200,10 +199,27 @@ object Multimodal {
           new java.io.ByteArrayInputStream(media))
         if (img == null) byteSliceFeatures(media) else imageFeatures(img)
       case "wav" =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(media))
-        try audioFeatures(ais.getFormat, ais.readAllBytes())
-        finally ais.close()
+        try {
+          // audioFeatures parses 16-bit signed little-endian PCM; any
+          // other valid WAV (8/24-bit, big-endian, unsigned, a-law…)
+          // is CONVERTED to that canonical form first — without this,
+          // the byte-pair parse would silently produce garbage for
+          // formats the decoder accepts. Unsupported conversions
+          // throw and take the byteSliceFeatures fallback.
+          val f = raw.getFormat
+          val canonical = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            f.getSampleRate, 16, f.getChannels, 2 * f.getChannels,
+            f.getSampleRate, false)
+          val ais =
+            if (f.matches(canonical)) raw
+            else javax.sound.sampled.AudioSystem
+              .getAudioInputStream(canonical, raw)
+          try audioFeatures(ais.getFormat, ais.readAllBytes())
+          finally ais.close()
+        } finally raw.close()
       case _ => byteSliceFeatures(media)
     } catch { case scala.util.control.NonFatal(_) => byteSliceFeatures(media) }
   }

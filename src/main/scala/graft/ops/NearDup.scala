@@ -622,6 +622,12 @@ object NearDup {
     */
   def connectedComponentsStar(pairs: DataFrame,
                               maxRounds: Int = 64): DataFrame = {
+    // nodes whose ONLY edges are self-loops would vanish with the
+    // self-loop filter below; kept aside and re-added as their own
+    // roots at the end so node coverage matches [[connectedComponents]]
+    // exactly (same input ⇒ same node set on both code paths)
+    val selfLoopNodes = pairs.filter(col("doc_a") === col("doc_b"))
+      .select(col("doc_a").as("doc_id")).distinct()
     // canonical directed edges: larger id -> smaller id, no self-loops
     var edges = pairs
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
@@ -674,10 +680,15 @@ object NearDup {
       s"large-star/small-star did not converge in $maxRounds rounds")
     // fixpoint edge set IS the star: (member -> root) for every
     // non-root member; add the root's self-row to match the
-    // label-propagation contract
-    edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+    // label-propagation contract, plus self-loop-only nodes (their
+    // own roots) that the edge canonicalization dropped
+    val star = edges
+      .select(col("u").as("doc_id"), col("v").as("cluster_id"))
       .unionByName(edges.select(col("v").as("doc_id"),
         col("v").as("cluster_id")).distinct())
+    star.unionByName(
+      selfLoopNodes.join(star.select("doc_id"), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("doc_id").as("cluster_id")))
   }
 
   /** `dedup_fuzzy` — edit-distance fuzzy matching over the part-name

@@ -412,9 +412,16 @@ object TextSim {
     * statistic: term frequency per doc × document frequency per term ×
     * corpus size). The document frequency is a COUNT WINDOW over the
     * token partition of the per-doc term counts — not a separate
-    * aggregate joined back: the window form runs on the same rows the
-    * join would ship to the token exchange anyway, but skips building
-    * and probing the df hash table entirely (measured 2× at sf0.1).
+    * aggregate joined back — skipping the df hash table's build and
+    * probe entirely (measured 2× at sf0.1). The trade-off is real and
+    * directional: WindowExec buffers each token's group (spilling past
+    * a threshold), so a heavy stopword token concentrates its group in
+    * one task, where the aggregate+join form (whose count table can
+    * broadcast) never ships the stream by token at all. At tfidf's
+    * scale the group size is bounded by the CORPUS DOC COUNT per
+    * token and df-heavy tokens are exactly the ones idf zeroes out —
+    * on a corpus where that bound bites, swap back to the
+    * aggregate+broadcast-join shape (the [[textLogprob]] pattern).
     * Shuffle volume stays ∝ distinct (doc, term) keys; the corpus size
     * is a 1-row broadcast; top-k per doc is a rank window on the doc
     * key, never a global sort. Ranking uses the ROUNDED score so
@@ -487,11 +494,15 @@ object TextSim {
     *
     * Shapes: one exploded bigram pass, then the bigram count c2 and
     * head count c1 as COUNT WINDOWS over the (w1,w2) and (w1)
-    * partitions of that stream — not aggregate-and-join-back: the
-    * bigram stream must cross a (w1,w2)-keyed and a (w1)-keyed
-    * exchange either way, and the window form skips building/probing
-    * two count hash tables (measured 3.5× at sf0.1; identical counts
-    * by construction). The per-doc mean is ALL-INTEGER: per-bigram NLLs round to
+    * partitions of that stream — not aggregate-and-join-back,
+    * skipping two count hash tables' build and probe (measured 3.5×
+    * at sf0.1; identical counts by construction, pinned in
+    * ReplanEquivalenceSpec). Same caveat as [[textTfidf]]: a
+    * pathologically heavy head word makes one window group large
+    * (WindowExec buffers per group, spilling past a threshold) where
+    * the join form's broadcast count tables leave the stream
+    * unshuffled — on a corpus whose head-word skew bites, use the
+    * aggregate+broadcast-join shape instead. The per-doc mean is ALL-INTEGER: per-bigram NLLs round to
     * micro-nat longs, and the 4-dp mean is a half-up integer division
     * `(2·Σ + d) DIV 2d` — at sf0.1 one doc's mean landed exactly on a
     * `round(double, 4)` half-boundary where Spark (exact binary

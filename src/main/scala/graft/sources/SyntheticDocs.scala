@@ -64,13 +64,11 @@ object SyntheticDocs {
 
   private val langs = Array("en", "de", "fr", "es")
 
-  /** splitmix64 — tiny, high-quality, allocation-free per-doc PRNG. */
-  private def mix(x: Long): Long = {
-    var z = x + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  /** splitmix64 — tiny, high-quality, allocation-free per-doc PRNG
+    * (shared avalanche: [[graft.functions.SplitMix64]]).
+    */
+  private def mix(x: Long): Long =
+    graft.functions.SplitMix64.avalanche(x + graft.functions.SplitMix64.Gamma)
 
   /** Content is a pure function of (seed, docId): ~3% of ids alias to
     * a NEARBY canonical id's content (planted exact duplicates).

@@ -98,6 +98,28 @@ class ClusterTfidfSpec extends SparkSpec {
     assert(flipped == star)
   }
 
+  test("self-loop-only nodes keep identical coverage on both CC paths") {
+    import spark.implicits._
+    // node 99 appears ONLY as a self-pair; both algorithms must emit
+    // it as its own root — before the fix the star path's self-loop
+    // filter deleted it, so node coverage depended on which code path
+    // ran (label propagation vs the deep-graph fallback)
+    val edges = Seq((1L, 2L), (2L, 3L), (99L, 99L)).toDF("doc_a", "doc_b")
+    val prop = NearDup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = NearDup.connectedComponentsStar(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prop == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 99L -> 99L))
+    assert(star == prop)
+    // a self-pair on a node that ALSO has proper edges must not
+    // duplicate its row
+    val mixed = Seq((1L, 2L), (1L, 1L)).toDF("doc_a", "doc_b")
+    val rows = NearDup.connectedComponentsStar(mixed).collect()
+    assert(rows.length == 2)
+    assert(rows.map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("clustering is deterministic across runs") {
     val a = clusters.collect()
     val b = NearDup.dedupCluster(spark, sf).collect()

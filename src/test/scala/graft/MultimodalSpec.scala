@@ -57,6 +57,30 @@ class MultimodalSpec extends SparkSpec {
     assert(f(5) == (8000 / 48000.0).toFloat && f(6) == 0.125f)
   }
 
+  test("non-16-bit WAVs are canonicalized before parsing, not misread") {
+    // the same 4 samples written as an 8-bit UNSIGNED WAV: the decoder
+    // must convert to 16-bit signed LE before the byte-pair parse —
+    // misreading 8-bit bytes as 16-bit pairs would halve the sample
+    // count and produce garbage amplitudes
+    val samples8 = Seq(128, 192, 64, 255) // unsigned 8-bit ≈ 0, +50%, -50%, max
+    val pcm8 = samples8.map(_.toByte).toArray
+    val afmt8 = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+      8000f, 8, 1, 1, 8000f, false)
+    val ais8 = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm8), afmt8, 4L)
+    val out8 = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais8, javax.sound.sampled.AudioFileFormat.Type.WAVE, out8)
+    val f = Multimodal.decodeFeatures("wav", out8.toByteArray)
+    assert(f(0) == 4f / 4096f, "4 samples must survive conversion")
+    // 8-bit 192 converts to 16-bit (192-128)<<8 = +16384 → |s|/32768 ≈ 0.5
+    assert(math.abs(f(4) - (127 << 8) / 32768.0) < 0.01,
+      s"peak must be ~max after widening, got ${f(4)}")
+    assert(f(3) > 0f, "sign changes must be visible after widening")
+    assert(f(5) == (8000 / 48000.0).toFloat && f(6) == 0.125f)
+  }
+
   test("mediaTable payloads are real encodings, decoded for real") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import spark.implicits._
