@@ -244,6 +244,32 @@ object NearDup {
   /** [[dedupNgram]] over any `(doc_id, text)` relation. */
   def dedupNgram(s: SparkSession, docs: DataFrame, n: Int,
                  maxDf: Int, minJaccard: Double): DataFrame = {
+    val (pairs, posts) = dedupNgramPlan(s, docs, n, maxDf, minJaccard)
+    // eager localCheckpoint: runs the pipeline once (through the
+    // posting-list cache) and truncates lineage to the small
+    // pair-level result, so `posts` can be unpersisted immediately
+    // instead of pinning cached blocks for the session lifetime.
+    // The checkpointed blocks are bounded by the surviving pair
+    // count and are released by the ContextCleaner when the
+    // returned DataFrame is dropped.
+    val out = pairs.localCheckpoint()
+    posts.unpersist(blocking = false)
+    out.orderBy("doc_a", "doc_b")
+  }
+
+  /** The un-materialized candidate-pair plan behind [[dedupNgram]]:
+    * `(pairs, posts)` where `pairs` is the lazy `(doc_a, doc_b,
+    * jaccard)` relation and `posts` is the persisted posting-list
+    * cache the plan reads twice. The caller MUST run exactly one
+    * action over `pairs` (a checkpoint, or a larger plan embedding
+    * it) and then `posts.unpersist()` — exposing the lazy plan lets
+    * a consumer fuse its own first materialization with the pair
+    * build instead of paying two back-to-back jobs over the same
+    * data ([[dedupCluster]] fuses edge symmetrization this way).
+    */
+  private[graft] def dedupNgramPlan(s: SparkSession, docs: DataFrame, n: Int,
+                                    maxDf: Int, minJaccard: Double)
+      : (DataFrame, DataFrame) = {
     // gram identity = its 64-bit shingle hash (sufficient for df
     // cutoff, posting lists and Jaccard counts; the gram string is
     // never needed downstream)
@@ -283,16 +309,7 @@ object NearDup {
           (col("na") + col("nb") - col("shared")).cast(DoubleType), 4)
           .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
-      // eager localCheckpoint: runs the pipeline once (through the
-      // posting-list cache) and truncates lineage to the small
-      // pair-level result, so `posts` can be unpersisted immediately
-      // instead of pinning cached blocks for the session lifetime.
-      // The checkpointed blocks are bounded by the surviving pair
-      // count and are released by the ContextCleaner when the
-      // returned DataFrame is dropped.
-      .localCheckpoint()
-    posts.unpersist(blocking = false)
-    pairs.orderBy("doc_a", "doc_b")
+    (pairs, posts)
   }
 
   /** `dedup_containment` — asymmetric containment similarity
@@ -519,10 +536,21 @@ object NearDup {
     * corpus dedup pipeline (candidates → clusters → keep one doc per
     * cluster, e.g. the component-min id). Algorithm and scale notes:
     * [[connectedComponents]].
+    *
+    * The pair build and the edge symmetrization materialize as ONE
+    * job: [[dedupNgramPlan]] hands over the lazy pair plan, and the
+    * symmetrize-and-checkpoint pass (the first materialization the
+    * CC loop needs anyway) runs it — vs checkpointing pairs and then
+    * re-reading them to checkpoint edges. One fewer job and one fewer
+    * copy of the pair set, at every scale.
     */
-  def dedupCluster(s: SparkSession, dir: String, maxIters: Int = 20): DataFrame =
-    connectedComponents(dedupNgram(s, dir).select("doc_a", "doc_b"), maxIters)
-      .orderBy("doc_id")
+  def dedupCluster(s: SparkSession, dir: String, maxIters: Int = 20): DataFrame = {
+    val (pairs, posts) = dedupNgramPlan(s, Sources.table(s, dir, "documents"),
+      3, DefaultMaxDf, DefaultMinJaccard)
+    val (edges, edgeCount) = symmetrizeCheckpoint(pairs.select("doc_a", "doc_b"))
+    posts.unpersist(blocking = false)
+    ccOnEdges(edges, edgeCount, maxIters).orderBy("doc_id")
+  }
 
   /** Connected components over an arbitrary undirected edge list
     * `(doc_a, doc_b)` — the reusable algorithm behind [[dedupCluster]],
@@ -538,60 +566,115 @@ object NearDup {
     * equi-join + one hash aggregate on the node key (shuffle-bounded
     * by the edge count, never all-pairs); `localCheckpoint` truncates
     * lineage so plan size stays constant; convergence is detected by
-    * the label sum (strictly decreasing until fixpoint) read via
-    * `observe()` on the checkpoint job — zero extra jobs. The fixpoint
-    * is schedule- and partitioning-independent, so results are
-    * deterministic. Iterations are bounded by component diameter —
-    * near-dup clusters are shallow, so this is normally the fastest
-    * path; when a pathological graph (diameter > `maxIters`) fails to
-    * converge, the computation FALLS BACK to
-    * [[connectedComponentsStar]], whose round count is
-    * O(log² n) regardless of diameter — the adversarial-input
-    * guarantee documented in SCALE.md, now implemented rather than
-    * assumed away.
+    * counting changed labels via `observe()` INSIDE each round's
+    * checkpoint job (labels are monotone non-increasing, so one
+    * zero-change round proves the global fixpoint — no extra
+    * confirmation round and zero extra jobs, where the r6 label-sum
+    * comparison needed one more full round to see the sum repeat).
+    * The fixpoint is schedule- and partitioning-independent, so
+    * results are deterministic.
+    *
+    * Iteration shuffles are sized to the graph, not the session: the
+    * mandatory symmetrize-and-checkpoint job also `observe()`s the
+    * edge count (free), and the per-round joins/aggregates then run
+    * at ~64k edges per partition, clamped to the session default.
+    * A billion-edge graph keeps full parallelism; the few-hundred-edge
+    * tail of a dedup pipeline collapses to single-task rounds instead
+    * of paying (session partitions × stages/round) task launches per
+    * iteration — the dominant cost of the iterative tail at small
+    * scale, and exactly the coalescing AQE would pick shuffle-by-
+    * shuffle if it were on. The shuffle-partition conf is set for the
+    * duration of the loop and restored in a `finally` (every round
+    * materializes inside the window; the returned relation is a
+    * checkpoint scan, so nothing escapes planned under the override).
+    *
+    * Iterations are bounded by component diameter — near-dup clusters
+    * are shallow, so this is normally the fastest path; when a
+    * pathological graph (diameter > `maxIters`) fails to converge,
+    * the computation FALLS BACK to [[connectedComponentsStar]], whose
+    * round count is O(log² n) regardless of diameter — the
+    * adversarial-input guarantee documented in SCALE.md, now
+    * implemented rather than assumed away.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.unionByName(pairs.select(
-      col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val (edges, edgeCount) = symmetrizeCheckpoint(pairs)
+    ccOnEdges(edges, edgeCount, maxIters)
+  }
+
+  /** Symmetrize an undirected `(doc_a, doc_b)` edge list and
+    * materialize it — the single pass the CC loop iterates over. Each
+    * input row explodes to both directions (one Generate over the
+    * upstream plan — the upstream runs ONCE, where a
+    * union-with-swapped-columns would embed it twice), and the
+    * mandatory checkpoint job also `observe()`s the edge count, so
+    * graph size is known for free when the loop sizes its shuffles.
+    */
+  private def symmetrizeCheckpoint(pairs: DataFrame): (DataFrame, Long) = {
+    val obs = org.apache.spark.sql.Observation()
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("a"), col("doc_b").as("b")),
+        struct(col("doc_b").as("a"), col("doc_a").as("b")))).as("e"))
+      .select(col("e.a").as("doc_a"), col("e.b").as("doc_b"))
+      .observe(obs, count(lit(1)).as("n"))
       .localCheckpoint() // bounded pair set; run the upstream pipeline once
-    var labels = edges.groupBy("doc_a")
-      .agg(least(col("doc_a"), min(col("doc_b"))).as("label"))
-      .select(col("doc_a").as("doc_id"), col("label"))
-      .localCheckpoint()
-    // DECIMAL(38,0) so the convergence sum cannot overflow at any size
-    def checkpointWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
-      val obs = org.apache.spark.sql.Observation()
-      val out = df.observe(obs,
-          coalesce(sum(col("label").cast(DecimalType(38, 0))),
-            lit(0).cast(DecimalType(38, 0))).as("s"))
-        .localCheckpoint()
-      (out, obs.get("s").asInstanceOf[java.math.BigDecimal])
-    }
-    var prevSum: java.math.BigDecimal = null
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIters) {
-      val neighborMin = edges.join(labels,
-          edges("doc_b") === labels("doc_id"))
-        .groupBy(edges("doc_a").as("nbr_of")).agg(min(col("label")).as("nmin"))
-      val (next, curSum) = checkpointWithSum(
-        labels.join(neighborMin,
+    (edges, obs.get("n").asInstanceOf[Long])
+  }
+
+  /** Min-label propagation core over checkpointed symmetric edges —
+    * see [[connectedComponents]] for the algorithm contract. */
+  private def ccOnEdges(edges: DataFrame, edgeCount: Long,
+                        maxIters: Int): DataFrame = {
+    val sess = edges.sparkSession
+    val defaultParts = sess.sessionState.conf.numShufflePartitions
+    val parts = math.max(1L, math.min(edgeCount / 65536 + 1, defaultParts.toLong))
+    val prevParts = sess.conf.getOption("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
+      // init labels are persisted, not checkpointed: round 1's plan
+      // reads them twice (as the label side and inside the neighbor
+      // min), and the cache's block-level get-or-compute makes the
+      // first round's job materialize them exactly once — one fewer
+      // job than a standalone init checkpoint, at every scale. The
+      // cache is released as soon as round 1 has materialized.
+      val init = edges.groupBy("doc_a")
+        .agg(least(col("doc_a"), min(col("doc_b"))).as("label"))
+        .select(col("doc_a").as("doc_id"), col("label"))
+        .persist()
+      var labels: DataFrame = init
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIters) {
+        val obs = org.apache.spark.sql.Observation()
+        val neighborMin = edges.join(labels,
+            edges("doc_b") === labels("doc_id"))
+          .groupBy(edges("doc_a").as("nbr_of")).agg(min(col("label")).as("nmin"))
+        val next = labels.join(neighborMin,
             labels("doc_id") === col("nbr_of"), "left")
-          .select(col("doc_id"),
+          .select(col("doc_id"), col("label").as("old_label"),
             least(col("label"), coalesce(col("nmin"), col("label")))
-              .as("label")))
-      labels = next
-      converged = prevSum != null && curSum.compareTo(prevSum) == 0
-      prevSum = curSum
-      iter += 1
+              .as("label"))
+          .observe(obs, coalesce(sum(
+              when(col("label") =!= col("old_label"), 1L).otherwise(0L)),
+            lit(0L)).as("changed"))
+          .select(col("doc_id"), col("label"))
+          .localCheckpoint()
+        if (iter == 0) init.unpersist(blocking = false)
+        labels = next
+        converged = obs.get("changed").asInstanceOf[Long] == 0L
+        iter += 1
+      }
+      if (iter == 0) init.unpersist(blocking = false) // maxIters == 0
+      if (converged)
+        labels.select(col("doc_id"), col("label").as("cluster_id"))
+      else
+        // diameter > maxIters: switch to the O(log² n)-round algorithm
+        // instead of erroring — `edges` is already symmetrized and
+        // checkpointed, so the upstream pipeline does not re-run
+        connectedComponentsStar(edges)
+    } finally prevParts match {
+      case Some(p) => sess.conf.set("spark.sql.shuffle.partitions", p)
+      case None => sess.conf.unset("spark.sql.shuffle.partitions")
     }
-    if (converged)
-      labels.select(col("doc_id"), col("label").as("cluster_id"))
-    else
-      // diameter > maxIters: switch to the O(log² n)-round algorithm
-      // instead of erroring — `edges` is already symmetrized and
-      // checkpointed, so the upstream pipeline does not re-run
-      connectedComponentsStar(edges)
   }
 
   /** Connected components via alternating large-star / small-star
