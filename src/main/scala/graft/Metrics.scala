@@ -73,13 +73,17 @@ object Metrics {
     * `com.sun.net.httpserver`, no new dependencies; port 0 binds an
     * ephemeral port (tests). Metric names are sanitized to the
     * Prometheus charset ([a-zA-Z0-9_:]) and prefixed `graft_`.
-    * Returns the server; call [[stopMetricsServer]] (or
+    * Binds loopback by default — the endpoint has no auth, so
+    * exposing it beyond the host is an explicit choice: pass the
+    * interface (e.g. `"0.0.0.0"` behind a scrape-only network) as
+    * `host`. Returns the server; call [[stopMetricsServer]] (or
     * `.stop(0)`) to release the port.
     */
-  def serveMetrics(listener: MetricsListener, port: Int = 9090)
+  def serveMetrics(listener: MetricsListener, port: Int = 9090,
+                   host: String = "127.0.0.1")
       : com.sun.net.httpserver.HttpServer = {
     val server = com.sun.net.httpserver.HttpServer.create(
-      new java.net.InetSocketAddress(port), 0)
+      new java.net.InetSocketAddress(host, port), 0)
     server.createContext("/metrics",
       new com.sun.net.httpserver.HttpHandler {
         override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {

@@ -330,30 +330,49 @@ object NearDup {
     dedupContainment(s, Sources.table(s, dir, "documents"), n, maxDf,
       minContain)
 
-  /** [[dedupContainment]] over any `(doc_id, text)` relation. */
+  /** [[dedupContainment]] over any `(doc_id, text)` relation.
+    *
+    * Containment denominators count ALL distinct grams per doc (not
+    * just distinctive ones) — a doc made of stop-shingles must not
+    * inflate to 1.0. That count is computed as
+    * `size(array_distinct(shingles))` in the SAME projection that
+    * produces the posting stream, and rides the posting shuffle as a
+    * struct field next to the doc id, so the denominators arrive
+    * with each candidate pair. The r6 form ran the tokenize+shingle
+    * stage twice (posting branch + sizes branch), paid a full
+    * `(doc_id, gram)` distinct shuffle plus a per-doc aggregate for
+    * the sizes, and joined them back onto the pairs twice; this form
+    * is one shingle pass, two shuffles (posting groupBy, pair
+    * groupBy), zero joins, and needs no persisted intermediate —
+    * strictly less data movement at any scale (the extra int per
+    * posting row is noise next to the eliminated exchanges).
+    * Verified hash-identical at sf0.01 and sf0.1.
+    */
   def dedupContainment(s: SparkSession, docs: DataFrame, n: Int,
                        maxDf: Int, minContain: Double): DataFrame = {
-    val grams = shingleHashesOf(s, docs, n).withColumnRenamed("th", "gram")
-    val posts = grams.groupBy("gram")
-      .agg(collect_set(col("doc_id")).as("docs"))
+    val perDoc = docs
+      // spread the per-token work (see [[shingleHashesOf]])
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), array_distinct(graft.functions.VectorFunctions
+        .shingle(s, split(lower(col("text")), "\\s+"), n)).as("grams"))
+    val posts = perDoc
+      .select(struct(col("doc_id"), size(col("grams")).as("ng")).as("d"),
+        explode(col("grams")).as("gram"))
+      .groupBy("gram")
+      // collect_SET on (doc_id, ng) structs: doc_id is unique, so set
+      // semantics match the r6 doc-id set (the posting stream is
+      // already distinct per doc via array_distinct)
+      .agg(collect_set(col("d")).as("docs"))
       .filter(size(col("docs")) <= maxDf)
-      .persist()
-    // sizes count ALL distinct grams per doc (not just distinctive
-    // ones) — containment denominators must reflect the true shingle
-    // set, or a doc made of stop-shingles would inflate to 1.0
-    val sizes = grams.select("doc_id", "gram").distinct()
-      .groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val shared = posts
-      .select(explode(col("docs")).as("doc_a"), col("docs"))
-      .select(col("doc_a"), explode(col("docs")).as("doc_b"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
+    val pairs = posts
+      .select(explode(col("docs")).as("a"), col("docs"))
+      .select(col("a"), explode(col("docs")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      // na/nb are functionally dependent on the doc ids; grouping on
+      // all four keeps them available without an aggregate or join
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.ng").as("na"), col("b.ng").as("nb"))
       .agg(count(lit(1)).as("shared"))
-    val pairs = shared
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_grams").as("na")),
-        "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_grams").as("nb")),
-        "doc_b")
       .select(col("doc_a"), col("doc_b"),
         round(col("shared").cast(DoubleType) / col("na").cast(DoubleType), 4)
           .as("contain_a_in_b"),
@@ -362,7 +381,6 @@ object NearDup {
       .filter(greatest(col("contain_a_in_b"), col("contain_b_in_a"))
         >= minContain)
       .localCheckpoint()
-    posts.unpersist(blocking = false)
     pairs.orderBy("doc_a", "doc_b")
   }
 
@@ -643,11 +661,13 @@ object NearDup {
       var labels: DataFrame = init
       var converged = false
       var iter = 0
+      val debug = sys.env.contains("SPARK_GRAFT_CC_DEBUG")
       while (!converged && iter < maxIters) {
         val obs = org.apache.spark.sql.Observation()
         val neighborMin = edges.join(labels,
             edges("doc_b") === labels("doc_id"))
           .groupBy(edges("doc_a").as("nbr_of")).agg(min(col("label")).as("nmin"))
+        val t0 = if (debug) System.nanoTime() else 0L
         val next = labels.join(neighborMin,
             labels("doc_id") === col("nbr_of"), "left")
           .select(col("doc_id"), col("label").as("old_label"),
@@ -658,9 +678,18 @@ object NearDup {
             lit(0L)).as("changed"))
           .select(col("doc_id"), col("label"))
           .localCheckpoint()
+        val t1 = if (debug) System.nanoTime() else 0L
         if (iter == 0) init.unpersist(blocking = false)
         labels = next
         converged = obs.get("changed").asInstanceOf[Long] == 0L
+        if (debug) {
+          val t2 = System.nanoTime()
+          // separates the checkpoint job (t1-t0) from the wait for the
+          // listener bus to deliver the observation (t2-t1): in a long
+          // bench session a lagging bus shows up ONLY in the second term
+          Console.err.println(
+            f"cc_round iter=$iter job=${(t1 - t0) / 1e9}%.3f obs_wait=${(t2 - t1) / 1e9}%.3f")
+        }
         iter += 1
       }
       if (iter == 0) init.unpersist(blocking = false) // maxIters == 0

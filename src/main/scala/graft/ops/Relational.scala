@@ -120,11 +120,23 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
-  /** `set_except` — U2, order keys that never shipped a lineitem. */
+  /** `set_except` — U2, order keys that never shipped a lineitem.
+    * Spelled as anti-join-then-distinct with a DISTINCT build side
+    * rather than `Dataset.except`: except plans the anti join against
+    * the raw right side (4× the rows here) and dedups the left
+    * afterwards, while distinct-ing the build side first map-side
+    * combines it to unique keys before the exchange — the build
+    * relation shrinks by the duplication factor at any scale (r7 A/B
+    * at sf0.1: 0.37 s vs 0.70 s). Key-equality semantics, not
+    * EXCEPT's null-safe equality — exact here because both key
+    * columns are non-null; a nullable key would need `<=>`.
+    */
   def setExcept(s: SparkSession, dir: String): DataFrame =
     Sources.table(s, dir, "orders").select("o_orderkey")
-      .except(Sources.table(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o_orderkey")))
+      .join(Sources.table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o_orderkey")).distinct(),
+        Seq("o_orderkey"), "left_anti")
+      .distinct()
       .orderBy("o_orderkey")
 
   /** `set_intersect` — U2's complement: customers holding BOTH a

@@ -100,9 +100,13 @@ object Sources {
     * both engines see identical values.
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // evict this session's entries when its SparkContext ends, so a
-    // long-lived multi-session host never pins stopped sessions (and
-    // their relations) through the cache
+    // evict this session's entries when its SparkContext ends, so
+    // cached relations never outlive the application. NOTE: the hook
+    // fires at CONTEXT end — a host that keeps one long-lived context
+    // and discards per-user/per-job sessions must call
+    // [[evictCache]](session) itself when it drops a session, or the
+    // dropped session's entries stay pinned until the application
+    // exits (sessions expose no end-of-life listener to key on)
     if (evictionHooked.add(spark))
       spark.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {

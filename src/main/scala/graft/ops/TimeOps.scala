@@ -228,8 +228,14 @@ object TimeOps {
         unix_micros(col("ts")).as("tsm"), col("value"))
       .select(col("user_id"), col("event_id"), col("tsm"), col("value"),
         row_number().over(wOrd).as("rn"),
-        sum(col("value").cast(DecimalType(18, 4))).over(wCum).as("cx"),
-        sum((col("value") * col("value")).cast(DecimalType(18, 6)))
+        // (28,x) inputs make the cumulative sums (38,x): the
+        // accumulator spans the WHOLE per-user partition (unlike the
+        // frame-bounded sums this rewrite replaced), and a narrower
+        // sum that overflowed would null out sx/sxx and silently drop
+        // those rows at the `v > 0` filter — headroom is 10^34 × the
+        // value scale, beyond any real partition length
+        sum(col("value").cast(DecimalType(28, 4))).over(wCum).as("cx"),
+        sum((col("value") * col("value")).cast(DecimalType(28, 6)))
           .over(wCum).as("cxx"))
       .select(col("user_id"), col("event_id"), col("value"),
         least(col("rn"), lit(frame)).cast(LongType).as("n"),
