@@ -67,34 +67,36 @@ object Bench {
       catch { case _: Throwable => failed ::= name }
       (System.nanoTime() - t0) / 1e9
     }
-    // Per-query seconds: min across `runs` WHOLE-SUITE sweeps (default
-    // 2), plus one targeted sweep over queries whose min is still
-    // > 0.35 s. Nothing is cached between sweeps (the full plan
-    // re-executes); the re-run sheds first-run Janino codegen compile
-    // (cached by generated-source key), first-run JIT, and the
-    // transient CPU-throttle spikes this host shows (r02 recorded
-    // 12.9 s for a query that steady-states at 0.2 s). r05 gated the
-    // re-run on first-run > 1 s, which left ~10-15 s of single-sample
-    // spike noise in the sub-second tail (VERDICT r05 nit #3); r06 ran
-    // min-of-2 BACK-TO-BACK per query, which fixed the tail but let a
-    // host-load window of a few seconds contaminate every sample of
-    // whichever query it landed on (r6 driver pass: dedup_cluster
-    // 4.08 s vs 1.78 s steady; join_anti 0.87 vs 0.34 — both samples
-    // inside one window). Sweep-structured sampling puts a query's
-    // samples MINUTES apart — sweep 1 early, sweep 2 late, the slow-
-    // head sweep at the very end — so a transient spike can reach at
-    // most one of the three. Same total execution count as r06+head.
-    // Steady-state latency is the scale-relevant quantity.
+    // Per-query seconds: min over a BACK-TO-BACK pair of executions
+    // (default runs=2), then a SECOND back-to-back pair, minutes
+    // later, for any query whose first pair still reads > 0.35 s.
+    // Nothing is cached between executions (the full plan re-runs);
+    // the in-pair re-run sheds first-run Janino codegen compile
+    // (cached by generated-source key) and first-run JIT — pairs must
+    // stay adjacent, because by the time a full sweep returns to a
+    // query its generated methods have fallen out of the JIT's hot
+    // set (an r7 experiment that spread ALL samples across whole-
+    // suite sweeps inflated every query ~25-50%: dedup_ngram 1.08 →
+    // 1.70 s with identical plans). Adjacency is also the weakness:
+    // a host-load window of a few seconds contaminates both samples
+    // of whichever query it lands on (r6 driver pass: dedup_cluster
+    // 4.08 s vs 1.78 s steady; join_anti 0.87 vs 0.34). The targeted
+    // second pair re-samples exactly those casualties from a
+    // different load window at the end of the session — a spike must
+    // now cover two windows minutes apart to reach the reported
+    // number, while genuinely-slow queries just confirm their pair-1
+    // reading (~20 of 147 queries, bounded extra cost). Steady-state
+    // latency is the scale-relevant quantity.
     val qlist = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    def pairMin(name: String,
+                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame) =
+      (1 to math.max(1, runs)).map(_ => once(name, fn)).min
     val best = scala.collection.mutable.Map.empty[String, Double]
-    for (_ <- 1 to math.max(1, runs); (name, fn) <- qlist) {
-      val t = once(name, fn)
-      if (t < best.getOrElse(name, Double.MaxValue)) best(name) = t
-    }
+    for ((name, fn) <- qlist) best(name) = pairMin(name, fn)
     if (runs >= 2)
       for ((name, fn) <- qlist if best(name) > 0.35)
-        best(name) = math.min(best(name), once(name, fn))
+        best(name) = math.min(best(name), pairMin(name, fn))
     val results = qlist.map { case (name, _) => name -> best(name) }
     // The driver parses the JSON line out of a bounded tail of this
     // process's stdout (last ~2000 chars): r03/r04 went ungraded

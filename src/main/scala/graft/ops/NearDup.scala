@@ -34,9 +34,6 @@ object NearDup {
     * ever needs shingle IDENTITY (group/join keys, min), which the
     * hash preserves (64-bit collisions: negligible, deterministic).
     */
-  private def shingleHashes(s: SparkSession, dir: String, n: Int = 3): DataFrame =
-    shingleHashesOf(s, Sources.table(s, dir, "documents"), n)
-
   private def shingleHashesOf(s: SparkSession, docs: DataFrame,
                               n: Int): DataFrame =
     docs
@@ -390,19 +387,27 @@ object NearDup {
     * the shared-shingle count as evidence. The split is the same
     * deterministic md5 rule as `sample_split` (nibble ≥ 'e' ⇒ eval),
     * so the whole check is self-contained and reproducible. Plan
-    * shape: distinct (doc, shingle) → one groupBy on the shingle to
-    * find contaminated shingles (df cutoff + any-eval flag) → one join
-    * back + per-doc count. All shuffles keyed on the shingle hash or
-    * doc id — candidate work bounded by posting sizes, the
-    * dedup_ngram discipline applied to the decontamination problem.
+    * shape (r7): the split flag is a pure function of the doc id, so
+    * it is computed in the SAME projection that shingles the text
+    * (the r6 form joined a label relation back on); per-doc shingle
+    * dedup is `array_distinct` in that projection (the r6 form paid a
+    * full (doc, shingle) distinct shuffle); and the df cutoff, the
+    * any-eval flag, and the per-shingle train-doc lists come out of
+    * ONE groupBy on the shingle (the r6 form aggregated, joined back,
+    * and persisted the stream to feed both passes). Two shuffles
+    * total, no joins, no persisted intermediate — see
+    * [[decontaminateLabeled]] for the scale bounds.
     */
   def decontaminate(s: SparkSession, dir: String,
                     maxDf: Int = DefaultMaxDf): DataFrame = {
-    val lab = Sources.table(s, dir, "documents")
+    val gl = Sources.table(s, dir, "documents")
+      // spread the per-token work (see [[shingleHashesOf]])
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"),
-        (Sampling.hexNibble(col("doc_id")) >= "e").as("is_test"))
-    decontaminateLabeled(s, shingleHashes(s, dir).distinct(), lab, maxDf)
-      .orderBy("doc_id")
+        (Sampling.hexNibble(col("doc_id")) >= "e").as("is_test"),
+        explode(array_distinct(graft.functions.VectorFunctions
+          .shingle(s, split(lower(col("text")), "\\s+"), 3))).as("th"))
+    decontaminateLabeled(gl, maxDf).orderBy("doc_id")
   }
 
   /** Decontamination against a caller-provided eval set: flag every
@@ -420,40 +425,35 @@ object NearDup {
         lit(false).as("is_test"))
       .unionByName(evalSet.select(col("doc_id"), col("text"),
         lit(true).as("is_test")))
-    val g = both
+    val gl = both
       .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"),
-        explode(graft.functions.VectorFunctions
-          .shingle(s, split(lower(col("text")), "\\s+"), n)).as("th"))
-      .dropDuplicates("doc_id", "th")
-    decontaminateLabeled(s, g, both.select("doc_id", "is_test"), maxDf)
-      .orderBy("doc_id")
+      .select(col("doc_id"), col("is_test"),
+        explode(array_distinct(graft.functions.VectorFunctions
+          .shingle(s, split(lower(col("text")), "\\s+"), n))).as("th"))
+    decontaminateLabeled(gl, maxDf).orderBy("doc_id")
   }
 
-  /** Shared decontamination core over pre-shingled, labeled inputs:
-    * `g` = distinct (doc_id, th), `lab` = (doc_id, is_test). Plan
-    * shape: one groupBy on the shingle finds contaminated shingles
-    * (df cutoff + any-eval flag), one join back + per-doc count. The
-    * labeled shingle set feeds BOTH branches — persisted MEMORY_AND_DISK
-    * so the upstream pipeline runs once (at corpus scale this is the
-    * working set a two-pass algorithm holds somewhere regardless),
-    * released after the small result materializes through the eager
-    * localCheckpoint.
+  /** Shared decontamination core over a labeled, per-doc-distinct
+    * shingle stream `(doc_id, is_test, th)`. One groupBy on the
+    * shingle computes the document frequency, the any-eval flag, AND
+    * the train-doc posting list together; exploding the lists of the
+    * surviving (distinctive ∧ contaminated) shingles and counting per
+    * doc is the whole remaining plan. Two shuffles, zero joins, one
+    * pass over the input. Per-group aggregation state is bounded by
+    * each shingle's df — the same bound [[dedupNgramPlan]]'s posting
+    * build carries (stop-shingles collect long lists before the df
+    * cutoff drops them; the accepted trade for a one-shuffle posting
+    * build, documented there).
     */
-  private def decontaminateLabeled(s: SparkSession, g: DataFrame,
-                                   lab: DataFrame, maxDf: Int): DataFrame = {
-    val gl = g.join(lab, "doc_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bad = gl.groupBy("th")
-      .agg(count(lit(1)).as("df"), bool_or(col("is_test")).as("has_test"))
+  private def decontaminateLabeled(gl: DataFrame, maxDf: Int): DataFrame =
+    gl.groupBy("th")
+      // collect_list skips nulls, so the `when` keeps test docs out of
+      // the posting list while df still counts them
+      .agg(count(lit(1)).as("df"), bool_or(col("is_test")).as("has_test"),
+        collect_list(when(!col("is_test"), col("doc_id"))).as("train_docs"))
       .filter(col("df") <= maxDf && col("has_test"))
-      .select("th")
-    val res = gl.filter(!col("is_test")).join(bad, "th")
+      .select(explode(col("train_docs")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-      .localCheckpoint() // small: one row per contaminated train doc
-    gl.unpersist(blocking = false)
-    res
-  }
 
   /** `dedup_incremental` — new-batch dedup against an existing corpus:
     * the steady-state shape of corpus curation (a new crawl arrives;
