@@ -33,20 +33,29 @@ object Relational {
         dsum(col("c_acctbal")).as("total_acctbal"))
       .orderBy("r_name", "n_name")
 
-  /** `join_fact` — J2, lineitem⋈orders shuffle equi-join; revenue per
-    * order. Both sides pruned to join keys + needed columns before the
-    * shuffle.
+  /** `join_fact` — J2, lineitem⋈orders equi-join; revenue per order.
+    * The aggregate runs BELOW the join: revenue groups only on the
+    * join key, so summing lineitem first shrinks the fact side to one
+    * row per order (map-side partial combine included) before any
+    * join machinery touches it, and the join then matches pre-reduced
+    * rows 1:1 instead of carrying `o_orderpriority` through a
+    * per-lineitem shuffle. The join-above-aggregate form this
+    * replaces shuffled the full joined stream into the groupBy. At
+    * dim-side scale-up the broadcast flips to a keyed exchange of two
+    * already-reduced relations — still the minimal movement.
     */
   def joinFact(s: SparkSession, dir: String): DataFrame = {
-    val li = Sources.table(s, dir, "lineitem")
+    val rev = Sources.table(s, dir, "lineitem")
       .select(col("l_orderkey"),
         (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("disc_price"))
-    val o = Sources.table(s, dir, "orders")
-      .select("o_orderkey", "o_orderpriority")
-    li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .groupBy("o_orderkey", "o_orderpriority")
+      .groupBy("l_orderkey")
       .agg(dsum(col("disc_price"), 6).as("revenue"),
         count(lit(1)).as("n_items"))
+    Sources.table(s, dir, "orders")
+      .select("o_orderkey", "o_orderpriority")
+      .join(rev, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("revenue"),
+        col("n_items"))
       .orderBy("o_orderkey")
   }
 

@@ -588,10 +588,15 @@ object TextSim {
     * Shape at scale: bigrams are exploded then hash-aggregated on
     * (doc, bigram) — map-side combine bounds the shuffle by the
     * distinct-bigram count, never the token count. Per-row array
-    * counting (O(n²) in doc length) is deliberately avoided: a
-    * 100k-token document would pay 1e10 comparisons per row.
-    * Docs with fewer than 2 words have no bigrams and are excluded
-    * (both here and in the oracle).
+    * counting of the TOP bigram (O(n²) in doc length) is deliberately
+    * avoided: a 100k-token document would pay 1e10 comparisons per
+    * row. The distinct-WORD count, by contrast, is O(n) per row
+    * (`array_distinct` hashes each element once), so it is computed
+    * in the same projection and rides the bigram shuffle as a
+    * grouping column — the r6 form paid a second explode of the
+    * whole token stream, a per-doc count-distinct shuffle, and a join
+    * to bring the two halves together. Docs with fewer than 2 words
+    * have no bigrams and are excluded (both here and in the oracle).
     */
   def textRepetition(s: SparkSession, dir: String): DataFrame =
     textRepetition(docs(s, dir))
@@ -603,16 +608,14 @@ object TextSim {
       .filter(size(col("words")) >= 2)
     val bigramCounts = words
       .select(col("doc_id"), size(col("words")).cast(LongType).as("n_words"),
+        size(array_distinct(col("words"))).cast(LongType).as("distinct_words"),
         explode(expr(
           "transform(sequence(1, size(words) - 1)," +
             " i -> concat(words[i - 1], ' ', words[i]))")).as("bigram"))
-      .groupBy("doc_id", "n_words", "bigram").agg(count(lit(1)).as("c"))
-    val perDoc = bigramCounts.groupBy("doc_id", "n_words")
+      .groupBy("doc_id", "n_words", "distinct_words", "bigram")
+      .agg(count(lit(1)).as("c"))
+    bigramCounts.groupBy("doc_id", "n_words", "distinct_words")
       .agg(max(col("c")).as("top_bigram_n"), sum(col("c")).as("n_bigrams"))
-    val distinctWords = words
-      .select(col("doc_id"), explode(col("words")).as("word"))
-      .groupBy("doc_id").agg(countDistinct(col("word")).as("distinct_words"))
-    perDoc.join(distinctWords, "doc_id")
       .select(col("doc_id"), col("n_words"), col("top_bigram_n"),
         round(col("top_bigram_n") / col("n_bigrams"), 4).as("top_bigram_frac"),
         col("distinct_words"),
