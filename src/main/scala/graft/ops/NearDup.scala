@@ -346,7 +346,21 @@ object NearDup {
     * Verified hash-identical at sf0.01 and sf0.1.
     */
   def dedupContainment(s: SparkSession, docs: DataFrame, n: Int,
-                       maxDf: Int, minContain: Double): DataFrame = {
+                       maxDf: Int, minContain: Double): DataFrame =
+    containmentPairsPlan(s, docs, n, maxDf, minContain)
+      .localCheckpoint()
+      .orderBy("doc_a", "doc_b")
+
+  /** The un-materialized candidate-pair plan behind
+    * [[dedupContainment]] — exposed (like [[dedupNgramPlan]]) so the
+    * plan-shape audit and EXPLAINS.md can see the real pipeline; the
+    * public entry point materializes it through an eager
+    * `localCheckpoint`, which truncates the returned lineage to a
+    * checkpoint scan.
+    */
+  private[graft] def containmentPairsPlan(s: SparkSession, docs: DataFrame,
+                                          n: Int, maxDf: Int,
+                                          minContain: Double): DataFrame = {
     val perDoc = docs
       // spread the per-token work (see [[shingleHashesOf]])
       .repartition(s.sparkContext.defaultParallelism)
@@ -377,8 +391,7 @@ object NearDup {
           .as("contain_b_in_a"))
       .filter(greatest(col("contain_a_in_b"), col("contain_b_in_a"))
         >= minContain)
-      .localCheckpoint()
-    pairs.orderBy("doc_a", "doc_b")
+    pairs
   }
 
   /** `decontaminate` — train/eval contamination detection: flag every
@@ -439,11 +452,21 @@ object NearDup {
     * the train-doc posting list together; exploding the lists of the
     * surviving (distinctive ∧ contaminated) shingles and counting per
     * doc is the whole remaining plan. Two shuffles, zero joins, one
-    * pass over the input. Per-group aggregation state is bounded by
-    * each shingle's df — the same bound [[dedupNgramPlan]]'s posting
-    * build carries (stop-shingles collect long lists before the df
-    * cutoff drops them; the accepted trade for a one-shuffle posting
-    * build, documented there).
+    * pass over the input. Per-group aggregation state: the input
+    * stream is per-doc-DISTINCT (both callers `array_distinct` before
+    * exploding), so each doc contributes at most one element per
+    * shingle and a group's list length equals the shingle's df —
+    * exactly the state [[dedupNgramPlan]]'s `collect_set` posting
+    * build holds for the same shingle before ITS df cutoff. The df
+    * filter runs after aggregation in both places, so a stop-shingle
+    * present in millions of docs does build a multi-million-element
+    * buffer on one executor before being dropped — the accepted trade
+    * for a one-shuffle build (the r6 count-then-join form avoided it
+    * at the cost of an extra aggregate + join over the full stream).
+    * If that buffer ever OOMs at corpus scale, the escape hatch is a
+    * cheap df-only pre-pass (`groupBy(th).count.filter(df <= maxDf)`
+    * semi-joined back) that drops stop-shingles before the list
+    * build; or `slice(collect_list(...), 1, maxDf+1)`-style capping.
     */
   private def decontaminateLabeled(gl: DataFrame, maxDf: Int): DataFrame =
     gl.groupBy("th")
@@ -645,8 +668,23 @@ object NearDup {
     val sess = edges.sparkSession
     val defaultParts = sess.sessionState.conf.numShufflePartitions
     val parts = math.max(1L, math.min(edgeCount / 65536 + 1, defaultParts.toLong))
+    // The override is SESSION-global for the duration of the loop:
+    // this library assumes one driver thread plans queries per
+    // SparkSession (the contract every entry point here shares — the
+    // bench, Verify, and the pipelines all run queries sequentially).
+    // A caller interleaving OTHER queries on the same session while a
+    // long CC loop runs would plan them at graph-sized partitions;
+    // such a caller should clone the session
+    // (`spark.newSession()` shares the catalog but isolates conf)
+    // before invoking [[connectedComponents]]. Per-plan sizing via
+    // `repartition` on each round's join would avoid the conf touch
+    // but adds an explicit exchange per round on top of the joins'
+    // own shuffles — strictly more data movement, rejected.
     val prevParts = sess.conf.getOption("spark.sql.shuffle.partitions")
     sess.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    // released at round-1 materialization; the finally covers the
+    // exception path so a failed round can't leak the cached blocks
+    var initLive: Option[DataFrame] = None
     try {
       // init labels are persisted, not checkpointed: round 1's plan
       // reads them twice (as the label side and inside the neighbor
@@ -658,6 +696,7 @@ object NearDup {
         .agg(least(col("doc_a"), min(col("doc_b"))).as("label"))
         .select(col("doc_a").as("doc_id"), col("label"))
         .persist()
+      initLive = Some(init)
       var labels: DataFrame = init
       var converged = false
       var iter = 0
@@ -679,7 +718,7 @@ object NearDup {
           .select(col("doc_id"), col("label"))
           .localCheckpoint()
         val t1 = if (debug) System.nanoTime() else 0L
-        if (iter == 0) init.unpersist(blocking = false)
+        if (iter == 0) { init.unpersist(blocking = false); initLive = None }
         labels = next
         converged = obs.get("changed").asInstanceOf[Long] == 0L
         if (debug) {
@@ -692,7 +731,6 @@ object NearDup {
         }
         iter += 1
       }
-      if (iter == 0) init.unpersist(blocking = false) // maxIters == 0
       if (converged)
         labels.select(col("doc_id"), col("label").as("cluster_id"))
       else
@@ -700,9 +738,13 @@ object NearDup {
         // instead of erroring — `edges` is already symmetrized and
         // checkpointed, so the upstream pipeline does not re-run
         connectedComponentsStar(edges)
-    } finally prevParts match {
-      case Some(p) => sess.conf.set("spark.sql.shuffle.partitions", p)
-      case None => sess.conf.unset("spark.sql.shuffle.partitions")
+    } finally {
+      // covers maxIters == 0 and any exception before round 1 finishes
+      initLive.foreach(_.unpersist(blocking = false))
+      prevParts match {
+        case Some(p) => sess.conf.set("spark.sql.shuffle.partitions", p)
+        case None => sess.conf.unset("spark.sql.shuffle.partitions")
+      }
     }
   }
 

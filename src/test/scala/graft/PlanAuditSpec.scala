@@ -106,6 +106,52 @@ class PlanAuditSpec extends SparkSpec {
       "repetition stats must never plan an all-pairs operator")
   }
 
+  // ---- r7 re-plan pins: the four plan rewrites round 7 shipped,
+  // asserted by shape so a refactor can't silently flip them back to
+  // the superseded forms the oracle alone would not catch.
+
+  test("join_fact aggregates BELOW the join (pre-reduced fact side)") {
+    val p = plan(Relational.joinFact(spark, sf))
+    val join = p.indexOf("Join")
+    val agg = p.indexOf("HashAggregate")
+    assert(join >= 0 && agg >= 0, s"expected a join and an aggregate:\n${p.take(1500)}")
+    // the r6 shape aggregated the joined stream (HashAggregate printed
+    // above the join); the shipped shape reduces lineitem to one row
+    // per order first, so every aggregate sits under the join subtree
+    assert(agg > join,
+      s"revenue aggregate must sit below the join, not above it:\n${p.take(2000)}")
+  }
+
+  test("set_except plans as LeftAnti with a distinct-ed build side") {
+    val p = plan(Relational.setExcept(spark, sf))
+    val join = p.indexOf("LeftAnti")
+    assert(join >= 0, s"set difference must plan as an anti join:\n${p.take(1500)}")
+    // build side (printed under the join) must map-side-combine to
+    // unique keys BEFORE the exchange — anti-joining the raw 4×-rows
+    // right side is the superseded r6 shape
+    assert(p.indexOf("HashAggregate", join) >= 0,
+      s"anti-join build side must distinct before the join:\n${p.take(2000)}")
+  }
+
+  test("text_repetition explodes the token stream ONCE and joins nothing") {
+    val p = plan(TextSim.textRepetition(spark, sf))
+    val generates = "Generate".r.findAllIn(p).length
+    assert(generates == 1,
+      s"distinct-word count must ride the bigram explode ($generates Generates):\n${p.take(1500)}")
+    assert(!p.contains("Join"),
+      s"the r6 aggregate-join-back shape must not return:\n${p.take(1500)}")
+  }
+
+  test("dedup_containment: one shingle pass, two keyed exchanges, zero joins") {
+    val docs = graft.ops.Sources.table(spark, sf, "documents")
+    val p = plan(graft.ops.NearDup.containmentPairsPlan(spark, docs, 3,
+      graft.ops.NearDup.DefaultMaxDf, graft.ops.NearDup.DefaultMinContain))
+    assert(!p.contains("Join"),
+      s"denominators must ride the posting shuffle, not join back:\n${p.take(2000)}")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2,
+      s"expected exactly the posting groupBy + pair groupBy exchanges:\n${p.take(2000)}")
+  }
+
   test("sample_hash is a pure scan-side filter (no pre-sort exchange)") {
     val p = plan(graft.ops.Sampling.sampleHash(spark, sf))
     assert(!p.contains("Exchange hashpartitioning"),

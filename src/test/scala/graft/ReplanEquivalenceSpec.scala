@@ -118,6 +118,130 @@ class ReplanEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("join_fact: aggregate-below-join equals the join-then-aggregate form") {
+    import graft.ops.{Num, Relational, Sources}
+    // the superseded r6 shape: join first, aggregate the joined stream
+    val naive = Sources.table(spark, sf, "orders")
+      .select("o_orderkey", "o_orderpriority")
+      .join(Sources.table(spark, sf, "lineitem")
+          .select(col("l_orderkey"), (col("l_extendedprice") *
+            (lit(1) - col("l_discount"))).as("disc_price")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey", "o_orderpriority")
+      .agg(Num.dsum(col("disc_price"), 6).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .collect().map(r => r.get(0) -> (r.get(1), r.get(2), r.get(3))).toMap
+    val shipped = Relational.joinFact(spark, sf)
+      .collect().map(r => r.get(0) -> (r.get(1), r.get(2), r.get(3))).toMap
+    assert(shipped == naive && shipped.nonEmpty)
+  }
+
+  test("set_except: anti-join + distinct build equals Dataset.except") {
+    import graft.ops.{Relational, Sources}
+    val viaExcept = Sources.table(spark, sf, "orders").select("o_orderkey")
+      .except(Sources.table(spark, sf, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey")))
+      .collect().map(_.get(0)).toSet
+    val shipped = Relational.setExcept(spark, sf).collect().map(_.get(0)).toSet
+    assert(shipped == viaExcept)
+  }
+
+  test("set_except generic path: <=> anti-join matches Dataset.except on nullable keys") {
+    import spark.implicits._
+    // the doc-comment on Relational.setExcept promises null-safe <=>
+    // for nullable keys; pin that the generic formulation agrees with
+    // EXCEPT's null-safe semantics (null present in BOTH relations
+    // must be excluded; null only on the left must survive)
+    val left = Seq(Option(1L), Option(2L), None, None, Option(5L)).toDF("k")
+    val right = Seq(Option(2L), None).toDF("k")
+    val generic = left.join(right.distinct(), left("k") <=> right("k"),
+        "left_anti").distinct()
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet
+    val expected = left.except(right)
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet
+    assert(generic == expected && expected == Set(Some(1L), Some(5L)))
+    // and a left-only null must survive both forms identically
+    val left2 = Seq(Option(1L), None).toDF("k")
+    val right2 = Seq(Option(1L)).toDF("k")
+    val generic2 = left2.join(right2.distinct(), left2("k") <=> right2("k"),
+        "left_anti").distinct()
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet
+    val expected2 = left2.except(right2)
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet
+    assert(generic2 == expected2 && expected2 == Set(None))
+  }
+
+  test("text_repetition: fused distinct-word count equals the aggregate-join form") {
+    // the superseded r6 shape: second explode of the token stream, a
+    // per-doc count-distinct shuffle, and a join to merge the halves
+    val words = graft.ops.Sources.table(spark, sf, "documents")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      .filter(size(col("words")) >= 2)
+    val wordStats = words
+      .select(col("doc_id"), size(col("words")).cast(LongType).as("n_words"),
+        explode(col("words")).as("w"))
+      .groupBy("doc_id", "n_words")
+      .agg(countDistinct(col("w")).as("distinct_words"))
+    val bigramStats = words
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(words) - 1)," +
+          " i -> concat(words[i - 1], ' ', words[i]))")).as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(col("c")).as("top_bigram_n"), sum(col("c")).as("n_bigrams"))
+    val naive = wordStats.join(bigramStats, "doc_id")
+      .select(col("doc_id"), col("n_words"), col("top_bigram_n"),
+        round(col("top_bigram_n") / col("n_bigrams"), 4).as("top_bigram_frac"),
+        col("distinct_words"),
+        round(lit(1.0) - col("distinct_words") / col("n_words"), 4)
+          .as("dup_word_frac"))
+      .withColumn("repetitive",
+        col("top_bigram_frac") > 0.18 || col("dup_word_frac") > 0.9)
+      .collect().map(r => r.getLong(0) ->
+        (r.get(1), r.get(2), r.get(3), r.get(4), r.get(5), r.get(6))).toMap
+    val shipped = TextSim.textRepetition(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.get(1), r.get(2), r.get(3), r.get(4), r.get(5), r.get(6))).toMap
+    assert(shipped == naive && shipped.nonEmpty)
+  }
+
+  test("dedup_containment: riding denominators equal the sizes-join form") {
+    import graft.ops.{NearDup, Sources}
+    val docs = Sources.table(spark, sf, "documents")
+    val maxDf = NearDup.DefaultMaxDf
+    val minContain = NearDup.DefaultMinContain
+    // the superseded r6 shape: shingle twice, aggregate per-doc sizes
+    // separately, join them back onto the candidate pairs twice
+    val perDoc = docs.select(col("doc_id"),
+      array_distinct(graft.functions.VectorFunctions
+        .shingle(spark, split(lower(col("text")), "\\s+"), 3)).as("grams"))
+    val sizes = perDoc.select(col("doc_id"), size(col("grams")).as("ng"))
+    val posts = perDoc
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .groupBy("gram").agg(collect_set(col("doc_id")).as("docs"))
+      .filter(size(col("docs")) <= maxDf)
+    val naive = posts
+      .select(explode(col("docs")).as("doc_a"), col("docs"))
+      .select(col("doc_a"), explode(col("docs")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("ng").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("ng").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("shared").cast(DoubleType) / col("na").cast(DoubleType), 4)
+          .as("contain_a_in_b"),
+        round(col("shared").cast(DoubleType) / col("nb").cast(DoubleType), 4)
+          .as("contain_b_in_a"))
+      .filter(greatest(col("contain_a_in_b"), col("contain_b_in_a"))
+        >= minContain)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    val shipped = NearDup.dedupContainment(spark, docs, 3, maxDf, minContain)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    assert(shipped == naive && shipped.nonEmpty)
+  }
+
   test("text_entropy: single-aggregate fold equals the three-stage shape") {
     def lnd(c: org.apache.spark.sql.Column) = round(log(c), 8)
     val tf = graft.ops.Sources.table(spark, sf, "documents").select(col("doc_id"), col("text"))
