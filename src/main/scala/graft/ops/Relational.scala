@@ -595,23 +595,31 @@ object Relational {
   /** `cohort_retention` — customer cohort analysis: each customer's
     * cohort is their first order month; the output counts distinct
     * active customers per (cohort, activity month) — the retention
-    * triangle every growth dashboard plots. Two hash aggregates (first
-    * month per customer, then the distinct count) plus one equi-join
-    * on the customer key; everything shuffles on bounded keys
-    * (customer, month), so the plan survives any order count. The
+    * triangle every growth dashboard plots.
+    *
+    * Plan (r8): ONE aggregate on the customer key collects each
+    * customer's distinct active months (`collect_set` — state bounded
+    * by the CALENDAR span, never the order count: a customer active
+    * every month for a decade holds 120 elements), the cohort is
+    * `array_min` of that set, and exploding the set yields exactly one
+    * row per (customer, month) — so the triangle is a plain `count`,
+    * not a `count(DISTINCT)`. The r7 shape aggregated first-months,
+    * joined them back onto the full order stream, and paid
+    * countDistinct's expand on the joined result: three keyed
+    * exchanges and a join vs this form's two exchanges and none. The
     * month label is a string (`yyyy-MM`) so both engines group and
     * sort identically.
     */
-  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
-    val o = Sources.table(s, dir, "orders")
+  def cohortRetention(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "orders")
       .select(col("o_custkey"),
         date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
-    val cohort = o.groupBy("o_custkey").agg(min(col("ym")).as("cohort"))
-    o.join(cohort, "o_custkey")
+      .groupBy("o_custkey").agg(collect_set(col("ym")).as("months"))
+      .select(array_min(col("months")).as("cohort"),
+        explode(col("months")).as("ym"))
       .groupBy("cohort", "ym")
-      .agg(countDistinct(col("o_custkey")).as("n_active"))
+      .agg(count(lit(1)).as("n_active"))
       .orderBy("cohort", "ym")
-  }
 
   /** `str_regex` — the regex function surface over documents:
     * match-count (`regexp_extract_all`), first-match extraction
@@ -654,23 +662,36 @@ object Relational {
     * (which APPLIES changes; this one REPORTS them) and the row-level
     * complement of [[Aggregates.profileDrift]] (metric-level drift).
     *
-    * One full outer join on the key — a single co-partitioned shuffle
-    * per side, the minimal plan for set-difference-plus-compare; the
-    * unchanged majority is filtered out AFTER the join predicate
-    * evaluates, so output scales with churn, not table size. Snapshots
-    * here are deterministic key-hash slices of `orders` (10% dropped,
-    * 10% new, every 7th repriced) standing in for two Delta/Iceberg
-    * table versions.
+    * Plan (r8): the two snapshots are UNIONed with their version's
+    * price in its own column and merged by ONE hash aggregate on the
+    * key (`max` ignores the other side's null; keys are unique within
+    * a snapshot, so each side contributes at most one value). That is
+    * a single keyed exchange with map-side partial combine and no
+    * sort — the full-outer sort-merge join it replaces shuffled the
+    * same bytes across TWO exchanges and paid two merge sorts on top.
+    * Same generality (the sides stay independent relations — nothing
+    * exploits that both slices derive from one table here), same
+    * output: the unchanged majority is filtered after the merged
+    * verdict evaluates, so output scales with churn, not table size.
+    * Snapshots here are deterministic key-hash slices of `orders`
+    * (10% dropped, 10% new, every 7th repriced) standing in for two
+    * Delta/Iceberg table versions.
     */
   def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
     val orders = Sources.table(s, dir, "orders")
+    val priceT = orders.schema("o_totalprice").dataType
     val old = orders.filter(col("o_orderkey") % 10 =!= 9)
-      .select(col("o_orderkey").as("key"), col("o_totalprice").as("old_price"))
+      .select(col("o_orderkey").as("key"), col("o_totalprice").as("old_price"),
+        lit(null).cast(priceT).as("new_price"))
     val nw = orders.filter(col("o_orderkey") % 10 =!= 0)
       .select(col("o_orderkey").as("key"),
+        lit(null).cast(priceT).as("old_price"),
         (when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 10.0)
           .otherwise(col("o_totalprice"))).as("new_price"))
-    old.join(nw, Seq("key"), "full_outer")
+    old.unionByName(nw)
+      .groupBy("key")
+      .agg(max(col("old_price")).as("old_price"),
+        max(col("new_price")).as("new_price"))
       .withColumn("verdict",
         when(col("new_price").isNull, "removed")
           .when(col("old_price").isNull, "added")

@@ -254,24 +254,32 @@ object TimeOps {
     * event per (user, type) within each hour — the batch shape of
     * retry/duplicate suppression (the streaming twin is
     * [[dedupWithinWatermark]], whose state watermarking bounds the
-    * same window). One rank window partitioned by the dedup key plus
-    * the hour bucket; shuffle and sort scale with per-key-per-hour
-    * rows, and WindowGroupLimit keeps the rank-1 cut map-side.
+    * same window).
+    *
+    * Plan (r8): "first event" is `min` over `(ts_µs, event_id)`
+    * structs — lexicographic struct comparison reproduces the rank
+    * window's ordering exactly, but runs as a plain hash aggregate:
+    * map-side partial `min` collapses each group to ONE struct before
+    * the exchange, and nothing is ever sorted. The rank-window form
+    * this replaces shuffled every surviving row and sorted each
+    * partition (WindowGroupLimit capped the sort input map-side, but
+    * the sort itself and the full window machinery remained); a
+    * min-aggregate is the minimal distributed plan for a
+    * first-per-group cut. Aggregate state is one struct per
+    * (user, type, hour) — bounded by group count at any scale.
     */
-  def dedupTimeWindow(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id", "event_type", "hour_start")
-      .orderBy(unix_micros(col("ts")), col("event_id"))
+  def dedupTimeWindow(s: SparkSession, dir: String): DataFrame =
     Sources.table(s, dir, "events")
       .filter(col("user_id").isNotNull && col("ts").isNotNull &&
         col("event_type").isNotNull)
       .select(col("user_id"), col("event_type"),
         date_trunc("hour", col("ts")).as("hour_start"),
-        col("event_id"), col("ts"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("user_id", "event_type", "hour_start", "event_id")
+        struct(unix_micros(col("ts")).as("tsm"), col("event_id")).as("ev"))
+      .groupBy("user_id", "event_type", "hour_start")
+      .agg(min(col("ev")).as("first_ev"))
+      .select(col("user_id"), col("event_type"), col("hour_start"),
+        col("first_ev.event_id").as("event_id"))
       .orderBy("user_id", "event_type", "hour_start")
-  }
 
   /** `session_native` — the NATIVE `session_window` operator in batch
     * mode: per-user 30-minute-gap sessions with start time and event

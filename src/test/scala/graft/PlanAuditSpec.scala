@@ -174,16 +174,39 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("snapshot_diff plans as one co-partitioned full-outer SMJ " +
-    "with the slice filters pushed to both scans") {
+  test("snapshot_diff merges snapshots via union + ONE keyed exchange, " +
+    "no join, slice filters pushed to both scans") {
     val p = plan(Relational.snapshotDiff(spark, sf))
-    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
-      s"expected full-outer sort-merge join:\n${p.take(1500)}")
-    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2,
-      "each snapshot side should shuffle exactly once on the key")
+    assert(!p.contains("Join"),
+      s"the r7 full-outer SMJ shape must not return:\n${p.take(1500)}")
+    assert(p.contains("Union") && p.contains("HashAggregate"),
+      s"expected union + hash-aggregate merge:\n${p.take(1500)}")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      "both snapshots must ride ONE exchange on the key")
     assert("% 10".r.findAllIn(p
       .linesIterator.filter(_.contains("DataFilters")).mkString)
       .length == 2, "slice predicates must reach both scans")
+  }
+
+  test("cohort_retention: two keyed exchanges, no join, no expand") {
+    val p = plan(Relational.cohortRetention(spark, sf))
+    assert(!p.contains("Join"),
+      s"the cohort join-back shape must not return:\n${p.take(1500)}")
+    assert(!p.contains("Expand"),
+      s"count must not pay countDistinct's expand:\n${p.take(1500)}")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2,
+      s"expected exactly the custkey + (cohort, ym) exchanges:\n${p.take(1500)}")
+  }
+
+  test("dedup_time_window is a hash aggregate — no window, no sort " +
+    "before the exchange") {
+    val p = plan(graft.ops.TimeOps.dedupTimeWindow(spark, sf))
+    assert(!p.contains("Window"),
+      s"the rank-window shape must not return:\n${p.take(1500)}")
+    assert(p.contains("partial_min"),
+      s"first-event cut must combine map-side:\n${p.take(1500)}")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      "one keyed exchange for the group cut")
   }
 
   test("window_median runs on a single hash exchange") {

@@ -242,6 +242,68 @@ class ReplanEquivalenceSpec extends SparkSpec {
     assert(shipped == naive && shipped.nonEmpty)
   }
 
+  test("cohort_retention: collect_set months equals the cohort-join form") {
+    import graft.ops.Sources
+    // the superseded r7 shape: first-month aggregate joined back onto
+    // the order stream, countDistinct over the joined result
+    val o = Sources.table(spark, sf, "orders")
+      .select(col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+    val cohort = o.groupBy("o_custkey").agg(min(col("ym")).as("cohort"))
+    val naive = o.join(cohort, "o_custkey")
+      .groupBy("cohort", "ym")
+      .agg(countDistinct(col("o_custkey")).as("n_active"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val shipped = graft.ops.Relational.cohortRetention(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(shipped == naive && shipped.nonEmpty)
+  }
+
+  test("snapshot_diff: union-merge equals the full-outer-join form") {
+    import graft.ops.Sources
+    val orders = Sources.table(spark, sf, "orders")
+    val old = orders.filter(col("o_orderkey") % 10 =!= 9)
+      .select(col("o_orderkey").as("key"), col("o_totalprice").as("old_price"))
+    val nw = orders.filter(col("o_orderkey") % 10 =!= 0)
+      .select(col("o_orderkey").as("key"),
+        (when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 10.0)
+          .otherwise(col("o_totalprice"))).as("new_price"))
+    val naive = old.join(nw, Seq("key"), "full_outer")
+      .withColumn("verdict",
+        when(col("new_price").isNull, "removed")
+          .when(col("old_price").isNull, "added")
+          .when(col("old_price") =!= col("new_price"), "changed"))
+      .filter(col("verdict").isNotNull)
+      .select(col("key"), col("verdict"), col("old_price"), col("new_price"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.get(2), r.get(3))).toMap
+    val shipped = graft.ops.Relational.snapshotDiff(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.get(2), r.get(3))).toMap
+    assert(shipped == naive && shipped.nonEmpty)
+  }
+
+  test("dedup_time_window: min-struct aggregate equals the rank-window form") {
+    import graft.ops.Sources
+    val w = Window.partitionBy("user_id", "event_type", "hour_start")
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+    val naive = Sources.table(spark, sf, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        date_trunc("hour", col("ts")).as("hour_start"),
+        col("event_id"), col("ts"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type", "hour_start", "event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.get(2)) ->
+        r.getLong(3)).toMap
+    val shipped = graft.ops.TimeOps.dedupTimeWindow(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.get(2)) ->
+        r.getLong(3)).toMap
+    assert(shipped == naive && shipped.nonEmpty)
+  }
+
   test("text_entropy: single-aggregate fold equals the three-stage shape") {
     def lnd(c: org.apache.spark.sql.Column) = round(log(c), 8)
     val tf = graft.ops.Sources.table(spark, sf, "documents").select(col("doc_id"), col("text"))
