@@ -585,37 +585,53 @@ object TextSim {
     * that perplexity filters miss. Repetitive = top-2-gram fraction
     * > 0.18 (the paper's threshold) or duplicate-word fraction > 0.9.
     *
-    * Shape at scale: bigrams are exploded then hash-aggregated on
-    * (doc, bigram) — map-side combine bounds the shuffle by the
-    * distinct-bigram count, never the token count. Per-row array
-    * counting of the TOP bigram (O(n²) in doc length) is deliberately
-    * avoided: a 100k-token document would pay 1e10 comparisons per
-    * row. The distinct-WORD count, by contrast, is O(n) per row
-    * (`array_distinct` hashes each element once), so it is computed
-    * in the same projection and rides the bigram shuffle as a
-    * grouping column — the r6 form paid a second explode of the
-    * whole token stream, a per-doc count-distinct shuffle, and a join
-    * to bring the two halves together. Docs with fewer than 2 words
-    * have no bigrams and are excluded (both here and in the oracle).
+    * Shape at scale (r8): the statistic is PER-DOCUMENT, so no row
+    * ever needs to meet another — the whole computation is a pure
+    * projection with ZERO exchanges (only the presentation sort
+    * remains). The top-bigram count is the longest run of equal
+    * adjacent elements in the SORTED bigram array: `array_sort` +
+    * one `aggregate()` fold per row, O(n log n) in doc length — NOT
+    * the O(n²) count-each-bigram-against-the-array form (a 100k-token
+    * document would pay 1e10 comparisons), and not the
+    * explode + two-level hash-aggregate form shipped in r6/r7 either:
+    * that one shuffled the distinct (doc, bigram) stream and, on the
+    * driver's own per-sample evidence (BENCH_LOCAL.json r8: 18/18
+    * samples at 1.6–2.6 s across three JVMs), paid ~6× DuckDB on
+    * explode volume + aggregation machinery for values that never
+    * leave their row. The HOF fold runs interpreted, but per-row
+    * interpreted O(n log n) beats shuffling n rows per doc through
+    * two codegen'd aggregates at every scale — and it parallelizes
+    * embarrassingly: a 1000-executor cluster scans, projects, and
+    * writes with no data movement at all. Docs with fewer than 2
+    * words have no bigrams and are excluded (both here and in the
+    * oracle).
     */
   def textRepetition(s: SparkSession, dir: String): DataFrame =
     textRepetition(docs(s, dir))
 
   /** [[textRepetition]] over any `(doc_id, text)` relation. */
-  def textRepetition(docs: DataFrame): DataFrame = {
-    val words = docs
+  def textRepetition(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
       .filter(size(col("words")) >= 2)
-    val bigramCounts = words
       .select(col("doc_id"), size(col("words")).cast(LongType).as("n_words"),
         size(array_distinct(col("words"))).cast(LongType).as("distinct_words"),
-        explode(expr(
+        array_sort(expr(
           "transform(sequence(1, size(words) - 1)," +
-            " i -> concat(words[i - 1], ' ', words[i]))")).as("bigram"))
-      .groupBy("doc_id", "n_words", "distinct_words", "bigram")
-      .agg(count(lit(1)).as("c"))
-    bigramCounts.groupBy("doc_id", "n_words", "distinct_words")
-      .agg(max(col("c")).as("top_bigram_n"), sum(col("c")).as("n_bigrams"))
+            " i -> concat(words[i - 1], ' ', words[i]))")).as("bg"))
+      // longest equal-adjacent run in the sorted array == the top
+      // bigram's multiplicity; single-element arrays short-circuit
+      // (sequence(1, 0) would count DOWN, not produce an empty range)
+      .select(col("doc_id"), col("n_words"), col("distinct_words"),
+        size(col("bg")).cast(LongType).as("n_bigrams"),
+        when(size(col("bg")) === 1, lit(1L)).otherwise(expr(
+          "aggregate(sequence(1, size(bg) - 1)," +
+            " named_struct('run', 1, 'best', 1)," +
+            " (acc, i) -> IF(bg[i] = bg[i - 1]," +
+            "   named_struct('run', acc.run + 1," +
+            "     'best', GREATEST(acc.best, acc.run + 1))," +
+            "   named_struct('run', 1, 'best', acc.best))," +
+            " acc -> acc.best)").cast(LongType)).as("top_bigram_n"))
       .select(col("doc_id"), col("n_words"), col("top_bigram_n"),
         round(col("top_bigram_n") / col("n_bigrams"), 4).as("top_bigram_frac"),
         col("distinct_words"),
@@ -624,7 +640,6 @@ object TextSim {
       .withColumn("repetitive",
         col("top_bigram_frac") > 0.18 || col("dup_word_frac") > 0.9)
       .orderBy("doc_id")
-  }
 
   /** `text_normalize` — canonical text normalization, the step every
     * dedup/quality stage assumes upstream: lowercase, trim, strip

@@ -97,13 +97,16 @@ class PlanAuditSpec extends SparkSpec {
       s"tfidf top-k lost the rank-limit pushdown:\n${tfidf.take(1500)}")
   }
 
-  test("text_repetition combines bigram counts map-side, no all-pairs") {
+  test("text_repetition is a pure projection — zero keyed exchanges") {
+    // r8: the per-doc statistic never leaves its row (sorted-run fold),
+    // so only the presentation sort's range exchange may appear
     val p = plan(TextSim.textRepetition(spark, sf))
-    assert(p.contains("partial_count"),
-      s"bigram counting must partial-aggregate before the shuffle:\n${p.take(1500)}")
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"),
-      "repetition stats must never plan an all-pairs operator")
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("HashAggregate"),
+      s"repetition stats must not shuffle or aggregate:\n${p.take(1500)}")
+    assert(!p.contains("Generate"),
+      s"the explode + two-level aggregate shape must not return:\n${p.take(1500)}")
+    assert(!p.contains("Join"), "repetition stats must never join")
   }
 
   // ---- r7 re-plan pins: the four plan rewrites round 7 shipped,
@@ -131,15 +134,6 @@ class PlanAuditSpec extends SparkSpec {
     // right side is the superseded r6 shape
     assert(p.indexOf("HashAggregate", join) >= 0,
       s"anti-join build side must distinct before the join:\n${p.take(2000)}")
-  }
-
-  test("text_repetition explodes the token stream ONCE and joins nothing") {
-    val p = plan(TextSim.textRepetition(spark, sf))
-    val generates = "Generate".r.findAllIn(p).length
-    assert(generates == 1,
-      s"distinct-word count must ride the bigram explode ($generates Generates):\n${p.take(1500)}")
-    assert(!p.contains("Join"),
-      s"the r6 aggregate-join-back shape must not return:\n${p.take(1500)}")
   }
 
   test("dedup_containment: one shingle pass, two keyed exchanges, zero joins") {

@@ -171,9 +171,11 @@ class ReplanEquivalenceSpec extends SparkSpec {
     assert(generic2 == expected2 && expected2 == Set(None))
   }
 
-  test("text_repetition: fused distinct-word count equals the aggregate-join form") {
+  test("text_repetition: per-row sorted-run fold equals the aggregate-join form") {
     // the superseded r6 shape: second explode of the token stream, a
-    // per-doc count-distinct shuffle, and a join to merge the halves
+    // per-doc count-distinct shuffle, and a join to merge the halves —
+    // a full differential oracle for the r8 zero-shuffle projection
+    // (max run in the sorted bigram array == max bigram multiplicity)
     val words = graft.ops.Sources.table(spark, sf, "documents")
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
       .filter(size(col("words")) >= 2)
