@@ -668,18 +668,18 @@ object NearDup {
     val sess = edges.sparkSession
     val defaultParts = sess.sessionState.conf.numShufflePartitions
     val parts = math.max(1L, math.min(edgeCount / 65536 + 1, defaultParts.toLong))
-    // The override is SESSION-global for the duration of the loop:
-    // this library assumes one driver thread plans queries per
-    // SparkSession (the contract every entry point here shares — the
-    // bench, Verify, and the pipelines all run queries sequentially).
-    // A caller interleaving OTHER queries on the same session while a
-    // long CC loop runs would plan them at graph-sized partitions;
-    // such a caller should clone the session
+    // The override is SESSION-global for the duration of the loop.
+    // Ordinary library queries are safe to race on one session
+    // (ConcurrencySpec pins that), but THIS loop is the one entry
+    // point that mutates session conf, so a caller interleaving other
+    // queries while a long CC loop runs would plan them at
+    // graph-sized partitions; such a caller should clone the session
     // (`spark.newSession()` shares the catalog but isolates conf)
-    // before invoking [[connectedComponents]]. Per-plan sizing via
-    // `repartition` on each round's join would avoid the conf touch
-    // but adds an explicit exchange per round on top of the joins'
-    // own shuffles — strictly more data movement, rejected.
+    // before invoking [[connectedComponents]], or accept the window.
+    // Per-plan sizing via `repartition` on each round's join would
+    // avoid the conf touch but adds an explicit exchange per round on
+    // top of the joins' own shuffles — strictly more data movement,
+    // rejected.
     val prevParts = sess.conf.getOption("spark.sql.shuffle.partitions")
     sess.conf.set("spark.sql.shuffle.partitions", parts.toString)
     // released at round-1 materialization; the finally covers the
