@@ -184,6 +184,25 @@ class TextSimSpec extends SparkSpec {
     assert(r(2L).getDouble(5) == 0.0 && !r(2L).getBoolean(6))
   }
 
+  test("text_repetition edge cases: single bigram, all-identical words") {
+    import spark.implicits._
+    // 2 words: one bigram — exercises the size(bg)==1 short-circuit
+    // that keeps the fold off sequence(1, 0)'s DESCENDING range;
+    // all-identical: every bigram equal — run spans the whole array
+    val docs = Seq((1L, "alpha beta"), (2L, "x x x x x")).toDF("doc_id", "text")
+    val r = TextSim.textRepetition(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(2) == 1L && r(1L).getDouble(3) == 1.0,
+      "one bigram is 100% of itself")
+    assert(r(1L).getDouble(5) == 0.0, "two distinct words: no duplication")
+    assert(r(1L).getBoolean(6),
+      "sole bigram = 100% > 0.18 — flagged by the threshold rule " +
+        "(Gopher applies min-length cutoffs upstream of this signal)")
+    assert(r(2L).getLong(2) == 4L && r(2L).getDouble(3) == 1.0,
+      "identical words: the single bigram takes all 4 slots")
+    assert(r(2L).getDouble(5) == 0.8 && r(2L).getBoolean(6))
+  }
+
   test("text_bigram_lm scores match hand-computed conditional NLLs") {
     import spark.implicits._
     // corpus bigrams: "a b"×2 (doc1, doc3), "a c"×1, head 'a' appears
