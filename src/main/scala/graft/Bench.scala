@@ -62,12 +62,17 @@ object Bench {
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     var failed = Set.empty[String]
-    // A query that throws is excluded from every aggregate (total,
-    // oracle_subset, per-query map) and listed under "failed" in both
-    // the stdout line and BENCH_LOCAL.json: folding a failure's
-    // near-zero elapsed time into the totals would make a correctness
-    // regression read as a speedup (r7 ADVICE — the r6 fix only
-    // appended a count while still summing the broken timing).
+    // A query that throws on ANY sample is excluded from every
+    // aggregate (total, oracle_subset, per-query map) and listed
+    // under "failed" in both the stdout line and the JSON artifact:
+    // folding a failure's near-zero elapsed time into the totals
+    // would make a correctness regression read as a speedup (r7
+    // ADVICE — the r6 fix only appended a count while still summing
+    // the broken timing). r8 ADVICE tightened this further: a FLAKY
+    // query (one sample throws, another succeeds) used to sneak its
+    // successful min into the totals while also appearing in
+    // "failed" — now membership in `failed` removes the query from
+    // `results` outright, so the exclusion invariant is exact.
     def once(name: String,
              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
@@ -114,7 +119,12 @@ object Bench {
     }
     val best = scala.collection.mutable.Map.empty[String, Double]
     for ((name, fn) <- qlist) pairMin(name, fn).foreach(best(name) = _)
-    val reorder = new scala.util.Random(System.nanoTime())
+    // Seed is logged (stdout + artifact) so a run's re-pair execution
+    // order — exactly what the per-sample forensics attribute spikes
+    // to — is reproducible post hoc (r8 ADVICE).
+    val reorderSeed = System.nanoTime()
+    println(s"bench: re-pair shuffle seed = $reorderSeed")
+    val reorder = new scala.util.Random(reorderSeed)
     if (runs >= 2) {
       for ((name, fn) <- reorder.shuffle(qlist)
            if best.get(name).exists(_ > 0.35)) {
@@ -128,7 +138,7 @@ object Bench {
       }
     }
     val results = qlist.flatMap { case (name, _) =>
-      best.get(name).map(name -> _) }
+      if (failed(name)) None else best.get(name).map(name -> _) }
     // The driver parses the JSON line out of a bounded tail of this
     // process's stdout (last ~2000 chars): r03/r04 went ungraded
     // because full-precision doubles for 85 queries pushed the line
@@ -139,8 +149,13 @@ object Bench {
     // cares about) and an "omitted" count for the fast remainder,
     // while the complete full-precision map goes to BENCH_LOCAL.json
     // in the working directory for offline reading.
+    // Explicit Locale.ROOT everywhere a number reaches JSON: under a
+    // comma-decimal default locale f"" would emit "0,275" and corrupt
+    // the artifact (r8 ADVICE).
+    def num(pat: String, v: Double): String =
+      String.format(java.util.Locale.ROOT, pat, Double.box(v))
     def fmt(v: Double): String =
-      if (v >= 10) f"$v%.1f" else if (v >= 1) f"$v%.2f" else f"$v%.3f"
+      if (v >= 10) num("%.1f", v) else if (v >= 1) num("%.2f", v) else num("%.3f", v)
     val total = results.map(_._2).sum
     // BASELINE.md's DuckDB totals cover only the oracle-matched
     // queries (rows-only ones have no SQL to time), so the line also
@@ -151,18 +166,24 @@ object Bench {
       .map(_._2).sum
     val failures = failed.toSeq.sorted
     val failJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // Committed BENCH_LOCAL.json must stay a FULL-run artifact (r7
-    // ADVICE: a filtered SPARK_GRAFT_ONLY profiling run overwrote it
-    // and orphaned the headline numbers) — subset runs write to
-    // BENCH_PROFILE.json instead.
-    val outName = if (only.isEmpty) "BENCH_LOCAL.json" else "BENCH_PROFILE.json"
+    // Output-path split (r8 VERDICT #2): the committed steady-state
+    // artifact BENCH_LOCAL.json backs BASELINE.md and must only be
+    // written DELIBERATELY — the r8 driver pass overwrote it in place
+    // and the overwrite got committed, unbacking the baseline table.
+    // Default now goes to BENCH_RUN.json (gitignored); producing the
+    // committed artifact requires SPARK_GRAFT_BENCH_OUT=BENCH_LOCAL
+    // .json explicitly (README "bench recipe"). Subset profiling runs
+    // (SPARK_GRAFT_ONLY) keep their own file so a filtered run can
+    // never masquerade as a full one (r7 ADVICE).
+    val outName = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isEmpty) "BENCH_RUN.json" else "BENCH_PROFILE.json")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outName),
-      s"""{"total":$total,"oracle_subset":$oracleTotal,"sf":"$sfDir","failed":$failJson,""" +
+      s"""{"total":$total,"oracle_subset":$oracleTotal,"sf":"$sfDir","seed":$reorderSeed,"failed":$failJson,""" +
         results.map { case (k, v) => "\"" + k + "\":" + v }
           .mkString("\"queries\":{", ",", "},") +
         qlist.map { case (k, _) =>
-            "\"" + k + "\":" + samples(k).map(s => f"$s%.4f").mkString("[", ",", "]") }
+            "\"" + k + "\":" + samples(k).map(s => num("%.4f", s)).mkString("[", ",", "]") }
           .mkString("\"samples\":{", ",", "}}\n"))
     catch { case _: Throwable => () } // read-only cwd: stdout still carries the line
     val budget = 1600

@@ -3,23 +3,53 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Regenerates EXPLAINS.md: the raw `explain("formatted")` plans for
-  * the headline queries SCALE.md's audit table summarizes — re-run
-  * after plan-affecting changes so the recorded evidence never drifts
-  * from the code.
+  * the headline queries SCALE.md's audit table summarizes.
+  *
+  * r9: the file is GENERATED, not hand-maintained — stale plans
+  * shipped two rounds running (r7 `join_fact`, r8 `text_repetition`
+  * plus three missing re-plan entries), so `ExplainsSyncSpec` now
+  * regenerates the document under the same canonical session config
+  * and fails on any diff: a plan-affecting change cannot land without
+  * `sbt "runMain graft.ExplainDump"` refreshing the committed file.
+  * To make that diff meaningful across JVMs, every plan is
+  * ID-normalized (expression ids and plan_ids are global counters
+  * that depend on what ran earlier in the JVM; they are remapped to
+  * per-plan sequential values in order of first appearance, which
+  * keeps same-name columns distinguishable while making the text a
+  * pure function of the plan shape).
   */
 object ExplainDump {
-  def main(args: Array[String]): Unit = {
-    val out = args.headOption.getOrElse("EXPLAINS.md")
-    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    // AQE off so the recorded plans are the static ones the bench
-    // executes (and the ones a plan reviewer can reason about without
-    // runtime re-planning in the way); Verify still runs stock config.
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "false")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+  val DefaultSf = "/root/testdata/sf0.01"
+
+  /** The canonical session the recorded plans come from: AQE off so
+    * they are the static plans the bench executes (and the ones a
+    * plan reviewer can reason about without runtime re-planning in
+    * the way), 8 shuffle partitions (the bench session's sizing).
+    * Verify still runs stock config.
+    */
+  def session(): SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.adaptive.enabled", "false")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  /** Remap `#NNN` expression ids and `plan_id=NNN` to per-plan
+    * sequential values in order of first appearance.
+    */
+  def normalize(plan: String): String = {
+    def remap(s: String, pattern: scala.util.matching.Regex,
+              render: Int => String): String = {
+      val ids = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+      pattern.replaceAllIn(s, m => {
+        val id = ids.getOrElseUpdate(m.group(1), ids.size + 1)
+        scala.util.matching.Regex.quoteReplacement(render(id))
+      })
+    }
+    val a = remap(plan, "#(\\d+)".r, i => s"#$i")
+    remap(a, "plan_id=(\\d+)".r, i => s"plan_id=$i")
+  }
+
+  def render(spark: SparkSession, sf: String): String = {
     val headline = Seq(
       "agg_group" -> "flagship: pushed filter -> partial/final hash agg",
       "join_dim" -> "broadcast dimension join",
@@ -34,7 +64,10 @@ object ExplainDump {
       "dedup_text" -> "content-hash dedup: one keyed exchange",
       "text_entropy" -> "entropy folded into ONE per-doc aggregate (r6: totals join eliminated)",
       "text_bigram_lm" -> "bigram LM via count windows, no aggregate-join-back (r6)",
-      "text_repetition" -> "ONE explode, no join (r7: distinct-word count rides the bigram shuffle as a grouping column; the r6 form paid a second explode + per-doc count-distinct + join)",
+      "text_repetition" -> "ZERO keyed exchanges, no explode, no aggregate (r8: the per-doc Gopher repetition stats fold over a sorted bigram run inside one projection — the statistic never leaves its row; only the presentation sort's range exchange remains. Supersedes the r7 explode + three-exchange form)",
+      "cohort_retention" -> "two keyed exchanges, no join, no expand (r8: collect_set of active months per customer, cohort = array_min, explode to one row per (customer, month) so the triangle is a plain count — the r7 form paid a cohort join-back plus countDistinct's expand)",
+      "snapshot_diff" -> "union of both snapshots over ONE keyed exchange (r8: each side pads the other's column with null, one map-side-combining max aggregate merges the pair per key, verdict compares in-row — the full-outer sort-merge join it replaces paid two exchanges and two sorts)",
+      "dedup_time_window" -> "min-struct hash aggregate, one exchange, no window/sort (r8: first event per (user, type, hour) = min over (ts_micros, event_id) structs, collapsed map-side before the exchange — the rank-window form shuffled every surviving row and sorted each partition)",
       "window_anomaly" -> "trailing stats as cum-minus-lag, one shared sort (r6)",
       "gap_stats" -> "window + aggregate sharing one exchange",
       "encode_bucket" -> "fit-broadcast-transform: cuts broadcast, big side unshuffled")
@@ -71,18 +104,30 @@ object ExplainDump {
     sb.append("# EXPLAINS — formatted physical plans for the headline queries\n\n")
     sb.append(s"Generated by `graft.ExplainDump` at sf dir `$sf`; SCALE.md's\n")
     sb.append("audit table is the summary, this file is the raw evidence.\n")
+    sb.append("Expression/plan ids are normalized to per-plan sequential values\n")
+    sb.append("so the file is a deterministic function of the plan shapes;\n")
+    sb.append("`ExplainsSyncSpec` regenerates it and fails on any drift.\n")
     def dump(name: String, note: String,
              df: org.apache.spark.sql.DataFrame): Unit = {
-      val plan = df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
+      val plan = normalize(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
       sb.append(s"\n## `$name` — $note\n\n```\n$plan```\n")
     }
     headline.foreach { case (name, note) =>
       dump(name, note, SparkEntry.queries(name)(spark, sf))
     }
     checkpointed.foreach { case (name, note, mk) => dump(name, note, mk()) }
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), sb.toString)
-    println(s"wrote $out (${headline.size + checkpointed.size} plans)")
+    sb.toString
+  }
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("EXPLAINS.md")
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", DefaultSf)
+    val spark = session()
+    spark.sparkContext.setLogLevel("ERROR")
+    val text = render(spark, sf)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), text)
+    println(s"wrote $out")
     spark.stop()
   }
 }

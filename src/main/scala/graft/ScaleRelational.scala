@@ -33,7 +33,14 @@ object ScaleRelational {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val out = java.nio.file.Files.createTempDirectory("graft-sfk").toString
+    // SPARK_GRAFT_SCALE_OUT keeps the scaled parquet around (so the
+    // same tables can be fed to tools/bench_duck.py for the DuckDB
+    // side of the scale point); default is a temp dir deleted after
+    // spark.stop() — repeated runs used to leak multi-hundred-MB
+    // replica sets (r8 ADVICE).
+    val keepOut = sys.env.get("SPARK_GRAFT_SCALE_OUT")
+    val out = keepOut.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-sfk").toString)
     // disjoint key ranges per replica: shift by a power-of-ten span
     // above the max key so replica i's orders only match replica i's
     // lineitems
@@ -73,16 +80,24 @@ object ScaleRelational {
       q -> math.min(once(fn), once(fn))
     }
     // linear fit from the committed artifacts, when present
-    def load(p: String): Map[String, Double] =
-      try {
-        val s = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(p)))
-        val open = s.indexOf('{', s.indexOf("\"queries\"") + 9)
-        s.substring(open + 1, s.indexOf('}', open)).split(",")
-          .map(_.split(":")).collect {
-            case Array(n, v) => n.replace("\"", "").trim -> v.trim.toDouble
-          }.toMap
-      } catch { case _: Throwable => Map.empty }
+    def load(p: String): Map[String, Double] = {
+      val exists = java.nio.file.Files.exists(java.nio.file.Paths.get(p))
+      val m: Map[String, Double] =
+        try {
+          val s = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(p)))
+          val open = s.indexOf('{', s.indexOf("\"queries\"") + 9)
+          s.substring(open + 1, s.indexOf('}', open)).split(",")
+            .map(_.split(":")).collect {
+              case Array(n, v) => n.replace("\"", "").trim -> v.trim.toDouble
+            }.toMap
+        } catch { case _: Throwable => Map.empty }
+      // an existing-but-unparseable artifact must not silently print
+      // 0.0/— in the predicted column (r8 ADVICE)
+      if (exists && m.isEmpty)
+        System.err.println(s"WARNING: $p exists but parsed to no queries — predicted column will be blank")
+      m
+    }
     val t001 = load("BENCH_LOCAL_SF001.json")
     val t01 = load("BENCH_LOCAL.json")
     val sfEq = 0.1 * k
@@ -99,5 +114,13 @@ object ScaleRelational {
     }
     println(f"${"TOTAL"}%-18s $meas%7.2f s   $pred%7.2f s")
     spark.stop()
+    if (keepOut.isEmpty) {
+      import java.nio.file.{Files, Paths, Path}
+      import java.util.Comparator
+      val root = Paths.get(out)
+      if (Files.exists(root))
+        Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p): Unit)
+    } else println(s"scaled parquet kept at: $out")
   }
 }

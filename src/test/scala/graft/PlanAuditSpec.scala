@@ -114,15 +114,30 @@ class PlanAuditSpec extends SparkSpec {
   // the superseded forms the oracle alone would not catch.
 
   test("join_fact aggregates BELOW the join (pre-reduced fact side)") {
-    val p = plan(Relational.joinFact(spark, sf))
-    val join = p.indexOf("Join")
-    val agg = p.indexOf("HashAggregate")
-    assert(join >= 0 && agg >= 0, s"expected a join and an aggregate:\n${p.take(1500)}")
-    // the r6 shape aggregated the joined stream (HashAggregate printed
-    // above the join); the shipped shape reduces lineitem to one row
-    // per order first, so every aggregate sits under the join subtree
-    assert(agg > join,
-      s"revenue aggregate must sit below the join, not above it:\n${p.take(2000)}")
+    // Pinned on the physical TREE, not formatted-explain print order
+    // (r8 ADVICE: substring indexOf encodes formatting, and a left-
+    // subtree aggregate could pass/fail the old pin spuriously): the
+    // r6 shape aggregated the joined stream — an aggregate with a
+    // join DESCENDANT; the shipped shape reduces lineitem to one row
+    // per order first, so every aggregate sits under the join.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val root = Relational.joinFact(spark, sf).queryExecution.executedPlan
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        p +: nodes(a.executedPlan)
+      case _ => p +: p.children.flatMap(nodes)
+    }
+    val all = nodes(root)
+    assert(all.exists(_.isInstanceOf[BaseJoinExec]) &&
+      all.exists(_.isInstanceOf[BaseAggregateExec]),
+      s"expected a join and an aggregate:\n${root.toString.take(1500)}")
+    val aggWithJoinBelow = all.collect {
+      case a: BaseAggregateExec if nodes(a).exists(_.isInstanceOf[BaseJoinExec]) => a
+    }
+    assert(aggWithJoinBelow.isEmpty,
+      s"revenue aggregate must sit below the join, not above it:\n${root.toString.take(2000)}")
   }
 
   test("set_except plans as LeftAnti with a distinct-ed build side") {
