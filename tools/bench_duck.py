@@ -17,12 +17,21 @@ out_path = sys.argv[3] if len(sys.argv) > 3 else None
 with open(os.path.join(out_dir, "oracle_sql.json")) as f:
     oracle = json.load(f)
 
+# BENCH_DUCK_ONLY=q1,q2 restricts to a named subset (e.g. the 15-query
+# relational family for the ScaleRelational sf0.4 point).
+only = os.environ.get("BENCH_DUCK_ONLY")
+if only:
+    keep = {q.strip() for q in only.split(",")}
+    oracle = {k: v for k, v in oracle.items() if k in keep}
+
 con = duckdb.connect()
 con.execute("SET threads TO 32")
 for t in ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split():
     p = os.path.join(sf_dir, f"{t}.parquet")
-    if os.path.exists(p):
+    if os.path.isdir(p):  # Spark-written multi-file table (e.g. ScaleRelational output)
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    elif os.path.exists(p):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 times = {}
