@@ -177,9 +177,16 @@ object Bench {
     // never masquerade as a full one (r7 ADVICE).
     val outName = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (only.isEmpty) "BENCH_RUN.json" else "BENCH_PROFILE.json")
+    // "oracle" records the oracle-matched key set so tools/
+    // bench_merge.py can recompute oracle_subset exactly when merging
+    // passes into the committed steady-state artifact (r9 ADVICE:
+    // BENCH_LOCAL.json's producer must be a checked-in script).
+    val oracleJson = results.map(_._1)
+      .filter(SparkEntry.oracleSql.contains)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outName),
-      s"""{"total":$total,"oracle_subset":$oracleTotal,"sf":"$sfDir","seed":$reorderSeed,"failed":$failJson,""" +
+      s"""{"total":$total,"oracle_subset":$oracleTotal,"sf":"$sfDir","seed":$reorderSeed,"failed":$failJson,"oracle":$oracleJson,""" +
         results.map { case (k, v) => "\"" + k + "\":" + v }
           .mkString("\"queries\":{", ",", "},") +
         qlist.map { case (k, _) =>

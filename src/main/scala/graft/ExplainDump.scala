@@ -24,17 +24,52 @@ object ExplainDump {
   /** The canonical session the recorded plans come from: AQE off so
     * they are the static plans the bench executes (and the ones a
     * plan reviewer can reason about without runtime re-planning in
-    * the way), 8 shuffle partitions (the bench session's sizing).
+    * the way), 8 shuffle partitions (the bench session's sizing),
+    * UTC so time expressions render identically everywhere.
     * Verify still runs stock config.
+    *
+    * Returns (session, owned). If a SparkSession is already active in
+    * this JVM (the shared test session), the canonical confs are
+    * applied to an isolated `newSession()` child — own SQLConf, shared
+    * SparkContext — so the parent's confs are never mutated and
+    * `owned = false` tells the caller it must NOT stop it. A fresh
+    * JVM (`sbt runMain`) builds its own session and owns it.
     */
-  def session(): SparkSession = SparkSession.builder()
-    .master("local[8]")
-    .config("spark.sql.shuffle.partitions", "8")
-    .config("spark.sql.adaptive.enabled", "false")
-    .config("spark.ui.enabled", "false").getOrCreate()
+  def acquire(): (SparkSession, Boolean) =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .filterNot(_.sparkContext.isStopped) match {
+      case Some(parent) =>
+        val s = parent.newSession()
+        canonicalConfs.foreach { case (k, v) => s.conf.set(k, v) }
+        (s, false)
+      case None =>
+        val b = SparkSession.builder()
+          .master("local[8]")
+          .config("spark.ui.enabled", "false")
+        canonicalConfs.foreach { case (k, v) => b.config(k, v) }
+        (b.getOrCreate(), true)
+    }
 
-  /** Remap `#NNN` expression ids and `plan_id=NNN` to per-plan
-    * sequential values in order of first appearance.
+  private val canonicalConfs = Seq(
+    "spark.sql.shuffle.partitions" -> "8",
+    "spark.sql.adaptive.enabled" -> "false",
+    "spark.sql.session.timeZone" -> "UTC")
+
+  /** Remap every JVM-global counter that leaks into `explain` text to
+    * per-plan sequential values in order of first appearance, so the
+    * rendered plan is a pure function of the plan SHAPE, not of what
+    * ran earlier in the JVM. The global counters Spark 4.1 embeds in
+    * formatted-explain text are, exhaustively (re-audit on a Spark
+    * version bump):
+    *   1. expression ids      — `#NNN` (NamedExpression.newExprId)
+    *   2. plan ids            — `plan_id=NNN` (TreeNode tags)
+    *   3. lambda variable names — `x_NNN` etc. (DSL higher-order
+    *      functions mint parameter names via
+    *      UnresolvedNamedLambdaVariable.freshVarName, an AtomicInteger
+    *      suffix; SQL-text lambdas keep the user's names and carry no
+    *      counter). Lambda names always render with an `#id` suffix,
+    *      which is what the lookahead anchors on — real columns in
+    *      this repo never match `name_digits#`.
     */
   def normalize(plan: String): String = {
     def remap(s: String, pattern: scala.util.matching.Regex,
@@ -46,7 +81,19 @@ object ExplainDump {
       })
     }
     val a = remap(plan, "#(\\d+)".r, i => s"#$i")
-    remap(a, "plan_id=(\\d+)".r, i => s"plan_id=$i")
+    val b = remap(a, "plan_id=(\\d+)".r, i => s"plan_id=$i")
+    // lambda names: per-base-name sequential (x_47 -> x_1, acc_12 -> acc_1)
+    val counters = scala.collection.mutable.Map.empty[String, Int]
+    val assigned = scala.collection.mutable.Map.empty[String, String]
+    "\\b([A-Za-z]+)_(\\d+)(?=#)".r.replaceAllIn(b, m => {
+      val renamed = assigned.getOrElseUpdate(m.matched, {
+        val base = m.group(1)
+        val n = counters.getOrElse(base, 0) + 1
+        counters(base) = n
+        s"${base}_$n"
+      })
+      scala.util.matching.Regex.quoteReplacement(renamed)
+    })
   }
 
   def render(spark: SparkSession, sf: String): String = {
@@ -123,11 +170,11 @@ object ExplainDump {
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("EXPLAINS.md")
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", DefaultSf)
-    val spark = session()
+    val (spark, owned) = acquire()
     spark.sparkContext.setLogLevel("ERROR")
     val text = render(spark, sf)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), text)
     println(s"wrote $out")
-    spark.stop()
+    if (owned) spark.stop()
   }
 }

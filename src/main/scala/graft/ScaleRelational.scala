@@ -41,6 +41,10 @@ object ScaleRelational {
     val keepOut = sys.env.get("SPARK_GRAFT_SCALE_OUT")
     val out = keepOut.getOrElse(
       java.nio.file.Files.createTempDirectory("graft-sfk").toString)
+    // the whole run sits in try/finally so a failed query/write still
+    // deletes the multi-hundred-MB replica set (r9 ADVICE: the
+    // success-path-only cleanup leaked on any failure)
+    try {
     // disjoint key ranges per replica: shift by a power-of-ten span
     // above the max key so replica i's orders only match replica i's
     // lineitems
@@ -113,14 +117,18 @@ object ScaleRelational {
       println(f"$q%-18s $t%7.2f s   ${p.map(v => f"$v%7.2f s").getOrElse("      — ")}")
     }
     println(f"${"TOTAL"}%-18s $meas%7.2f s   $pred%7.2f s")
-    spark.stop()
-    if (keepOut.isEmpty) {
-      import java.nio.file.{Files, Paths, Path}
-      import java.util.Comparator
-      val root = Paths.get(out)
-      if (Files.exists(root))
-        Files.walk(root).sorted(Comparator.reverseOrder[Path]())
-          .forEach(p => Files.deleteIfExists(p): Unit)
-    } else println(s"scaled parquet kept at: $out")
+    } finally {
+      spark.stop()
+      if (keepOut.isEmpty) {
+        import java.nio.file.{Files, Paths, Path}
+        import java.util.Comparator
+        val root = Paths.get(out)
+        if (Files.exists(root))
+          scala.util.Using.resource(Files.walk(root)) { walk =>
+            walk.sorted(Comparator.reverseOrder[Path]())
+              .forEach(p => Files.deleteIfExists(p): Unit)
+          }
+      } else println(s"scaled parquet kept at: $out")
+    }
   }
 }

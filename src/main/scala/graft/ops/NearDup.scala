@@ -412,7 +412,8 @@ object NearDup {
     * [[decontaminateLabeled]] for the scale bounds.
     */
   def decontaminate(s: SparkSession, dir: String,
-                    maxDf: Int = DefaultMaxDf): DataFrame = {
+                    maxDf: Int = DefaultMaxDf,
+                    dfPrePass: Boolean = false): DataFrame = {
     val gl = Sources.table(s, dir, "documents")
       // spread the per-token work (see [[shingleHashesOf]])
       .repartition(s.sparkContext.defaultParallelism)
@@ -420,7 +421,7 @@ object NearDup {
         (Sampling.hexNibble(col("doc_id")) >= "e").as("is_test"),
         explode(array_distinct(graft.functions.VectorFunctions
           .shingle(s, split(lower(col("text")), "\\s+"), 3))).as("th"))
-    decontaminateLabeled(gl, maxDf).orderBy("doc_id")
+    decontaminateLabeled(gl, maxDf, dfPrePass).orderBy("doc_id")
   }
 
   /** Decontamination against a caller-provided eval set: flag every
@@ -433,7 +434,8 @@ object NearDup {
     */
   def decontaminateAgainst(s: SparkSession, train: DataFrame,
                            evalSet: DataFrame, maxDf: Int = 20,
-                           n: Int = 3): DataFrame = {
+                           n: Int = 3,
+                           dfPrePass: Boolean = false): DataFrame = {
     val both = train.select(col("doc_id"), col("text"),
         lit(false).as("is_test"))
       .unionByName(evalSet.select(col("doc_id"), col("text"),
@@ -443,7 +445,7 @@ object NearDup {
       .select(col("doc_id"), col("is_test"),
         explode(array_distinct(graft.functions.VectorFunctions
           .shingle(s, split(lower(col("text")), "\\s+"), n))).as("th"))
-    decontaminateLabeled(gl, maxDf).orderBy("doc_id")
+    decontaminateLabeled(gl, maxDf, dfPrePass).orderBy("doc_id")
   }
 
   /** Shared decontamination core over a labeled, per-doc-distinct
@@ -463,13 +465,33 @@ object NearDup {
     * buffer on one executor before being dropped — the accepted trade
     * for a one-shuffle build (the r6 count-then-join form avoided it
     * at the cost of an extra aggregate + join over the full stream).
-    * If that buffer ever OOMs at corpus scale, the escape hatch is a
-    * cheap df-only pre-pass (`groupBy(th).count.filter(df <= maxDf)`
-    * semi-joined back) that drops stop-shingles before the list
-    * build; or `slice(collect_list(...), 1, maxDf+1)`-style capping.
+    *
+    * `dfPrePass = true` is the escape hatch for a corpus where that
+    * buffer would OOM: a df-only pre-pass (`groupBy(th).count` — a
+    * count-agg, constant state per group, map-side combined — filtered
+    * to `df <= maxDf` and LEFT-SEMI joined back on the shingle) drops
+    * stop-shingles from the stream BEFORE the posting-list build, so
+    * no group ever buffers more than `maxDf` ids. It costs one extra
+    * aggregate + one semi-join over the shingle stream, and the df
+    * recomputed by the main aggregate over the filtered stream equals
+    * the pre-pass df for every surviving shingle (the semi-join keeps
+    * either ALL of a shingle's rows or none), so output is identical
+    * — DecontaminateHatchSpec pins that equivalence over a
+    * stop-shingle-heavy SyntheticDocs corpus and the fixture tables.
+    * Default off: at bench scale the one-shuffle form wins.
     */
-  private def decontaminateLabeled(gl: DataFrame, maxDf: Int): DataFrame =
-    gl.groupBy("th")
+  private def decontaminateLabeled(gl: DataFrame, maxDf: Int,
+                                   dfPrePass: Boolean = false): DataFrame = {
+    val stream =
+      if (!dfPrePass) gl
+      else {
+        val kept = gl.groupBy("th")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf)
+          .select("th")
+        gl.join(kept, Seq("th"), "left_semi")
+      }
+    stream.groupBy("th")
       // collect_list skips nulls, so the `when` keeps test docs out of
       // the posting list while df still counts them
       .agg(count(lit(1)).as("df"), bool_or(col("is_test")).as("has_test"),
@@ -477,6 +499,7 @@ object NearDup {
       .filter(col("df") <= maxDf && col("has_test"))
       .select(explode(col("train_docs")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+  }
 
   /** `dedup_incremental` — new-batch dedup against an existing corpus:
     * the steady-state shape of corpus curation (a new crawl arrives;

@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** COVERAGE.md totals staleness guard (r9 VERDICT #2: the totals
+  * paragraph cited numbers three rounds old after two explicit
+  * refresh tasks). The block is generated from the committed
+  * artifacts by [[CoverageDump]]; this spec re-renders it from HEAD
+  * and fails on any diff — a new correctness/bench artifact or a
+  * change to the declared query maps cannot land without
+  * `sbt "runMain graft.CoverageDump"` refreshing the committed block.
+  * No Spark session involved: the inputs are static maps and JSON
+  * files, so the comparison is trivially deterministic.
+  */
+class CoverageSyncSpec extends AnyFunSuite {
+
+  test("COVERAGE.md totals block matches the committed artifacts") {
+    val path = java.nio.file.Paths.get("COVERAGE.md")
+    assert(java.nio.file.Files.exists(path), "COVERAGE.md missing")
+    val committed = java.nio.file.Files.readString(path)
+    assert(committed.contains(CoverageDump.Begin) &&
+      committed.contains(CoverageDump.End),
+      "COVERAGE.md lost its TOTALS markers")
+    val expected = CoverageDump.splice(committed)
+    if (committed != expected) {
+      val cl = committed.linesIterator.toVector
+      val el = expected.linesIterator.toVector
+      val firstDiff = cl.zip(el).indexWhere { case (a, b) => a != b } match {
+        case -1 => math.min(cl.size, el.size)
+        case i  => i
+      }
+      fail(
+        s"""COVERAGE.md totals are stale vs the committed artifacts.
+           |Refresh with: sbt "runMain graft.CoverageDump"   (then commit the diff)
+           |First divergence at line $firstDiff:
+           |  committed:   ${cl.lift(firstDiff).getOrElse("<EOF>")}
+           |  regenerated: ${el.lift(firstDiff).getOrElse("<EOF>")}""".stripMargin)
+    }
+  }
+}

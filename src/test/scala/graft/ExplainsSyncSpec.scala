@@ -13,7 +13,10 @@ import org.scalatest.funsuite.AnyFunSuite
   *
   * Deliberately NOT extending SparkSpec: the recorded plans are the
   * bench session's static shapes (AQE off, 8 shuffle partitions),
-  * not the test session's.
+  * not the test session's. `ExplainDump.acquire()` hands back an
+  * isolated `newSession()` child when the shared test session is
+  * active (owned = false) — the shared session's confs are never
+  * touched and it is never stopped from here.
   */
 class ExplainsSyncSpec extends AnyFunSuite {
 
@@ -22,11 +25,11 @@ class ExplainsSyncSpec extends AnyFunSuite {
     assert(java.nio.file.Files.exists(committedPath),
       "EXPLAINS.md missing — run: sbt \"runMain graft.ExplainDump\"")
     val committed = java.nio.file.Files.readString(committedPath)
-    val spark = ExplainDump.session()
+    val (spark, owned) = ExplainDump.acquire()
     spark.sparkContext.setLogLevel("ERROR")
     val regenerated =
       try ExplainDump.render(spark, ExplainDump.DefaultSf)
-      finally spark.stop()
+      finally if (owned) spark.stop()
     if (committed != regenerated) {
       val cl = committed.linesIterator.toVector
       val rl = regenerated.linesIterator.toVector

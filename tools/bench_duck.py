@@ -18,11 +18,18 @@ with open(os.path.join(out_dir, "oracle_sql.json")) as f:
     oracle = json.load(f)
 
 # BENCH_DUCK_ONLY=q1,q2 restricts to a named subset (e.g. the 15-query
-# relational family for the ScaleRelational sf0.4 point).
+# relational family for the ScaleRelational sf0.4 point). A subset run
+# is stamped into the output ("only") and refuses the full-baseline
+# paths so a filtered artifact can't masquerade as a full suite.
 only = os.environ.get("BENCH_DUCK_ONLY")
+keep = None
 if only:
-    keep = {q.strip() for q in only.split(",")}
-    oracle = {k: v for k, v in oracle.items() if k in keep}
+    keep = sorted(q.strip() for q in only.split(","))
+    oracle = {k: v for k, v in oracle.items() if k in set(keep)}
+    baseline_names = {"BENCH_DUCK_SF001.json", "BENCH_DUCK_SF01.json"}
+    if out_path and os.path.basename(out_path) in baseline_names:
+        sys.exit(f"refusing to write baseline artifact {out_path} from a "
+                 f"BENCH_DUCK_ONLY subset run")
 
 con = duckdb.connect()
 con.execute("SET threads TO 32")
@@ -52,6 +59,8 @@ for name in sorted(oracle):
 
 result = {"sf": sf_dir, "total": round(sum(times.values()), 3),
           "n_queries": len(times), "queries": times}
+if keep is not None:
+    result["only"] = keep
 line = json.dumps(result)
 if out_path:
     with open(out_path, "w") as f:
