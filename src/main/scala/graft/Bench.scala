@@ -41,6 +41,9 @@ object Bench {
     extraConf.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fail fast with one clear message on fixture schema drift
+    // (r10: 51 queries failed individually on a regenerated events.ts)
+    graft.ops.Sources.assertFixtureSchemas(spark, sfDir)
     // warmup: absorb executor init + first-job codegen + the one-time
     // listing/schema read of EVERY table (Sources.table caches the
     // relation per session) so none of it is charged to whichever

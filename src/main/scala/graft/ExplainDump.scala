@@ -154,10 +154,20 @@ object ExplainDump {
     sb.append("Expression/plan ids are normalized to per-plan sequential values\n")
     sb.append("so the file is a deterministic function of the plan shapes;\n")
     sb.append("`ExplainsSyncSpec` regenerates it and fails on any drift.\n")
+    // One more session-dependent token: several corpus operators
+    // `repartition(sc.defaultParallelism)` to spread per-token work,
+    // and that width renders as `RoundRobinPartitioning(N)` — N is a
+    // function of the HOST/SESSION (core count), not the plan shape,
+    // so it is rewritten to a symbolic name. Only the session's own
+    // defaultParallelism value is rewritten: a literal repartition
+    // count in a plan still diffs loudly on change.
+    val dp = spark.sparkContext.defaultParallelism
     def dump(name: String, note: String,
              df: org.apache.spark.sql.DataFrame): Unit = {
       val plan = normalize(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
+        .replace(s"RoundRobinPartitioning($dp)",
+          "RoundRobinPartitioning(defaultParallelism)")
       sb.append(s"\n## `$name` — $note\n\n```\n$plan```\n")
     }
     headline.foreach { case (name, note) =>

@@ -14,6 +14,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fail fast, with one clear message, if the driver regenerated the
+    // fixtures under a different physical schema (r10: events.ts went
+    // timestamp[ns] → timestamp[us] and 51 queries died one by one)
+    graft.ops.Sources.assertFixtureSchemas(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     // optional comma-separated subset for focused runs (same contract
     // as Bench); default = all

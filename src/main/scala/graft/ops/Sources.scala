@@ -93,11 +93,17 @@ object Sources {
     * against s3a:// URIs on a real cluster (`src/etl_2025.py:53-84`'s
     * S3 download step disappears into the DataSource layer).
     *
-    * `events.ts` is TIMESTAMP(NANOS) in the driver's Parquet, which
-    * Spark's reader rejects outright; it is read as a nanosecond long
-    * (`nanosAsLong`) and truncated to a µs TimestampType — the same
-    * truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP, so
-    * both engines see identical values.
+    * `events.ts` has shipped under different physical Parquet types
+    * across fixture generations (TIMESTAMP(NANOS) originally,
+    * timestamp[us] since 2026-08), so the reader normalizes by the
+    * type Spark actually LOADED rather than assuming the file layout:
+    * a nanosecond long (`nanosAsLong` lets NANOS files load at all) is
+    * truncated to µs TimestampType — the same truncation DuckDB
+    * applies casting TIMESTAMP_NS → TIMESTAMP; TIMESTAMP_NTZ (µs file,
+    * isAdjustedToUTC=false) is cast to TimestampType, value-identical
+    * under the engine's pinned UTC session; TimestampType passes
+    * through. Either way every downstream operator sees one µs
+    * TimestampType column.
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // evict this session's entries when its SparkContext ends, so
@@ -119,9 +125,51 @@ object Sources {
     tableCache.computeIfAbsent((spark, sfDir, name), _ =>
       if (name == "events") {
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.parquet(s"$sfDir/events.parquet")
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val raw = spark.read.parquet(s"$sfDir/events.parquet")
+        raw.schema("ts").dataType match {
+          case LongType => // TIMESTAMP(NANOS) file loaded as ns-since-epoch
+            raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          case _: TimestampNTZType => // µs file, isAdjustedToUTC=false
+            raw.withColumn("ts", expr("cast(ts as timestamp)"))
+          case _ => raw // already µs TimestampType
+        }
       } else spark.read.parquet(s"$sfDir/$name.parquet"))
+  }
+
+  /** All declared fixture table schemas, keyed by table name — the
+    * contract [[assertFixtureSchemas]] and SchemaContractSpec both
+    * check against. */
+  val declaredTables: Map[String, StructType] = Map(
+    "region" -> region, "nation" -> nation, "customer" -> customer,
+    "supplier" -> supplier, "part" -> part, "orders" -> orders,
+    "lineitem" -> lineitem, "events" -> events,
+    "documents" -> documents, "embeddings" -> embeddings)
+
+  /** Fail-fast fixture drift check (r10 VERDICT #7): compare every
+    * table's LOADED schema (post `ts` normalization) against the
+    * declared contract and throw ONE message naming each drifted
+    * column — instead of letting dozens of downstream queries die
+    * with unrelated-looking analysis errors, as the 2026-08 testdata
+    * regeneration did (events.ts TIMESTAMP(NANOS) → timestamp[us],
+    * 51 queries dark). Verify and Bench call this at startup.
+    */
+  def assertFixtureSchemas(spark: SparkSession, sfDir: String): Unit = {
+    val drifts = declaredTables.toSeq.sortBy(_._1).flatMap {
+      case (name, expected) =>
+        val actual =
+          try Sources.table(spark, sfDir, name).schema
+          catch { case e: Throwable =>
+            throw new IllegalStateException(
+              s"fixture drift: table $name under $sfDir unreadable: ${e.getMessage}", e)
+          }
+        val a = actual.fields.map(f => (f.name, f.dataType)).toSeq
+        val e = expected.fields.map(f => (f.name, f.dataType)).toSeq
+        if (a == e) Nil
+        else Seq(s"$name: loaded ${a.mkString("[", ", ", "]")} vs declared ${e.mkString("[", ", ", "]")}")
+    }
+    if (drifts.nonEmpty)
+      throw new IllegalStateException(
+        s"fixture schema changed under $sfDir — ${drifts.mkString("; ")}")
   }
 
   /** Drop every cached relation belonging to `spark` — called

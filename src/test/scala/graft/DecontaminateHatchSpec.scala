@@ -13,8 +13,16 @@ import org.apache.spark.sql.functions._
   */
 class DecontaminateHatchSpec extends SparkSpec {
 
+  // vocabSize 40 (not the default 500) is what makes the corpus
+  // stop-shingle-heavy: ~3000 docs × ~78 distinct 3-shingles over
+  // 40³ = 64k possible shingles ⇒ df ~ Poisson(λ≈3.7) — a real
+  // over-the-cutoff tail (df > 10) AND plenty of distinctive
+  // (2 ≤ df ≤ 10) shingles crossing the train/eval split. At the
+  // default vocab 500 the shingle space is 125M and no shingle
+  // repeats, which made every assertion here vacuous.
   private lazy val corpus = spark.read.format("graft-docs")
     .option("numDocs", 3000).option("numPartitions", 8)
+    .option("vocabSize", 40)
     .option("seed", 11).load()
 
   private val maxDf = 10

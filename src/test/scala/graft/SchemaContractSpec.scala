@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.file.Files
+
 import graft.ops.Sources
 import org.apache.spark.sql.types._
 
@@ -11,17 +13,7 @@ import org.apache.spark.sql.types._
   */
 class SchemaContractSpec extends SparkSpec {
 
-  private val declared: Map[String, StructType] = Map(
-    "region" -> Sources.region,
-    "nation" -> Sources.nation,
-    "customer" -> Sources.customer,
-    "supplier" -> Sources.supplier,
-    "part" -> Sources.part,
-    "orders" -> Sources.orders,
-    "lineitem" -> Sources.lineitem,
-    "events" -> Sources.events,
-    "documents" -> Sources.documents,
-    "embeddings" -> Sources.embeddings)
+  private val declared: Map[String, StructType] = Sources.declaredTables
 
   private def shape(s: StructType): Seq[(String, DataType)] =
     s.fields.toSeq.map(f => (f.name, f.dataType))
@@ -32,6 +24,33 @@ class SchemaContractSpec extends SparkSpec {
       assert(shape(actual) == shape(expected),
         s"\nactual:   ${shape(actual)}\nexpected: ${shape(expected)}")
     }
+  }
+
+  test("assertFixtureSchemas passes on the real fixtures") {
+    graft.ops.Sources.assertFixtureSchemas(spark, sf)
+  }
+
+  test("assertFixtureSchemas names the drifted column in ONE message") {
+    // doctor a fixture dir: every table but events symlinked from the
+    // real one, events rewritten with ts as a string — the r10 failure
+    // class (regenerated physical type) in miniature
+    val dir = Files.createTempDirectory("graft-drift").toFile
+    dir.deleteOnExit()
+    Sources.declaredTables.keys.filter(_ != "events").foreach { t =>
+      Files.createSymbolicLink(
+        new java.io.File(dir, s"$t.parquet").toPath,
+        java.nio.file.Paths.get(s"$sf/$t.parquet"))
+    }
+    Sources.table(spark, sf, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("string"))
+      .write.parquet(s"${dir.getAbsolutePath}/events.parquet")
+    val e = intercept[IllegalStateException] {
+      Sources.assertFixtureSchemas(spark, dir.getAbsolutePath)
+    }
+    assert(e.getMessage.contains("fixture schema changed"))
+    assert(e.getMessage.contains("events"))
+    assert(!e.getMessage.contains("lineitem"), // only the drifted table is named
+      s"non-drifted table leaked into the diagnosis: ${e.getMessage}")
   }
 
   test("embeddings vectors are fixed-width float arrays") {
