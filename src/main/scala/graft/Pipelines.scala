@@ -193,15 +193,27 @@ object Pipelines {
                    budget: Long = 256L,
                    clusterCap: Option[Int] = None): CurationRun = {
     import graft.ops.{Cluster, NearDup, Sampling, TextSim}
+    // Each stage's decision is an id-only relation, PERSISTED before
+    // use: the run both packs the survivors (one lineage) and reports
+    // per-stage counts (five more lineages through the same stages),
+    // and without the persist every count re-executes the expensive
+    // upstream work — near-dup clustering and decontamination ran ~4×
+    // each, tripling the 1M-doc wall-clock. Persisting only the
+    // doc_id sets keeps the cached footprint at ~8 bytes/doc/stage
+    // (the text never caches), which is the same per-stage checkpoint
+    // discipline a 100 TB run needs anyway. Unpersisted on exit.
+    import org.apache.spark.storage.StorageLevel
     // 1. exact dedup: canonical = min doc id per normalized content hash
     val exactKeep = docs
       .select(col("doc_id"), sha2(trim(lower(col("text"))), 256).as("h"))
       .groupBy("h").agg(min("doc_id").as("doc_id")).select("doc_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val d1 = docs.join(exactKeep, "doc_id")
     // 2. near-dup survivors: non-canonical cluster members drop
     val nearDrop = NearDup.connectedComponents(
         NearDup.dedupNgram(spark, docs, 3, 20, 0.2).select("doc_a", "doc_b"))
       .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val d2 = d1.join(nearDrop, Seq("doc_id"), "left_anti")
     // 3. decontamination: train docs sharing distinctive grams with the
     //    held-out split (same md5 rule as the declared query)
@@ -210,16 +222,20 @@ object Pipelines {
         docs.filter(!isEval).select("doc_id", "text"),
         docs.filter(isEval).select("doc_id", "text"))
       .select("doc_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val d3 = d2.join(contaminated, Seq("doc_id"), "left_anti")
     // 4. quality gate: heuristic thresholds + Gopher repetition rules
     //    (looping/boilerplate text) + an information-density floor
     //    (near-zero token entropy = degenerate text both rule sets miss)
     val qualityOk = TextSim.textQuality(docs)
       .filter(col("quality_ok")).select("doc_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val notRepetitive = TextSim.textRepetition(docs)
       .filter(!col("repetitive")).select("doc_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val denseEnough = TextSim.textEntropy(docs)
       .filter(col("entropy") > 1.0).select("doc_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val d4 = d3.join(qualityOk, "doc_id").join(notRepetitive, "doc_id")
       .join(denseEnough, "doc_id")
     // 4b. optional semantic balance: cap each embedding cluster
@@ -250,10 +266,14 @@ object Pipelines {
         size(split(trim(col("text")), "\\s+")).cast("long"))
       .withColumn("bin_id", floor(
         (sum(col("n_tokens")).over(w) - col("n_tokens")) / budget.toDouble))
-    Sinks.parquet(packed).save(outDir)
-    val out = spark.read.parquet(outDir)
-    CurationRun(docs.count(), d1.count(), d2.count(), d3.count(),
-      d4.count(), out.count(),
-      out.select("source", "bin_id").distinct().count())
+    try {
+      Sinks.parquet(packed).save(outDir)
+      val out = spark.read.parquet(outDir)
+      CurationRun(docs.count(), d1.count(), d2.count(), d3.count(),
+        d4.count(), out.count(),
+        out.select("source", "bin_id").distinct().count())
+    } finally
+      Seq(exactKeep, nearDrop, contaminated, qualityOk, notRepetitive,
+        denseEnough).foreach(_.unpersist(blocking = false))
   }
 }

@@ -605,6 +605,27 @@ object TextSim {
     * writes with no data movement at all. Docs with fewer than 2
     * words have no bigrams and are excluded (both here and in the
     * oracle).
+    *
+    * SUBSTITUTION-SAFETY (r11): the `words` and `bg` arrays are bound
+    * as LAMBDA VARIABLES (`transform(array(x), v -> …)[0]`), never
+    * referenced as free projection columns from inside a HOF body.
+    * The r8–r10 form kept them as projection columns, and composing
+    * it under a filter (`textRepetition(docs).filter(!repetitive)`,
+    * the curation pipeline's quality gate) let Catalyst's
+    * PushPredicateThroughProject substitute the FULL defining
+    * expression for every reference — including `bg[i]`/`bg[i-1]`
+    * inside the fold, where interpreted eval re-ran
+    * split+transform+array_sort PER FOLD STEP: O(n²·log n) per doc.
+    * At 1M generated docs that turned the 1-node capstone's quality
+    * gate into 20+ CPU-minutes per task (observed via jstack: every
+    * worker inside StringSplit.nullSafeEval under Concat). A lambda
+    * variable is bound ONCE per enclosing evaluation no matter how
+    * many times the body reads it, and the binding survives any
+    * rule's expression substitution, so the operator now stays
+    * O(n log n) per row under ANY composition. A pushed-down filter
+    * may still duplicate the whole per-row expression a bounded
+    * number of times (once per referenced output column) — linear,
+    * not quadratic. RepetitionSubstitutionSpec pins both properties.
     */
   def textRepetition(s: SparkSession, dir: String): DataFrame =
     textRepetition(docs(s, dir))
@@ -614,24 +635,33 @@ object TextSim {
     docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
       .filter(size(col("words")) >= 2)
+      // `words` is re-bound as the lambda variable `w` before any
+      // per-element access: only references inside a HOF lambda BODY
+      // re-evaluate per element after rule substitution, so those are
+      // the ones that must never point at a free (substitutable)
+      // column — see SUBSTITUTION-SAFETY in the Scaladoc. References
+      // outside lambda bodies (size(words), array_distinct(words),
+      // size(bg)) evaluate once per row even if substituted: linear,
+      // left as ordinary codegen-able column arithmetic.
       .select(col("doc_id"), size(col("words")).cast(LongType).as("n_words"),
         size(array_distinct(col("words"))).cast(LongType).as("distinct_words"),
         array_sort(expr(
-          "transform(sequence(1, size(words) - 1)," +
-            " i -> concat(words[i - 1], ' ', words[i]))")).as("bg"))
+          "transform(array(words), w -> transform(sequence(1, size(w) - 1)," +
+            " i -> concat(w[i - 1], ' ', w[i])))[0]")).as("bg"))
       // longest equal-adjacent run in the sorted array == the top
       // bigram's multiplicity; single-element arrays short-circuit
-      // (sequence(1, 0) would count DOWN, not produce an empty range)
+      // (sequence(1, 0) would count DOWN, not produce an empty range).
+      // Same re-binding for `bg` (as `b`) around the fold.
       .select(col("doc_id"), col("n_words"), col("distinct_words"),
         size(col("bg")).cast(LongType).as("n_bigrams"),
         when(size(col("bg")) === 1, lit(1L)).otherwise(expr(
-          "aggregate(sequence(1, size(bg) - 1)," +
+          "transform(array(bg), b -> aggregate(sequence(1, size(b) - 1)," +
             " named_struct('run', 1, 'best', 1)," +
-            " (acc, i) -> IF(bg[i] = bg[i - 1]," +
+            " (acc, i) -> IF(b[i] = b[i - 1]," +
             "   named_struct('run', acc.run + 1," +
             "     'best', GREATEST(acc.best, acc.run + 1))," +
             "   named_struct('run', 1, 'best', acc.best))," +
-            " acc -> acc.best)").cast(LongType)).as("top_bigram_n"))
+            " acc -> acc.best))[0]").cast(LongType)).as("top_bigram_n"))
       .select(col("doc_id"), col("n_words"), col("top_bigram_n"),
         round(col("top_bigram_n") / col("n_bigrams"), 4).as("top_bigram_frac"),
         col("distinct_words"),
