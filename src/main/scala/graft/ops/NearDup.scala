@@ -582,9 +582,14 @@ object NearDup {
   def dedupChunk(s: SparkSession, dir: String, chunk: Int = 20,
                  minDocs: Int = 2): DataFrame = {
     require(chunk >= 1, s"chunk must be positive, got $chunk")
+    // `words` re-bound as `w` before per-element access — the
+    // substitution-safety rule [[graft.ops.TextSim.textRepetition]]
+    // documents (a slice per element over a substituted split would
+    // re-split per chunk)
     val chunks = expr(
-      s"transform(sequence(0, CAST(ceil(size(words) / $chunk.0) AS INT) - 1)," +
-        s" c -> concat_ws(' ', slice(words, c * $chunk + 1, $chunk)))")
+      s"transform(array(words), w ->" +
+        s" transform(sequence(0, CAST(ceil(size(w) / $chunk.0) AS INT) - 1)," +
+        s" c -> concat_ws(' ', slice(w, c * $chunk + 1, $chunk))))[0]")
     Sources.table(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))

@@ -66,9 +66,11 @@ object TextSim {
     docs(s, dir)
       .select(split(lower(trim(col("text"))), "\\s+").as("words"))
       .filter(size(col("words")) >= 2)
+      // `words` re-bound as `w` before per-element access — the
+      // substitution-safety rule [[textRepetition]] documents
       .select(explode(expr(
-        "transform(sequence(1, size(words) - 1)," +
-          " i -> concat(words[i - 1], ' ', words[i]))")).as("bigram"))
+        "transform(array(words), w -> transform(sequence(1, size(w) - 1)," +
+          " i -> concat(w[i - 1], ' ', w[i])))[0]")).as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
@@ -518,9 +520,11 @@ object TextSim {
     val bg = docs
       .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("words"))
       .filter(size(col("words")) >= 2)
+      // `words` re-bound as `w` before per-element access — the
+      // substitution-safety rule [[textRepetition]] documents
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(words) - 1)," +
-          " i -> struct(words[i - 1] AS w1, words[i] AS w2))")).as("b"))
+        "transform(array(words), w -> transform(sequence(1, size(w) - 1)," +
+          " i -> struct(w[i - 1] AS w1, w[i] AS w2)))[0]")).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     import org.apache.spark.sql.expressions.Window
     bg.withColumn("c2", count(lit(1)).over(Window.partitionBy("w1", "w2")))
@@ -774,9 +778,12 @@ object TextSim {
     val stride = size - overlap
     docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      // `toks` re-bound as `t` before per-element access — the
+      // substitution-safety rule [[textRepetition]] documents
       .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, greatest(size(toks) - $overlap - 1, 0), $stride)," +
-          s" st -> slice(toks, st + 1, $size))"))
+        s"transform(array(toks), t ->" +
+          s" transform(sequence(0, greatest(size(t) - $overlap - 1, 0), $stride)," +
+          s" st -> slice(t, st + 1, $size)))[0]"))
         .as(Seq("chunk_id", "chunk")))
       .select(col("doc_id"), col("chunk_id").cast(LongType).as("chunk_id"),
         org.apache.spark.sql.functions.size(col("chunk")).cast(LongType)
