@@ -117,7 +117,8 @@ object ExplainDump {
       "dedup_time_window" -> "min-struct hash aggregate, one exchange, no window/sort (r8: first event per (user, type, hour) = min over (ts_micros, event_id) structs, collapsed map-side before the exchange — the rank-window form shuffled every surviving row and sorted each partition)",
       "window_anomaly" -> "trailing stats as cum-minus-lag, one shared sort (r6)",
       "gap_stats" -> "window + aggregate sharing one exchange",
-      "encode_bucket" -> "fit-broadcast-transform: cuts broadcast, big side unshuffled")
+      "encode_bucket" -> "fit-broadcast-transform: cuts broadcast, big side unshuffled",
+      "agg_salted" -> "salted two-phase skew aggregate (r12): phase-1 partials keyed on (key, salt) spread a hot key over 16 reducers, phase-2 combines |keys|x16 rows — both aggregates map-side combine, so the second exchange carries partials only")
     // Queries whose public entry point materializes through an eager
     // localCheckpoint (the returned lineage is just a checkpoint
     // scan): dump the un-materialized pipeline the checkpoint runs,

@@ -188,6 +188,10 @@ object SparkEntry {
     "profile_drift" -> (Aggregates.profileDriftQuery _),
     "chunk_docs" -> ((s, d) => TextSim.chunkDocs(s, d)),
     "embed_quantize" -> (TextSim.embedQuantize _),
+    "quality_gopher" -> (TextSim.qualityGopher _),
+    "vocab_growth" -> (TextSim.vocabGrowth _),
+    "zipf_slope" -> (TextSim.zipfSlope _),
+    "agg_salted" -> (Aggregates.aggSalted _),
   )
 
   /** The F1–F4 validity predicate, shared by three oracle queries. */
@@ -1443,5 +1447,79 @@ object SparkEntry {
         |array_to_string(toks[st + 1 : st + $size], ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin
     },
+
+    "quality_gopher" ->
+      raw"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        |           FROM documents),
+        |f AS (SELECT doc_id,
+        |      CAST(len(words) AS BIGINT) AS n_words,
+        |      CAST(list_aggregate(list_transform(words, w -> length(w)), 'sum') AS BIGINT) AS n_word_chars,
+        |      CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct,
+        |      CAST(len(list_filter(['the','a','of','and','to','in'],
+        |                           sw -> list_contains(words, sw))) AS BIGINT) AS n_stop_distinct
+        |      FROM w),
+        |g AS (SELECT doc_id, n_words,
+        |      round(CAST(n_word_chars AS DOUBLE) / CAST(n_words AS DOUBLE), 4) AS mean_word_len,
+        |      round(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE), 4) AS dup_word_frac,
+        |      n_stop_distinct FROM f)
+        |SELECT doc_id, n_words, mean_word_len, dup_word_frac, n_stop_distinct,
+        |(n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        |AND dup_word_frac <= 0.6 AND n_stop_distinct >= 2 AS keep
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "vocab_growth" ->
+      raw"""WITH tok AS (SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS token
+        |             FROM documents),
+        |tc AS (SELECT source, token, count(*) AS c FROM tok
+        |       WHERE token <> '' GROUP BY source, token)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |count(*) AS n_types,
+        |CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS ttr
+        |FROM tc GROUP BY source ORDER BY source""".stripMargin,
+
+    "zipf_slope" ->
+      raw"""WITH freq AS (SELECT token, count(*) AS freq FROM
+        |  (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+        |   FROM documents) t
+        |  WHERE token <> '' GROUP BY token ORDER BY freq DESC, token LIMIT 100),
+        |rk AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS rank
+        |       FROM freq),
+        |l AS (SELECT CAST(round(ln(CAST(rank AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lx,
+        |             CAST(round(ln(CAST(freq AS DOUBLE)), 6) AS DECIMAL(18,6)) AS ly
+        |      FROM rk),
+        |s AS (SELECT count(*) AS n, CAST(sum(lx) AS DOUBLE) AS sx,
+        |             CAST(sum(ly) AS DOUBLE) AS sy,
+        |             CAST(sum(lx * lx) AS DOUBLE) AS sxx,
+        |             CAST(sum(lx * ly) AS DOUBLE) AS sxy FROM l)
+        |SELECT n AS n_ranks,
+        |round((CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |      (CAST(n AS DOUBLE) * sxx - sx * sx), 4) AS slope,
+        |round((sy - (CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |            (CAST(n AS DOUBLE) * sxx - sx * sx) * sx) /
+        |      CAST(n AS DOUBLE), 4) AS intercept
+        |FROM s""".stripMargin,
+
+    "agg_salted" ->
+      s"""SELECT event_type, count(*) AS n_events,
+         |round(${dsumSql("value")}, 4) AS sum_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "embed_quantize" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |x AS (SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS dim FROM e),
+        |d AS (SELECT dim, min(val) AS lo, max(val) - min(val) AS span0 FROM x GROUP BY dim),
+        |r AS (SELECT list(lo ORDER BY dim) AS lo,
+        |             list(CASE WHEN span0 > 0 THEN span0 ELSE 1.0 END ORDER BY dim) AS span
+        |      FROM d),
+        |err AS (SELECT vec_id,
+        |        list_transform(range(1, len(v) + 1),
+        |          i -> abs(r.lo[i] + round((v[i] - r.lo[i]) * 255.0 / r.span[i])
+        |                   * r.span[i] / 255.0 - v[i])) AS errs
+        |        FROM e, r)
+        |SELECT vec_id, round(list_aggregate(errs, 'max'), 6) AS max_abs_err,
+        |round(list_aggregate(errs, 'sum') / len(errs), 6) AS mean_abs_err
+        |FROM err ORDER BY vec_id""".stripMargin,
   )
 }

@@ -553,4 +553,35 @@ object Aggregates {
         .as("priorities"),
         countDistinct(col("o_orderpriority")).as("n_priorities"))
       .orderBy("o_orderstatus")
+
+  /** `agg_salted` — explicit two-phase salted aggregation over the
+    * skew-prone low-cardinality key `event_type`: phase 1 groups on
+    * (key, salt = event_id mod 16) so a hot key's rows spread across
+    * 16 reducers; phase 2 combines the ≤16 partials per key. The
+    * ORACLE is the plain one-phase GROUP BY — the whole point is that
+    * salting is semantics-preserving (counts add; decimal sums are
+    * exact and associative, the [[graft.ops.Num.dsum]] discipline —
+    * raw double sums would NOT survive the re-association).
+    *
+    * At 100 TB this is the escape hatch when one key holds 30% of all
+    * rows and a single reducer would spill for hours while 999
+    * executors idle. Spark's own map-side partial aggregation usually
+    * makes manual salting unnecessary for algebraic aggregates — and
+    * AQE skew-join handles the join case — but partial aggregation
+    * degrades exactly when the per-task key-group count overflows the
+    * hash map (high-cardinality compound keys), and salting also
+    * covers non-algebraic aggregates (exact percentiles,
+    * collect_list) where no map-side combine exists. Phase-2 input is
+    * |keys| × 16 rows — negligible at any scale.
+    */
+  def aggSalted(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "events")
+      .withColumn("salt", pmod(col("event_id"), lit(16L)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"),
+        sum(col("value").cast(DecimalType(18, 4))).as("pv"))
+      .groupBy("event_type")
+      .agg(sum(col("pn")).as("n_events"),
+        round(sum(col("pv")).cast(DoubleType), 4).as("sum_value"))
+      .orderBy("event_type")
 }

@@ -913,4 +913,124 @@ object TextSim {
       .agg(count(lit(1)).as("n_vectors"),
         round(dsum(col("l2_norm")) / count(lit(1)), 4).as("avg_l2_norm"))
       .orderBy("label")
+
+  /** `quality_gopher` — the Gopher quality-rule subset (Rae et al.
+    * 2021, "Scaling Language Models", appendix A1.1) that is
+    * non-vacuous on a whitespace corpus: word-count band, mean-word-
+    * length band, duplicate-word-fraction cap, and a minimum count of
+    * DISTINCT English stopwords present. The standard rule-based
+    * pretraining filter, complementing [[textQuality]]'s
+    * length/punctuation rules and [[textRepetition]]'s bigram signal.
+    *
+    * Shape at scale: pure per-row projection, zero shuffle (only the
+    * presentation sort). Every signal is an array reduction over the
+    * row's own `words`: the char count folds with `aggregate` (the
+    * collection argument is evaluated once per row even under
+    * optimizer substitution — only per-ELEMENT array indexing is
+    * substitution-dangerous, see the r11 `text_repetition` note), the
+    * stopword count intersects against a 6-element literal array. A
+    * 1000-executor cluster runs this with no data movement at all.
+    */
+  def qualityGopher(s: SparkSession, dir: String): DataFrame =
+    qualityGopher(docs(s, dir))
+
+  /** [[qualityGopher]] over any `(doc_id, text)` relation. */
+  def qualityGopher(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      .select(col("doc_id"),
+        size(col("words")).cast(LongType).as("n_words"),
+        expr("aggregate(words, 0L, (a, w) -> a + length(w))")
+          .as("n_word_chars"),
+        size(array_distinct(col("words"))).cast(LongType).as("n_distinct"),
+        size(array_intersect(col("words"),
+          array(enStopwords.map(lit): _*))).cast(LongType)
+          .as("n_stop_distinct"))
+      .select(col("doc_id"), col("n_words"),
+        round(col("n_word_chars").cast(DoubleType) /
+          col("n_words").cast(DoubleType), 4).as("mean_word_len"),
+        round(lit(1.0) - col("n_distinct").cast(DoubleType) /
+          col("n_words").cast(DoubleType), 4).as("dup_word_frac"),
+        col("n_stop_distinct"))
+      .withColumn("keep",
+        col("n_words").between(50L, 100000L) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("dup_word_frac") <= 0.6 &&
+          col("n_stop_distinct") >= 2L)
+      .orderBy("doc_id")
+
+  /** `vocab_growth` — per-source vocabulary statistics: token count,
+    * type (distinct-token) count, hapax-legomena count (types seen
+    * exactly once), and the type–token ratio. The Heaps'-law lens on
+    * corpus diversity: a source whose TTR collapses relative to its
+    * peers is template/boilerplate-generated and a dedup candidate at
+    * the SOURCE level, before any per-document pass runs.
+    *
+    * Shape at scale: explode → two stacked hash aggregates. The first
+    * (source, token) aggregate map-side combines, so shuffle volume is
+    * ∝ distinct (source, token) pairs — vocabulary-bounded, not
+    * corpus-bounded; the second reduces to one row per source.
+    */
+  def vocabGrowth(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        col("n_hapax"),
+        round(col("n_types").cast(DoubleType) /
+          col("n_tokens").cast(DoubleType), 6).as("ttr"))
+      .orderBy("source")
+
+  /** `zipf_slope` — least-squares slope of log(frequency) over
+    * log(rank) for the corpus's top-100 tokens: the Zipf-law fit.
+    * Natural text sits near slope −1; a corpus that drifts far from
+    * its historical slope signals a scrape/boilerplate regression —
+    * this is the one-number drift alarm a corpus-health dashboard
+    * plots per snapshot.
+    *
+    * Engine-portable numerics: per-rank logs are rounded to a 6-dp
+    * lattice and decimal-summed (the [[graft.ops.Num.dsum]]
+    * discipline), so the five regression sums are exact and
+    * order-independent; the final slope/intercept division happens in
+    * doubles on identical operands. Shape at scale: one
+    * vocabulary-bounded hash aggregate, then `orderBy.limit(100)` —
+    * a distributed TakeOrderedAndProject, NOT a full sort — and the
+    * rank window runs on the 100 surviving rows only.
+    */
+  def zipfSlope(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = docs(s, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token")).limit(100)
+    val ranked = top.select(col("freq"),
+      row_number().over(
+        Window.orderBy(col("freq").desc, col("token"))).as("rank"))
+    val lx = round(log(col("rank").cast(DoubleType)), 6)
+      .cast(DecimalType(18, 6))
+    val ly = round(log(col("freq").cast(DoubleType)), 6)
+      .cast(DecimalType(18, 6))
+    ranked.select(lx.as("lx"), ly.as("ly"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("lx")).cast(DoubleType).as("sx"),
+        sum(col("ly")).cast(DoubleType).as("sy"),
+        sum(col("lx") * col("lx")).cast(DoubleType).as("sxx"),
+        sum(col("lx") * col("ly")).cast(DoubleType).as("sxy"))
+      .select(col("n").as("n_ranks"),
+        round((col("n").cast(DoubleType) * col("sxy") -
+          col("sx") * col("sy")) /
+          (col("n").cast(DoubleType) * col("sxx") -
+            col("sx") * col("sx")), 4).as("slope"),
+        round((col("sy") - (col("n").cast(DoubleType) * col("sxy") -
+          col("sx") * col("sy")) /
+          (col("n").cast(DoubleType) * col("sxx") -
+            col("sx") * col("sx")) * col("sx")) /
+          col("n").cast(DoubleType), 4).as("intercept"))
+  }
 }
