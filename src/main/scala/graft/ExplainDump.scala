@@ -118,7 +118,8 @@ object ExplainDump {
       "window_anomaly" -> "trailing stats as cum-minus-lag, one shared sort (r6)",
       "gap_stats" -> "window + aggregate sharing one exchange",
       "encode_bucket" -> "fit-broadcast-transform: cuts broadcast, big side unshuffled",
-      "agg_salted" -> "salted two-phase skew aggregate (r12): phase-1 partials keyed on (key, salt) spread a hot key over 16 reducers, phase-2 combines |keys|x16 rows — both aggregates map-side combine, so the second exchange carries partials only")
+      "agg_salted" -> "salted two-phase skew aggregate (r12): phase-1 partials keyed on (key, salt) spread a hot key over 16 reducers, phase-2 combines |keys|x16 rows — both aggregates map-side combine, so the second exchange carries partials only",
+      "scrub_spans" -> "corpus exact-substring scrub (r13): n-gram inverted index with a struct-min first-occurrence aggregate (no per-gram window sort), join-back keyed on the gram, <= n-row sequence explode per scrubbed occurrence, left-anti on (doc, pos), ordered re-join per doc — every exchange keyed on a bounded attribute, nothing pairwise in corpus size")
     // Queries whose public entry point materializes through an eager
     // localCheckpoint (the returned lineage is just a checkpoint
     // scan): dump the un-materialized pipeline the checkpoint runs,

@@ -192,6 +192,10 @@ object SparkEntry {
     "vocab_growth" -> (TextSim.vocabGrowth _),
     "zipf_slope" -> (TextSim.zipfSlope _),
     "agg_salted" -> (Aggregates.aggSalted _),
+    // span-level scrub, quality-priority survivors, temperature mixing
+    "scrub_spans" -> ((s, d) => NearDup.scrubSpans(s, d)),
+    "dedup_survivor" -> (NearDup.dedupSurvivor _),
+    "mix_temperature" -> ((s, d) => Sampling.mixTemperature(s, d)),
   )
 
   /** The F1–F4 validity predicate, shared by three oracle queries. */
@@ -205,6 +209,29 @@ object SparkEntry {
     */
   private def dsumSql(c: String, scale: Int = 4): String =
     s"CAST(SUM(CAST($c AS DECIMAL(18,$scale))) AS DOUBLE)"
+
+  /** Shared recursive-CTE prefix: n-gram near-dup pairs → transitive
+    * reachability (the SQL mirror of [[graft.ops.NearDup.dedupNgram]]
+    * feeding [[graft.ops.NearDup.connectedComponents]]). Both
+    * `dedup_cluster` and `dedup_survivor` build on the `reach`
+    * relation, so the pair semantics can never drift between them.
+    */
+  private val clusterReachSql: String =
+    raw"""WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+      |idx AS (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i FROM t),
+      |g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS gram FROM idx),
+      |rare AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= ${NearDup.DefaultMaxDf}),
+      |rg AS (SELECT g.doc_id, g.gram FROM g JOIN rare USING (gram)),
+      |sizes AS (SELECT doc_id, count(*) AS n_grams FROM rg GROUP BY doc_id),
+      |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      |FROM rg a JOIN rg b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pairs AS (SELECT doc_a, doc_b FROM (SELECT doc_a, doc_b,
+      |round(CAST(shared AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - shared AS DOUBLE), 4) AS jaccard
+      |FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b) p
+      |WHERE jaccard >= ${NearDup.DefaultMinJaccard}),
+      |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(a, b) AS (SELECT a, b FROM e
+      |UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a AND r.a <> e.b)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -1093,23 +1120,20 @@ object SparkEntry {
         |ORDER BY doc_id, tfidf DESC, token""".stripMargin,
 
     "dedup_cluster" ->
-      raw"""WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
-        |idx AS (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i FROM t),
-        |g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS gram FROM idx),
-        |rare AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= ${NearDup.DefaultMaxDf}),
-        |rg AS (SELECT g.doc_id, g.gram FROM g JOIN rare USING (gram)),
-        |sizes AS (SELECT doc_id, count(*) AS n_grams FROM rg GROUP BY doc_id),
-        |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-        |FROM rg a JOIN rg b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-        |pairs AS (SELECT doc_a, doc_b FROM (SELECT doc_a, doc_b,
-        |round(CAST(shared AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - shared AS DOUBLE), 4) AS jaccard
-        |FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b) p
-        |WHERE jaccard >= ${NearDup.DefaultMinJaccard}),
-        |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
-        |reach(a, b) AS (SELECT a, b FROM e
-        |UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a AND r.a <> e.b)
+      s"""$clusterReachSql
         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach
         |GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    "dedup_survivor" ->
+      s"""$clusterReachSql,
+        |cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+        |j AS (SELECT cl.cluster_id, cl.doc_id, d.n_chars FROM cl JOIN documents d USING (doc_id)),
+        |r2 AS (SELECT cluster_id, doc_id, n_chars,
+        |row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn,
+        |count(*) OVER (PARTITION BY cluster_id) AS n_docs,
+        |max(n_chars) OVER (PARTITION BY cluster_id) AS survivor_chars FROM j)
+        |SELECT cluster_id, n_docs, doc_id AS survivor_id, survivor_chars,
+        |n_docs - 1 AS n_dropped FROM r2 WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
 
     "dedup_ngram" ->
       raw"""WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
@@ -1521,5 +1545,39 @@ object SparkEntry {
         |SELECT vec_id, round(list_aggregate(errs, 'max'), 6) AS max_abs_err,
         |round(list_aggregate(errs, 'sum') / len(errs), 6) AS mean_abs_err
         |FROM err ORDER BY vec_id""".stripMargin,
+
+    // p is 0-based on both sides; rn >= 2 keeps the globally-first
+    // occurrence (ORDER BY doc_id, p == the engine's struct-min)
+    "scrub_spans" ->
+      raw"""WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) - 1 AS pos FROM w),
+        |occ AS (SELECT doc_id, p, array_to_string(toks[p+1:p+8], ' ') AS gram
+        |FROM (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 8)) AS p FROM w)),
+        |scr AS (SELECT doc_id, p FROM (
+        |SELECT doc_id, p, row_number() OVER (PARTITION BY gram ORDER BY doc_id, p) AS rn,
+        |count(*) OVER (PARTITION BY gram) AS cnt FROM occ) WHERE cnt >= 2 AND rn >= 2),
+        |rem AS (SELECT DISTINCT doc_id, p + u AS pos FROM scr CROSS JOIN generate_series(0, 7) g(u)),
+        |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t LEFT JOIN rem r
+        |ON t.doc_id = r.doc_id AND t.pos = r.pos WHERE r.doc_id IS NULL),
+        |re AS (SELECT doc_id, count(*) AS n_kept, string_agg(tok, ' ' ORDER BY pos) AS scrubbed_text
+        |FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY doc_id)
+        |SELECT tot.doc_id, n_tokens, n_tokens - coalesce(n_kept, 0) AS n_removed,
+        |sha256(coalesce(scrubbed_text, '')) AS scrubbed_hash
+        |FROM tot LEFT JOIN re USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // per-power round(·,6)+DECIMAL before the exact sum: the zipf_slope
+    // transcendental-determinism recipe, applied to pow
+    "mix_temperature" ->
+      """WITH s AS (SELECT lang, count(*) AS n_docs,
+        |CAST(round(pow(CAST(count(*) AS DOUBLE), 0.7), 6) AS DECIMAL(18,6)) AS pw
+        |FROM documents GROUP BY lang),
+        |t AS (SELECT sum(pw) AS tot_pw, sum(n_docs) AS tot_docs FROM s)
+        |SELECT lang, n_docs,
+        |round(CAST(n_docs AS DOUBLE) / CAST(tot_docs AS DOUBLE), 6) AS raw_share,
+        |round(CAST(pw AS DOUBLE) / CAST(tot_pw AS DOUBLE), 6) AS temp_share,
+        |round((CAST(pw AS DOUBLE) / CAST(tot_pw AS DOUBLE)) /
+        |(CAST(n_docs AS DOUBLE) / CAST(tot_docs AS DOUBLE)), 4) AS boost
+        |FROM s, t ORDER BY lang""".stripMargin,
   )
 }

@@ -923,4 +923,110 @@ object NearDup {
       .filter(col("edit_dist") =!= -1L)
       .orderBy("name_a", "name_b")
   }
+
+  /** `dedup_survivor` — quality-priority survivor selection over the
+    * near-dup clusters of [[dedupCluster]]: instead of the
+    * component-min id, each cluster keeps the HIGHEST-QUALITY member
+    * (here: max `n_chars`, doc_id ascending as the deterministic
+    * tie-break) — the policy production dedup pipelines actually use
+    * (keep the longest/cleanest copy, drop the fragments), where
+    * min-id keep is only the textbook default. One row per cluster:
+    * survivor, member count, and how many docs the policy drops.
+    *
+    * Cost on top of the cluster build: one join of the (small)
+    * cluster assignment against the doc metadata and one grouped
+    * `max_by` — both keyed shuffles on bounded keys; the quality
+    * argmax is a single struct-ordered aggregate, no window sort.
+    */
+  def dedupSurvivor(s: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupCluster(s, dir) // (doc_id, cluster_id), eager
+    val meta = Sources.table(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    clusters.join(meta, "doc_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_chars")).as("survivor_chars"),
+        // maximize (n_chars, -doc_id): struct ordering makes the
+        // argmax total — no nondeterministic max_by ties possible
+        max_by(col("doc_id"),
+          struct(col("n_chars"), (-col("doc_id")).as("neg"))).as("survivor_id"))
+      .select(col("cluster_id"), col("n_docs"), col("survivor_id"),
+        col("survivor_chars"), (col("n_docs") - lit(1L)).as("n_dropped"))
+      .orderBy("cluster_id")
+  }
+
+  /** `scrub_spans` — corpus-level exact-substring scrub: every
+    * occurrence of an `n`-token window that appears at least twice in
+    * the corpus, EXCEPT the globally first occurrence (min
+    * `(doc_id, position)`), has its `n` token positions dropped from
+    * its document; the surviving tokens re-join in order. This is the
+    * span-level companion to whole-doc dedup — boilerplate, quoted
+    * passages, and template fragments are removed from every copy but
+    * one while the distinct remainder of each document survives
+    * (reference analog: the corpus generalization of
+    * /root/reference/src/etl_2022.py:178's row-level dedup).
+    *
+    * Shape, not a suffix array: an n-gram inverted index. One
+    * aggregate per gram finds the duplicate grams and their first
+    * occurrence (a struct-min — no per-gram window sort), a join back
+    * on the gram marks the non-first occurrences, `sequence` explodes
+    * them into covered positions (≤ n rows per scrubbed occurrence),
+    * and a left-anti join drops those positions from the token
+    * relation. Every shuffle is keyed (gram / doc_id+pos / doc_id) and
+    * map-side combined; nothing is pairwise in corpus size. Output is
+    * one row per document with the scrub accounting and a hash of the
+    * scrubbed text (the full text would dwarf the result at scale).
+    */
+  def scrubSpans(s: SparkSession, dir: String, n: Int = 8): DataFrame =
+    scrubSpans(s, Sources.table(s, dir, "documents"), n)
+
+  /** [[scrubSpans]] over any `(doc_id, text)` relation. */
+  def scrubSpans(s: SparkSession, docs: DataFrame, n: Int): DataFrame = {
+    require(n >= 2, s"span width must be >= 2 tokens, got $n")
+    val words = docs
+      // spread the per-token stages across tasks (single-file corpus =
+      // one input split otherwise; at real scale the scan already has
+      // many splits and this moves each doc once)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        split(trim(lower(col("text"))), "\\s+").as("w"))
+    val toks = words.select(col("doc_id"),
+      posexplode(col("w")).as(Seq("pos", "tok")))
+    // (doc_id, p, gram) occurrences, p 0-based; the `w0` re-bind keeps
+    // the split out of the lambda body under optimizer substitution
+    // (the textRepetition rule). The size guard is explicit because
+    // Spark's sequence(0, negative) DESCENDS instead of emitting empty.
+    val occ = words.select(col("doc_id"), posexplode(expr(
+      s"transform(array(w), w0 -> IF(size(w0) < $n, " +
+        s"CAST(array() AS ARRAY<STRING>), " +
+        s"transform(sequence(0, size(w0) - $n), " +
+        s"p -> concat_ws(' ', slice(w0, p + 1, $n)))))[0]"))
+      .as(Seq("p", "gram")))
+    val dupGrams = occ.groupBy("gram")
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("p"))).as("first"))
+      .filter(col("cnt") >= 2)
+    val removedPos = occ.join(dupGrams, "gram")
+      .filter(!(col("doc_id") === col("first.doc_id") &&
+        col("p") === col("first.p")))
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + lit(n - 1))).as("pos"))
+      .distinct()
+    val kept = toks.join(removedPos, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        expr("concat_ws(' ', transform(array_sort(" +
+          "collect_list(struct(pos, tok))), x -> x.tok))")
+          .as("scrubbed_text"))
+    toks.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+      // left: a document fully covered by duplicate spans loses every
+      // token and drops out of `kept` — it must still report, as empty
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"),
+        sha2(coalesce(col("scrubbed_text"), lit("")), 256)
+          .as("scrubbed_hash"))
+      .orderBy("doc_id")
+  }
 }

@@ -194,4 +194,40 @@ object Sampling {
       .groupBy("source")
       .agg(count(lit(1)).as("n_kept"))
       .orderBy("source")
+
+  /** `mix_temperature` — temperature-scaled language mixing: sampling
+    * share `p_i ∝ n_i^alpha` (alpha < 1 flattens the distribution —
+    * the standard multilingual-pretraining re-balance that upsamples
+    * low-resource languages relative to their raw share). Reports per
+    * language the raw share, the temperature share, and the implied
+    * up/down-weight `boost = temp_share / raw_share`.
+    *
+    * Determinism across engines: `pow` is transcendental, so each
+    * per-language power is rounded to 6 dp and cast to DECIMAL before
+    * the exact decimal sum — the same recipe
+    * [[graft.ops.TextSim.zipfSlope]] uses for its logs. The final
+    * ratios divide identical decimals-cast-to-double on both sides.
+    * One groupBy on a bounded key + a broadcast of the 1-row totals —
+    * shuffle-free after the count at any corpus size.
+    */
+  def mixTemperature(s: SparkSession, dir: String,
+                     alpha: Double = 0.7): DataFrame = {
+    val perLang = Sources.table(s, dir, "documents")
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .select(col("lang"), col("n_docs"),
+        round(pow(col("n_docs").cast(DoubleType), lit(alpha)), 6)
+          .cast(DecimalType(18, 6)).as("pw"))
+    val totals = perLang.agg(sum(col("pw")).as("tot_pw"),
+      sum(col("n_docs")).as("tot_docs"))
+    val rawShare = col("n_docs").cast(DoubleType) /
+      col("tot_docs").cast(DoubleType)
+    val tempShare = col("pw").cast(DoubleType) /
+      col("tot_pw").cast(DoubleType)
+    perLang.crossJoin(broadcast(totals))
+      .select(col("lang"), col("n_docs"),
+        round(rawShare, 6).as("raw_share"),
+        round(tempShare, 6).as("temp_share"),
+        round(tempShare / rawShare, 4).as("boost"))
+      .orderBy("lang")
+  }
 }

@@ -148,4 +148,37 @@ object Sinks {
       s"$dir: manifest declares $declared rows but parquet holds $actual")
     df
   }
+
+  /** Small-file compaction — the table-maintenance pass every
+    * long-running ingest needs: streaming/micro-batch sinks accrete
+    * thousands of KB-sized parquet files whose per-file open/footer
+    * cost eventually dominates scans. Rewrites `inDir` into
+    * `outDir` with file count sized from the ACTUAL input bytes
+    * (`ceil(bytes / targetFileBytes)`, metadata-only listing), so
+    * output files land near the target size regardless of input
+    * fragmentation. Uses `repartition` (round-robin, parallel) rather
+    * than `coalesce`: coalesce would collapse the WRITE parallelism
+    * to the output file count and leave skewed inputs skewed.
+    *
+    * Returns (input file count, output file count).
+    */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val in = new org.apache.hadoop.fs.Path(inDir)
+    val fs = in.getFileSystem(conf)
+    val parts = fs.listStatus(in)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    require(parts.nonEmpty, s"$inDir holds no parquet part files")
+    val bytes = parts.map(_.getLen).sum
+    val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+      .toInt
+    spark.read.parquet(inDir)
+      .repartition(nOut)
+      .write.mode("overwrite").parquet(outDir)
+    val outParts = fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+      .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    (parts.length, outParts)
+  }
 }
