@@ -119,7 +119,7 @@ object ExplainDump {
       "gap_stats" -> "window + aggregate sharing one exchange",
       "encode_bucket" -> "fit-broadcast-transform: cuts broadcast, big side unshuffled",
       "agg_salted" -> "salted two-phase skew aggregate (r12): phase-1 partials keyed on (key, salt) spread a hot key over 16 reducers, phase-2 combines |keys|x16 rows — both aggregates map-side combine, so the second exchange carries partials only",
-      "scrub_spans" -> "corpus exact-substring scrub (r13): n-gram inverted index with a struct-min first-occurrence aggregate (no per-gram window sort), join-back keyed on the gram, <= n-row sequence explode per scrubbed occurrence, left-anti on (doc, pos), ordered re-join per doc — every exchange keyed on a bounded attribute, nothing pairwise in corpus size")
+      "scrub_spans" -> "corpus exact-substring scrub (r13): ShingleHash2 emits 128-bit gram fingerprints in one codegen'd pass (no gram strings anywhere), first occurrence = min over a packed (doc_id << 21 | p) long so the per-gram aggregate stays a map-side-combined HashAggregate, join-back keyed on the fingerprint, <= n-row sequence explode per scrubbed occurrence, and reassembly is an indexed filter over the in-row words array (no corpus-sized token explode) — every exchange keyed, nothing pairwise; 279 -> 42 s at 1M docs across the three plan generations")
     // Queries whose public entry point materializes through an eager
     // localCheckpoint (the returned lineage is just a checkpoint
     // scan): dump the un-materialized pipeline the checkpoint runs,

@@ -40,6 +40,10 @@ object ScaleDemo {
         graft.ops.NearDup.dedupNgram(spark, corpus, 3, 20, 0.5)
           .select("doc_a", "doc_b")).count()
     }
+    time("scrub_spans") {
+      graft.ops.NearDup.scrubSpans(spark, corpus, 8)
+        .filter(col("n_removed") > 0).count()
+    }
     // similarity surface over generated 64-dim vectors (pure function
     // of vec_id — same replay-determinism rule as the docs connector)
     val vecs = spark.range(n).repartition(cpus.toInt * 2)

@@ -223,6 +223,79 @@ case class ShingleHash(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** 128-bit shingle fingerprints: for each n-token window of `child`
+  * (an `array<string>`), a `struct<h1: bigint, h2: bigint>` of two
+  * xxhash64 chains over the per-token hashes, seeded independently
+  * (42 / the 64-bit golden ratio). The h1 chain is bit-identical to
+  * [[ShingleHash]].
+  *
+  * This is the "swap in when the map stage dominates" codegen path
+  * the [[graft.ops.NearDup]] scaladocs promise: one pass hashes each
+  * token once and runs both chains over the cached token hashes — no
+  * per-window string concatenation, nothing wider than 16 bytes per
+  * window leaves the operator. Two grams collide only if both 64-bit
+  * chains collide (~2⁻¹²⁸ for independent inputs; correlated only
+  * through a 64-bit per-token hash collision that must ALSO sit in
+  * otherwise-identical windows).
+  */
+case class ShingleHash2(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(n >= 1, s"need n >= 1, got n=$n")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_shingle2 requires array<string>, got $t")
+    }
+  private val structType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("h1",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("h2",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+  override def dataType: DataType = ArrayType(structType,
+    containsNull = false)
+  override def prettyName: String = "graft_shingle2"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val toks = input.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    if (m < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val th = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val t = toks.getUTF8String(i)
+      th(i) = if (t == null) 0L else XxHash64Function.hash(t, StringType, 42L)
+      i += 1
+    }
+    val out = new Array[Any](m - n + 1)
+    i = 0
+    while (i < m - n + 1) {
+      var h1 = 42L
+      var h2 = 0x9E3779B97F4A7C15L
+      var j = 0
+      while (j < n) {
+        h1 = XxHash64Function.hash(th(i + j), LongType, h1)
+        h2 = XxHash64Function.hash(th(i + j), LongType, h2)
+        j += 1
+      }
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(h1, h2)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): ShingleHash2 =
+    copy(child = c)
+}
+
 /** Registration + Column-level entry points for the native vector
   * expressions.
   */
@@ -276,6 +349,28 @@ object VectorFunctions {
   def shingle(spark: SparkSession, toks: Column, n: Int = 3): Column = {
     registerShingle(spark)
     call_function("graft_shingle", toks,
+      org.apache.spark.sql.functions.lit(n))
+  }
+
+  /** Idempotently register `graft_shingle2(toks, n)` — the 128-bit
+    * fingerprint variant ([[ShingleHash2]]).
+    */
+  def registerShingle2(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingle2",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2,
+          s"graft_shingle2 expects (toks, n), got ${exprs.length} args")
+        ShingleHash2(exprs.head, literalInt("graft_shingle2", "n", exprs(1)))
+      },
+      "built-in")
+
+  /** 128-bit shingle fingerprints as a Column
+    * (`array<struct<h1,h2>>`, one per n-token window).
+    */
+  def shingle2(spark: SparkSession, toks: Column, n: Int): Column = {
+    registerShingle2(spark)
+    call_function("graft_shingle2", toks,
       org.apache.spark.sql.functions.lit(n))
   }
 

@@ -968,17 +968,46 @@ object NearDup {
     *
     * Shape, not a suffix array: an n-gram inverted index. One
     * aggregate per gram finds the duplicate grams and their first
-    * occurrence (a struct-min — no per-gram window sort), a join back
-    * on the gram marks the non-first occurrences, `sequence` explodes
-    * them into covered positions (≤ n rows per scrubbed occurrence),
-    * and a left-anti join drops those positions from the token
-    * relation. Every shuffle is keyed (gram / doc_id+pos / doc_id) and
-    * map-side combined; nothing is pairwise in corpus size. Output is
-    * one row per document with the scrub accounting and a hash of the
-    * scrubbed text (the full text would dwarf the result at scale).
+    * occurrence, a join back on the gram marks the non-first
+    * occurrences, `sequence` explodes them into covered positions
+    * (≤ n rows per scrubbed occurrence), and the per-doc REMOVAL SET
+    * joins back to the words relation where an indexed `filter`
+    * lambda drops the covered tokens in one projection. Every shuffle
+    * is keyed (gram fingerprint / doc_id) and map-side combined;
+    * nothing is pairwise in corpus size. Output is one row per
+    * document with the scrub accounting and a hash of the scrubbed
+    * text (the full text would dwarf the result at scale).
+    *
+    * Three representation choices keep the hot path in HashAggregate
+    * codegen and off wide rows (1M-doc A/B: 279 → 202 → see
+    * SCALE.md for the final number):
+    *  - the gram travels as a 128-BIT FINGERPRINT (two independent
+    *    xxhash64s of the gram text, computed map-side and shuffled as
+    *    two longs) instead of the ~n-word string. Collision odds for
+    *    10¹² distinct grams are ~10⁻¹⁵ — below any hardware error
+    *    rate; the DuckDB oracle compares exact strings, so a fixture
+    *    collision would surface as a hash mismatch.
+    *  - the first occurrence is `min(doc_id·2²¹ + p)` — ONE long
+    *    aggregate (map-side combined, hash-aggregable) instead of a
+    *    struct-min, which Spark can only run as a SortAggregate. The
+    *    packing bounds documents at 2²¹ tokens (enforced with
+    *    `raise_error`, and far above any sane pre-chunking) and doc
+    *    ids at 2⁴² (documented, not checked: id generation at that
+    *    volume is itself the bigger problem).
+    *  - reassembly never explodes the corpus into tokens: removal
+    *    positions aggregate into one bounded array per AFFECTED doc
+    *    (absent for the untouched majority), and the surviving text
+    *    is rebuilt by an indexed `filter` over the in-row words array
+    *    — the 1-token-per-row explode, its corpus-sized anti-join,
+    *    and the collect_list re-sort all disappear.
     */
   def scrubSpans(s: SparkSession, dir: String, n: Int = 8): DataFrame =
     scrubSpans(s, Sources.table(s, dir, "documents"), n)
+
+  /** Max tokens per document under [[scrubSpans]]'s packed
+    * first-occurrence key (2²¹; positions at or past it raise).
+    */
+  final val ScrubMaxDocTokens: Int = 1 << 21
 
   /** [[scrubSpans]] over any `(doc_id, text)` relation. */
   def scrubSpans(s: SparkSession, docs: DataFrame, n: Int): DataFrame = {
@@ -990,43 +1019,44 @@ object NearDup {
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         split(trim(lower(col("text"))), "\\s+").as("w"))
-    val toks = words.select(col("doc_id"),
-      posexplode(col("w")).as(Seq("pos", "tok")))
-    // (doc_id, p, gram) occurrences, p 0-based; the `w0` re-bind keeps
-    // the split out of the lambda body under optimizer substitution
-    // (the textRepetition rule). The size guard is explicit because
-    // Spark's sequence(0, negative) DESCENDS instead of emitting empty.
-    val occ = words.select(col("doc_id"), posexplode(expr(
-      s"transform(array(w), w0 -> IF(size(w0) < $n, " +
-        s"CAST(array() AS ARRAY<STRING>), " +
-        s"transform(sequence(0, size(w0) - $n), " +
-        s"p -> concat_ws(' ', slice(w0, p + 1, $n)))))[0]"))
-      .as(Seq("p", "gram")))
-    val dupGrams = occ.groupBy("gram")
+    // (doc_id, p, fingerprint) occurrences, p 0-based. The gram never
+    // exists as a string: [[graft.functions.ShingleHash2]] hashes each
+    // token once and emits the two chained fingerprints per window in
+    // one tight primitive loop (a short doc yields an empty array —
+    // no occurrences, no sequence(0, negative) pitfall).
+    val occ = words.select(col("doc_id"), posexplode(
+        graft.functions.VectorFunctions.shingle2(s, col("w"), n))
+        .as(Seq("p", "hh")))
+      .select(col("doc_id"), col("p"),
+        col("hh.h1").as("h1"), col("hh.h2").as("h2"),
+        expr(s"IF(p >= $ScrubMaxDocTokens, raise_error(CONCAT(" +
+          s"'scrub_spans: document ', doc_id, ' exceeds " +
+          s"$ScrubMaxDocTokens tokens — chunk it first')), " +
+          s"shiftleft(doc_id, 21) + p)").as("packed"))
+    val dupGrams = occ.groupBy("h1", "h2")
       .agg(count(lit(1)).as("cnt"),
-        min(struct(col("doc_id"), col("p"))).as("first"))
+        min(col("packed")).as("first_packed"))
       .filter(col("cnt") >= 2)
-    val removedPos = occ.join(dupGrams, "gram")
-      .filter(!(col("doc_id") === col("first.doc_id") &&
-        col("p") === col("first.p")))
+    // per-AFFECTED-doc removal set; bounded by the doc's own length
+    val removedArr = occ.join(dupGrams, Seq("h1", "h2"))
+      .filter(col("packed") =!= col("first_packed"))
       .select(col("doc_id"),
         explode(sequence(col("p"), col("p") + lit(n - 1))).as("pos"))
-      .distinct()
-    val kept = toks.join(removedPos, Seq("doc_id", "pos"), "left_anti")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_kept"),
-        expr("concat_ws(' ', transform(array_sort(" +
-          "collect_list(struct(pos, tok))), x -> x.tok))")
-          .as("scrubbed_text"))
-    toks.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
-      // left: a document fully covered by duplicate spans loses every
-      // token and drops out of `kept` — it must still report, as empty
-      .join(kept, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
-          .as("n_removed"),
-        sha2(coalesce(col("scrubbed_text"), lit("")), 256)
-          .as("scrubbed_hash"))
+      .agg(collect_set(col("pos")).as("rm"))
+    words.join(removedArr, Seq("doc_id"), "left")
+      // `w0` re-bind (substitution rule) + null-rm fast path: the
+      // untouched majority of documents never runs the indexed filter
+      .select(col("doc_id"), col("rm"), expr(
+        "transform(array(w), w0 -> struct(" +
+          "size(w0) AS n_tokens, " +
+          "CASE WHEN rm IS NULL THEN concat_ws(' ', w0) " +
+          "ELSE concat_ws(' ', filter(w0, (x, i) -> " +
+          "NOT array_contains(rm, i))) END AS kept))[0]").as("r"))
+      .select(col("doc_id"),
+        col("r.n_tokens").cast(LongType).as("n_tokens"),
+        coalesce(size(col("rm")), lit(0)).cast(LongType).as("n_removed"),
+        sha2(col("r.kept"), 256).as("scrubbed_hash"))
       .orderBy("doc_id")
   }
 }

@@ -58,6 +58,30 @@ class ShingleHashSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(e.getMessage.contains("integer literal"))
   }
 
+  test("graft_shingle2: h1 chain is bit-identical to graft_shingle, " +
+    "h2 is an independent second chain") {
+    val toks = Seq("alpha", "beta", "gamma", "delta", "beta", "gamma")
+    val df = Seq(Tuple1(toks)).toDF("toks")
+    val pairs = df.select(VectorFunctions.shingle2(spark, col("toks"), 3)
+      .as("hh")).as[Seq[(Long, Long)]].collect()(0)
+    assert(pairs.length == toks.length - 2)
+    assert(pairs.map(_._1) == hashes(toks), "h1 must equal ShingleHash")
+    assert(pairs.map(_._2).distinct.length == pairs.length,
+      "distinct windows must get distinct h2 in this fixture")
+    assert(pairs.map(_._1) != pairs.map(_._2),
+      "the two chains must not collapse to the same values")
+    // equal windows agree on BOTH lanes: repeat the text, compare
+    val rep = df.select(VectorFunctions.shingle2(spark,
+      concat(col("toks"), col("toks")), 3).as("hh"))
+      .as[Seq[(Long, Long)]].collect()(0)
+    assert(rep(0) == rep(toks.length), "same window, same fingerprint")
+    // short input: no windows, not a wrap-around
+    val short = Seq(Tuple1(Seq("a", "b"))).toDF("toks")
+      .select(VectorFunctions.shingle2(spark, col("toks"), 3).as("hh"))
+      .as[Seq[(Long, Long)]].collect()(0)
+    assert(short.isEmpty)
+  }
+
   test("minhash signatures are identical for identical documents") {
     // end-to-end through NearDup: two docs with the same text must get
     // byte-identical signatures, a distinct doc must differ
