@@ -114,7 +114,7 @@ object ExplainDump {
       "text_repetition" -> "ZERO keyed exchanges, no explode, no aggregate (r8: the per-doc Gopher repetition stats fold over a sorted bigram run inside one projection — the statistic never leaves its row; only the presentation sort's range exchange remains. Supersedes the r7 explode + three-exchange form)",
       "cohort_retention" -> "two keyed exchanges, no join, no expand (r8: collect_set of active months per customer, cohort = array_min, explode to one row per (customer, month) so the triangle is a plain count — the r7 form paid a cohort join-back plus countDistinct's expand)",
       "snapshot_diff" -> "union of both snapshots over ONE keyed exchange (r8: each side pads the other's column with null, one map-side-combining max aggregate merges the pair per key, verdict compares in-row — the full-outer sort-merge join it replaces paid two exchanges and two sorts)",
-      "dedup_time_window" -> "min-struct hash aggregate, one exchange, no window/sort (r8: first event per (user, type, hour) = min over (ts_micros, event_id) structs, collapsed map-side before the exchange — the rank-window form shuffled every surviving row and sorted each partition)",
+      "dedup_time_window" -> "packed-decimal min HashAggregate, one exchange, truly no sort (r13: first event per (user, type, hour) = min over ts_micros*10^19 + event_id as one DECIMAL(38,0) — the r8 min-STRUCT form silently planned as SortAggregate and sorted the fact table in both partials; the rank-window form before it shuffled every surviving row and ran full window machinery)",
       "window_anomaly" -> "trailing stats as cum-minus-lag, one shared sort (r6)",
       "gap_stats" -> "window + aggregate sharing one exchange",
       "encode_bucket" -> "fit-broadcast-transform: cuts broadcast, big side unshuffled",

@@ -296,6 +296,58 @@ case class ShingleHash2(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** Order-preserving bit image of a double: a LONG whose signed order
+  * equals the double's total order (negatives reversed and placed
+  * below positives, -0.0 < +0.0, NaN above everything — i.e.
+  * `java.lang.Double.compare` order, which is also Spark's sort and
+  * struct-comparison order). The standard transform
+  * `bits ^ ((bits >> 63) & Long.MAX_VALUE)` on the raw IEEE-754 bits
+  * (sign-extend selects negatives; flipping their lower 63 bits
+  * reverses them below the untouched positives).
+  *
+  * Purpose: argmax/argmin aggregates. `min/max(struct(double, id))`
+  * can only plan as a SortAggregate (struct buffers are not
+  * hash-aggregable), which sorts the fact input in both partials;
+  * mapping the double through this expression lets the (value, id)
+  * pair pack into one fixed-width DECIMAL and the argmax run as an
+  * ordinary map-side-combined HashAggregate
+  * ([[graft.ops.Aggregates.aggMinmaxBy]]). Pure codegen — one
+  * stay-in-register transform, no allocation.
+  */
+case class DoubleOrderBits(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.DoubleType =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_dbits requires double, got $t")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_dbits"
+
+  def orderBits(d: Double): Long = {
+    val b = java.lang.Double.doubleToLongBits(d)
+    b ^ ((b >> 63) & java.lang.Long.MAX_VALUE)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    orderBits(input.asInstanceOf[Double])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"(java.lang.Double.doubleToLongBits($c) ^ " +
+        s"((java.lang.Double.doubleToLongBits($c) >> 63) & " +
+        "java.lang.Long.MAX_VALUE))")
+
+  override protected def withNewChildInternal(c: Expression): DoubleOrderBits =
+    copy(child = c)
+}
+
 /** Registration + Column-level entry points for the native vector
   * expressions.
   */
@@ -372,6 +424,23 @@ object VectorFunctions {
     registerShingle2(spark)
     call_function("graft_shingle2", toks,
       org.apache.spark.sql.functions.lit(n))
+  }
+
+  /** Idempotently register `graft_dbits(d)` ([[DoubleOrderBits]]). */
+  def registerDbits(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dbits",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 1,
+          s"graft_dbits expects (d), got ${exprs.length} args")
+        DoubleOrderBits(exprs.head)
+      },
+      "built-in")
+
+  /** Order-preserving long image of a double as a Column. */
+  def dbits(spark: SparkSession, d: Column): Column = {
+    registerDbits(spark)
+    call_function("graft_dbits", d)
   }
 
   /** Idempotently register `graft_winnow(text, k, w)` (k and w must

@@ -933,24 +933,39 @@ object NearDup {
     * min-id keep is only the textbook default. One row per cluster:
     * survivor, member count, and how many docs the policy drops.
     *
-    * Cost on top of the cluster build: one join of the (small)
-    * cluster assignment against the doc metadata and one grouped
-    * `max_by` — both keyed shuffles on bounded keys; the quality
-    * argmax is a single struct-ordered aggregate, no window sort.
+    * Cost on top of the cluster build: one join of the cluster
+    * assignment against the doc metadata and one grouped argmax —
+    * both keyed shuffles on bounded keys. The argmax maximizes
+    * (n_chars, −doc_id) as ONE packed decimal,
+    * `n_chars·2⁶² − doc_id`, rather than a struct-ordered
+    * `max_by`/`max(struct)`: struct aggregation buffers force a
+    * SortAggregate that sorts the input (the
+    * [[graft.ops.Aggregates.aggMinmaxBy]] lesson), and at corpus
+    * scale this input is the whole near-dup population. Decimal max
+    * stays a map-side-combined HashAggregate; the id recovers as
+    * `max(n_chars)·2⁶² − max(packed)`, exact because the packed
+    * argmax carries exactly that n_chars.
     */
   def dedupSurvivor(s: SparkSession, dir: String): DataFrame = {
     val clusters = dedupCluster(s, dir) // (doc_id, cluster_id), eager
+    val twoTo62 = "CAST('4611686018427387904' AS DECIMAL(19,0))"
     val meta = Sources.table(s, dir, "documents")
       .select(col("doc_id"), col("n_chars"))
     clusters.join(meta, "doc_id")
+      .select(col("cluster_id"), col("n_chars"),
+        expr(s"IF(doc_id < 0 OR doc_id >= ${1L << 62}, raise_error(" +
+          "CONCAT('dedup_survivor: doc_id out of packable range: ', " +
+          "doc_id)), doc_id)").as("id"))
+      .select(col("cluster_id"), col("n_chars"),
+        expr(s"CAST(n_chars AS DECIMAL(18,0)) * $twoTo62" +
+          " - CAST(id AS DECIMAL(19,0))").as("packed"))
       .groupBy("cluster_id")
       .agg(count(lit(1)).as("n_docs"),
         max(col("n_chars")).as("survivor_chars"),
-        // maximize (n_chars, -doc_id): struct ordering makes the
-        // argmax total — no nondeterministic max_by ties possible
-        max_by(col("doc_id"),
-          struct(col("n_chars"), (-col("doc_id")).as("neg"))).as("survivor_id"))
-      .select(col("cluster_id"), col("n_docs"), col("survivor_id"),
+        max(col("packed")).as("pmx"))
+      .select(col("cluster_id"), col("n_docs"),
+        expr(s"CAST(CAST(survivor_chars AS DECIMAL(18,0)) * $twoTo62" +
+          " - pmx AS BIGINT)").as("survivor_id"),
         col("survivor_chars"), (col("n_docs") - lit(1L)).as("n_dropped"))
       .orderBy("cluster_id")
   }

@@ -256,30 +256,38 @@ object TimeOps {
     * [[dedupWithinWatermark]], whose state watermarking bounds the
     * same window).
     *
-    * Plan (r8): "first event" is `min` over `(ts_µs, event_id)`
-    * structs — lexicographic struct comparison reproduces the rank
-    * window's ordering exactly, but runs as a plain hash aggregate:
-    * map-side partial `min` collapses each group to ONE struct before
-    * the exchange, and nothing is ever sorted. The rank-window form
-    * this replaces shuffled every surviving row and sorted each
-    * partition (WindowGroupLimit capped the sort input map-side, but
-    * the sort itself and the full window machinery remained); a
-    * min-aggregate is the minimal distributed plan for a
-    * first-per-group cut. Aggregate state is one struct per
-    * (user, type, hour) — bounded by group count at any scale.
+    * Plan (r8, tightened r13): "first event" is `min` over the packed
+    * decimal `ts_µs·10¹⁹ + event_id` — lexicographic (ts, id) order
+    * as ONE fixed-width DECIMAL(38,0) value. The r8 form aggregated
+    * `min(struct(ts_µs, event_id))`, which Spark can only run as a
+    * SortAggregate: both partials sorted their full input by the
+    * group keys, i.e. the fact table got sorted after all (the r8
+    * note claimed otherwise; the plan said SortAggregate). A decimal
+    * min is an ordinary hash-aggregate buffer, so the cut now truly
+    * is map-side-combined HashAggregate → one keyed exchange, no
+    * sort anywhere but the presentation ORDER BY. Packing is exact:
+    * ts_µs < 10¹⁶ (through year 2255) and 0 ≤ event_id < 10¹⁹, so
+    * the sum stays inside 38 digits and `% 10¹⁹` recovers the id.
+    * The rank-window form both replace shuffled every surviving row
+    * and sorted each partition. Aggregate state is one 16-byte
+    * decimal per (user, type, hour) — bounded by group count at any
+    * scale.
     */
-  def dedupTimeWindow(s: SparkSession, dir: String): DataFrame =
+  def dedupTimeWindow(s: SparkSession, dir: String): DataFrame = {
+    val shift = "CAST('10000000000000000000' AS DECIMAL(20,0))" // 10^19
     Sources.table(s, dir, "events")
       .filter(col("user_id").isNotNull && col("ts").isNotNull &&
         col("event_type").isNotNull)
       .select(col("user_id"), col("event_type"),
         date_trunc("hour", col("ts")).as("hour_start"),
-        struct(unix_micros(col("ts")).as("tsm"), col("event_id")).as("ev"))
+        expr(s"CAST(unix_micros(ts) AS DECIMAL(18,0)) * $shift" +
+          " + CAST(event_id AS DECIMAL(19,0))").as("ev"))
       .groupBy("user_id", "event_type", "hour_start")
       .agg(min(col("ev")).as("first_ev"))
       .select(col("user_id"), col("event_type"), col("hour_start"),
-        col("first_ev.event_id").as("event_id"))
+        expr(s"CAST(first_ev % $shift AS BIGINT)").as("event_id"))
       .orderBy("user_id", "event_type", "hour_start")
+  }
 
   /** `session_native` — the NATIVE `session_window` operator in batch
     * mode: per-user 30-minute-gap sessions with start time and event

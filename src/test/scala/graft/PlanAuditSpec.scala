@@ -216,6 +216,13 @@ class PlanAuditSpec extends SparkSpec {
       s"first-event cut must combine map-side:\n${p.take(1500)}")
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
       "one keyed exchange for the group cut")
+    // r13: the r8 min-STRUCT form silently planned as SortAggregate
+    // (both partials sorted the fact table by the group keys); the
+    // packed-decimal min must keep the cut in HashAggregate
+    assert(!p.contains("SortAggregate"),
+      s"packed-decimal min must hash-aggregate, not sort:\n${p.take(1500)}")
+    assert(p.contains("HashAggregate"),
+      s"expected a HashAggregate cut:\n${p.take(1500)}")
   }
 
   test("window_median runs on a single hash exchange") {

@@ -142,6 +142,62 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("DoubleOrderBits preserves double total order exactly") {
+    import graft.functions.DoubleOrderBits
+    val ob = DoubleOrderBits(null)
+    val specials = Seq(Double.NegativeInfinity, -1e300, -1.0, -1e-300,
+      -0.0, 0.0, 1e-300, 1.0, 1e300, Double.PositiveInfinity, Double.NaN)
+    val rnd = new scala.util.Random(13)
+    val ds = specials ++ Seq.fill(500)(
+      java.lang.Double.longBitsToDouble(rnd.nextLong())).filterNot(_.isNaN)
+    for (a <- ds; b <- ds)
+      assert(java.lang.Long.compare(ob.orderBits(a), ob.orderBits(b)).sign ==
+        java.lang.Double.compare(a, b).sign,
+        s"order mismatch for $a vs $b")
+  }
+
+  test("agg_minmax_by packed plan equals the struct formulation, " +
+    "including ties") {
+    import graft.ops.{Aggregates, Sources}
+    val viaStruct = Sources.table(spark, sf, "events")
+      .filter(col("value").isNotNull && col("event_type").isNotNull &&
+        col("event_id").isNotNull)
+      .groupBy("event_type")
+      .agg(max(struct(col("value").as("v"), col("event_id").as("id")))
+        .as("mx"),
+        min(struct(col("value").as("v"), col("event_id").as("id")))
+          .as("mn"))
+      .select(col("event_type"), col("mx.id").as("max_value_event"),
+        round(col("mx.v"), 4).as("max_value"),
+        col("mn.id").as("min_value_event"),
+        round(col("mn.v"), 4).as("min_value"))
+      .orderBy("event_type").collect().toSeq
+    val viaPacked = Aggregates.aggMinmaxBy(spark, sf)
+      .collect().toSeq
+    assert(viaPacked == viaStruct)
+    // the whole point: the packed form must hash-aggregate
+    val p = Aggregates.aggMinmaxBy(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SortAggregate") && p.contains("HashAggregate"),
+      s"packed argmax must not fall back to SortAggregate:\n${p.take(1200)}")
+  }
+
+  test("agg_minmax_by rejects ids outside the packable range") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("minmax").toString
+    Seq((Long.MaxValue, "a", 1.0), (1L, "a", 2.0))
+      .toDF("event_id", "event_type", "value")
+      .withColumn("user_id", lit(1L)).withColumn("ts", current_timestamp())
+      .withColumn("payload", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[Exception] {
+      graft.ops.Aggregates.aggMinmaxBy(spark, dir).collect()
+    }
+    assert(e.getMessage.contains("packable range") ||
+      e.getCause != null &&
+        e.getCause.getMessage.contains("packable range"))
+  }
+
   test("compact rewrites a fragmented dir into target-sized files") {
     val base = java.nio.file.Files.createTempDirectory("compact").toString
     val df = Sources.table(spark, sf, "events")
