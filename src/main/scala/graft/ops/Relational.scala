@@ -345,9 +345,14 @@ object Relational {
         lit("U").as("status"),
         bumped.as("price"))
       // shifted keys collide (k+1 may hit an even existing key => update)
-      // or miss (beyond max key => insert); dedup keeps one update/key
+      // or miss (beyond max key => insert); dedup keeps one update/key.
+      // `status` stays OUT of the aggregate: it is the constant "U",
+      // and min/max over a string buffer would demote this whole
+      // fact-sized aggregate to a SortAggregate (the r13 struct-buffer
+      // lesson applies to var-length buffers too)
       .groupBy("key")
-      .agg(max(col("status")).as("status"), max(col("price")).as("price"))
+      .agg(max(col("price")).as("price"))
+      .withColumn("status", lit("U"))
     snap.join(updates.withColumnRenamed("status", "u_status")
         .withColumnRenamed("price", "u_price"), Seq("key"), "full_outer")
       .select(col("key"),

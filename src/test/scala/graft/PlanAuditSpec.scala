@@ -238,6 +238,25 @@ class PlanAuditSpec extends SparkSpec {
       s"one-hot must stay a scan+project:\n${p.take(1500)}")
   }
 
+  test("NO declared query plans a SortAggregate or CartesianProduct") {
+    // Whole-surface sweep (r13): SortAggregate means some aggregate
+    // buffer fell off the hash path (struct or var-length min/max —
+    // dedup_time_window, agg_minmax_by, dedup_survivor, merge_upsert
+    // all shipped that way before this guard) and both partials are
+    // sorting their full input; CartesianProduct means an unkeyed
+    // non-broadcast join. Neither has a legitimate use in the
+    // declared surface today — extend an allowlist here if one ever
+    // does, with the justification in the commit.
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .flatMap { case (name, fn) =>
+        val p = fn(spark, sf).queryExecution.executedPlan.toString
+        Seq("SortAggregate", "CartesianProduct").filter(p.contains)
+          .map(m => s"$name: $m")
+      }
+    assert(offenders.isEmpty,
+      s"hash-path regressions:\n${offenders.mkString("\n")}")
+  }
+
   test("partitioned parquet writes prune partitions on read-back") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     val ev = graft.ops.Sources.table(spark, sf, "events")
