@@ -196,6 +196,8 @@ object SparkEntry {
     "scrub_spans" -> ((s, d) => NearDup.scrubSpans(s, d)),
     "dedup_survivor" -> (NearDup.dedupSurvivor _),
     "mix_temperature" -> ((s, d) => Sampling.mixTemperature(s, d)),
+    // salted-join rewrite, proved by the plain-join oracle
+    "join_salted" -> (Relational.joinSalted _),
   )
 
   /** The F1–F4 validity predicate, shared by three oracle queries. */
@@ -1565,6 +1567,13 @@ object SparkEntry {
         |SELECT tot.doc_id, n_tokens, n_tokens - coalesce(n_kept, 0) AS n_removed,
         |sha256(coalesce(scrubbed_text, '')) AS scrubbed_hash
         |FROM tot LEFT JOIN re USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // the salted join must be indistinguishable from the plain join
+    "join_salted" ->
+      s"""SELECT o_orderstatus, count(*) AS n_lines,
+         |round(${dsumSql("l_quantity")}, 4) AS sum_qty
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // per-power round(·,6)+DECIMAL before the exact sum: the zipf_slope
     // transcendental-determinism recipe, applied to pow

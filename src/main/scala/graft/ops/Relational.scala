@@ -285,6 +285,27 @@ object Relational {
     left.join(right, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** `join_salted` — [[saltedJoin]] as a declared query: lineitem
+    * (the skew-prone fact side) salted over 16 sub-keys against
+    * orders, then aggregated per order status. The DuckDB oracle is
+    * the PLAIN join + aggregate — the check is that the salted
+    * rewrite is row-for-row semantics-preserving, the same
+    * contract-as-oracle pattern as `agg_salted`. (SaltedJoinSpec
+    * additionally pins the mechanism: per-salt spread and
+    * plain-join equivalence on a crafted hot key.)
+    */
+  def joinSalted(s: SparkSession, dir: String): DataFrame = {
+    val li = Sources.table(s, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_quantity"))
+    val ord = Sources.table(s, dir, "orders")
+      .select(col("o_orderkey").as("okey"), col("o_orderstatus"))
+    saltedJoin(li, ord, "okey")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_lines"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("o_orderstatus")
+  }
+
   /** `join_range` — J5 as a declared query: band each event's value
     * into a tier via an interval (non-equi) join against a literal tier
     * table. The tier side is tiny and explicitly `broadcast()`, so the
