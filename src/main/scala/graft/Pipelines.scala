@@ -174,6 +174,13 @@ object Pipelines {
     * topic-density skew the way curation recipes balance web-crawl
     * duplication at the semantic level. Docs without a vector pass
     * through uncapped.
+    *
+    * [[curationOver]] adds two more options: `survivorPolicy =
+    * "quality"` keeps each near-dup cluster's LONGEST member instead
+    * of the min-id canonical, and `spanScrub = Some(n)` runs the
+    * corpus exact-substring scrub over the train split (duplicated
+    * n-token windows keep their first occurrence only) before PII
+    * scrub and packing.
     */
   def curation2026(spark: SparkSession, sfDir: String, outDir: String,
                    budget: Long = 256L,
@@ -191,8 +198,12 @@ object Pipelines {
   def curationOver(spark: SparkSession, docs: DataFrame,
                    embeddings: Option[DataFrame], outDir: String,
                    budget: Long = 256L,
-                   clusterCap: Option[Int] = None): CurationRun = {
+                   clusterCap: Option[Int] = None,
+                   survivorPolicy: String = "min-id",
+                   spanScrub: Option[Int] = None): CurationRun = {
     import graft.ops.{Cluster, NearDup, Sampling, TextSim}
+    require(survivorPolicy == "min-id" || survivorPolicy == "quality",
+      s"survivorPolicy must be 'min-id' or 'quality', got '$survivorPolicy'")
     // Each stage's decision is an id-only relation, PERSISTED before
     // use: the run both packs the survivors (one lineage) and reports
     // per-stage counts (five more lineages through the same stages),
@@ -209,11 +220,31 @@ object Pipelines {
       .groupBy("h").agg(min("doc_id").as("doc_id")).select("doc_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val d1 = docs.join(exactKeep, "doc_id")
-    // 2. near-dup survivors: non-canonical cluster members drop
-    val nearDrop = NearDup.connectedComponents(
-        NearDup.dedupNgram(spark, docs, 3, 20, 0.2).select("doc_a", "doc_b"))
-      .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // 2. near-dup survivors: every cluster member except the survivor
+    //    drops. Policies: "min-id" keeps the component canonical
+    //    (cluster_id == min doc_id, free from the CC output);
+    //    "quality" keeps the LONGEST member (text length, min-id
+    //    tie-break) via the packed-decimal argmax — the
+    //    NearDup.dedupSurvivor policy, running on any corpus (no
+    //    n_chars column needed)
+    val cc = NearDup.connectedComponents(
+      NearDup.dedupNgram(spark, docs, 3, 20, 0.2).select("doc_a", "doc_b"))
+    val nearDrop = (survivorPolicy match {
+      case "min-id" =>
+        cc.filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+      case _ =>
+        val twoTo62 = "CAST('4611686018427387904' AS DECIMAL(19,0))"
+        val withLen = cc
+          .join(docs.select(col("doc_id"), length(col("text")).as("len")),
+            "doc_id")
+          .select(col("cluster_id"), col("doc_id"),
+            expr(s"CAST(len AS DECIMAL(18,0)) * $twoTo62" +
+              " - CAST(doc_id AS DECIMAL(19,0))").as("packed"))
+        val surv = withLen.groupBy("cluster_id")
+          .agg(max(col("packed")).as("pmx"))
+        withLen.join(surv, "cluster_id")
+          .filter(col("packed") =!= col("pmx")).select("doc_id")
+    }).persist(StorageLevel.MEMORY_AND_DISK)
     val d2 = d1.join(nearDrop, Seq("doc_id"), "left_anti")
     // 3. decontamination: train docs sharing distinctive grams with the
     //    held-out split (same md5 rule as the declared query)
@@ -254,7 +285,22 @@ object Pipelines {
         d4.join(overCap, Seq("doc_id"), "left_anti")
     }
     // 5. train split (eval nibbles are >= 'c'; see Sampling.sampleSplit)
-    val train = d4b.filter(Sampling.hexNibble(col("doc_id")) < "c")
+    val train0 = d4b.filter(Sampling.hexNibble(col("doc_id")) < "c")
+    // 5b. optional exact-substring scrub WITHIN the train split:
+    //     duplicated spanScrub-token windows keep their first train
+    //     occurrence only (NearDup.scrubSpansText). Text comes back
+    //     whitespace/case-normalized; a doc whose every token sat
+    //     under duplicate spans scrubs to empty and drops here
+    val train = spanScrub match {
+      case None => train0
+      case Some(nSpan) =>
+        train0.drop("text")
+          .join(NearDup.scrubSpansText(spark,
+              train0.select("doc_id", "text"), nSpan)
+            .select(col("doc_id"), col("scrubbed_text").as("text")),
+            "doc_id")
+          .filter(length(trim(col("text"))) > 0)
+    }
     // 6. PII scrub + 7. sequence packing within each source shard
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy("doc_id")

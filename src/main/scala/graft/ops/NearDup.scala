@@ -1025,7 +1025,21 @@ object NearDup {
   final val ScrubMaxDocTokens: Int = 1 << 21
 
   /** [[scrubSpans]] over any `(doc_id, text)` relation. */
-  def scrubSpans(s: SparkSession, docs: DataFrame, n: Int): DataFrame = {
+  def scrubSpans(s: SparkSession, docs: DataFrame, n: Int): DataFrame =
+    scrubSpansText(s, docs, n)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        sha2(col("scrubbed_text"), 256).as("scrubbed_hash"))
+      .orderBy("doc_id")
+
+  /** The scrub with the surviving TEXT in the clear —
+    * `(doc_id, n_tokens, n_removed, scrubbed_text)` — for pipeline
+    * embedding ([[graft.Pipelines.curationOver]]'s `spanScrub`
+    * stage). The declared query keeps only a hash of it: at corpus
+    * scale the full text would dwarf the result relation, but a
+    * pipeline consuming the scrub in place wants the text, not the
+    * digest. Unordered (the caller re-keys or sorts).
+    */
+  def scrubSpansText(s: SparkSession, docs: DataFrame, n: Int): DataFrame = {
     require(n >= 2, s"span width must be >= 2 tokens, got $n")
     val words = docs
       // spread the per-token stages across tasks (single-file corpus =
@@ -1071,7 +1085,6 @@ object NearDup {
       .select(col("doc_id"),
         col("r.n_tokens").cast(LongType).as("n_tokens"),
         coalesce(size(col("rm")), lit(0)).cast(LongType).as("n_removed"),
-        sha2(col("r.kept"), 256).as("scrubbed_hash"))
-      .orderBy("doc_id")
+        col("r.kept").as("scrubbed_text"))
   }
 }

@@ -113,4 +113,88 @@ class PipelinesSpec extends SparkSpec {
     val out2 = java.nio.file.Files.createTempDirectory("graft-cur2").toString
     assert(Pipelines.curation2026(spark, sf, out2) == run)
   }
+
+  test("2026: quality survivor policy keeps each cluster's longest doc") {
+    import graft.ops.{NearDup, Sources}
+    val docs = Sources.table(spark, sf, "documents")
+    val out = java.nio.file.Files.createTempDirectory("graft-curq").toString
+    val run = Pipelines.curationOver(spark, docs, None, out,
+      survivorPolicy = "quality")
+    // recompute the expected survivor set independently
+    val cc = NearDup.connectedComponents(
+      NearDup.dedupNgram(spark, docs, 3, 20, 0.2).select("doc_a", "doc_b"))
+      .join(docs.select(col("doc_id"), length(col("text")).as("len")),
+        "doc_id")
+      .collect().groupBy(_.getLong(1))
+    assert(cc.nonEmpty, "fixture must have near-dup clusters")
+    val expectedDrops = cc.values.flatMap { rows =>
+      val keep = rows.map(r => (r.getInt(2), -r.getLong(0)))
+        .max
+      rows.map(_.getLong(0)).filterNot(_ == -keep._2)
+    }.toSet
+    // the quality run must differ from min-id exactly by the clusters
+    // whose longest member is not the min id
+    val minIdDrops = cc.values.flatMap { rows =>
+      val m = rows.map(_.getLong(0)).min
+      rows.map(_.getLong(0)).filterNot(_ == m)
+    }.toSet
+    assert(expectedDrops != minIdDrops,
+      "fixture must exercise the policy difference (longest != min-id " +
+        "in at least one cluster), else this test is vacuous")
+    val outMin = java.nio.file.Files.createTempDirectory("graft-curm")
+      .toString
+    val runMin = Pipelines.curationOver(spark, docs, None, outMin)
+    assert(run.afterNearDedup == runMin.afterNearDedup,
+      "both policies drop the same COUNT (one survivor per cluster)")
+    val idsQ = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(expectedDrops.intersect(idsQ).isEmpty,
+      "no quality-dropped cluster member may reach the packed train set")
+    // min-id-dropped docs that the quality policy KEEPS are exactly
+    // the policy difference; none of the quality policy's own drops
+    // may leak in either run
+    val idsM = spark.read.parquet(outMin).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(minIdDrops.intersect(idsM).isEmpty)
+  }
+
+  test("2026: spanScrub stage applies exactly scrubSpansText to the " +
+    "train split") {
+    import graft.ops.{NearDup, Sources}
+    val docs = Sources.table(spark, sf, "documents")
+    val out = java.nio.file.Files.createTempDirectory("graft-curs").toString
+    val run = Pipelines.curationOver(spark, docs, None, out,
+      spanScrub = Some(8))
+    assert(run.trainDocs > 0)
+    val baseline = java.nio.file.Files.createTempDirectory("graft-curb")
+      .toString
+    val runB = Pipelines.curationOver(spark, docs, None, baseline)
+    // stage counts BEFORE the scrub are untouched by it
+    assert((run.input, run.afterExactDedup, run.afterNearDedup,
+      run.afterDecontamination, run.afterQuality) ==
+      (runB.input, runB.afterExactDedup, runB.afterNearDedup,
+        runB.afterDecontamination, runB.afterQuality))
+    // mechanism: the packed text must BE scrubSpansText over the same
+    // train universe (the baseline run's packed ids), with the digit
+    // mask applied after — doc for doc. (Whether the tiny sf0.001
+    // train set actually holds duplicated spans is the fixture's
+    // business; scrub non-vacuity is pinned on crafted corpora in
+    // Round13Spec. Empty-scrub drops would surface as a missing id.)
+    val trainIds = spark.read.parquet(baseline).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val expected = NearDup.scrubSpansText(spark,
+        docs.filter(col("doc_id").isInCollection(trainIds))
+          .select("doc_id", "text"), 8)
+      .select(col("doc_id"),
+        regexp_replace(col("scrubbed_text"), "[0-9]{4,}", "<ID>")
+          .as("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val actual = spark.read.parquet(out).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(actual.keySet ==
+      expected.filter(_._2.trim.nonEmpty).keySet)
+    actual.foreach { case (id, text) =>
+      assert(text == expected(id), s"doc $id text diverges from scrub")
+    }
+  }
 }
