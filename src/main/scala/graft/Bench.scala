@@ -37,6 +37,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.enabled", aqe)
+      // pin UTC like Verify does: events.ts loads as TIMESTAMP_NTZ on
+      // the µs fixtures and the cast to TimestampType is
+      // session-timezone-dependent — an unpinned bench on a non-UTC
+      // host would time DIFFERENT row sets than Verify verifies
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     extraConf.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()

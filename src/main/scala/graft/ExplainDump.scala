@@ -114,7 +114,7 @@ object ExplainDump {
       "text_repetition" -> "ZERO keyed exchanges, no explode, no aggregate (r8: the per-doc Gopher repetition stats fold over a sorted bigram run inside one projection — the statistic never leaves its row; only the presentation sort's range exchange remains. Supersedes the r7 explode + three-exchange form)",
       "cohort_retention" -> "two keyed exchanges, no join, no expand (r8: collect_set of active months per customer, cohort = array_min, explode to one row per (customer, month) so the triangle is a plain count — the r7 form paid a cohort join-back plus countDistinct's expand)",
       "snapshot_diff" -> "union of both snapshots over ONE keyed exchange (r8: each side pads the other's column with null, one map-side-combining max aggregate merges the pair per key, verdict compares in-row — the full-outer sort-merge join it replaces paid two exchanges and two sorts)",
-      "dedup_time_window" -> "packed-decimal min HashAggregate, one exchange, truly no sort (r13: first event per (user, type, hour) = min over ts_micros*10^19 + event_id as one DECIMAL(38,0) — the r8 min-STRUCT form silently planned as SortAggregate and sorted the fact table in both partials; the rank-window form before it shuffled every surviving row and ran full window machinery)",
+      "dedup_time_window" -> "packed-decimal min HashAggregate, one exchange, truly no sort (r13: first event per (user, type, hour) = min over the packed decimal ts_micros*2^62 + event_id (Num.packAsc; preconditions raise_error-enforced) — the r8 min-STRUCT form silently planned as SortAggregate and sorted the fact table in both partials; the rank-window form before it shuffled every surviving row and ran full window machinery)",
       "window_anomaly" -> "trailing stats as cum-minus-lag, one shared sort (r6)",
       "gap_stats" -> "window + aggregate sharing one exchange",
       "encode_bucket" -> "fit-broadcast-transform: cuts broadcast, big side unshuffled",
@@ -160,9 +160,13 @@ object ExplainDump {
     // `repartition(sc.defaultParallelism)` to spread per-token work,
     // and that width renders as `RoundRobinPartitioning(N)` — N is a
     // function of the HOST/SESSION (core count), not the plan shape,
-    // so it is rewritten to a symbolic name. Only the session's own
-    // defaultParallelism value is rewritten: a literal repartition
-    // count in a plan still diffs loudly on change.
+    // so it is rewritten to a symbolic name. Caveat (known, accepted):
+    // the rewrite is textual, so a LITERAL repartition(N) whose N
+    // happens to equal this session's defaultParallelism would also be
+    // rewritten. No declared query uses a literal round-robin
+    // repartition today; if one ever does, give it a count that can't
+    // collide (e.g. a prime > 64) or extend normalize() to track which
+    // plans used the session value.
     val dp = spark.sparkContext.defaultParallelism
     def dump(name: String, note: String,
              df: org.apache.spark.sql.DataFrame): Unit = {

@@ -233,13 +233,14 @@ object Pipelines {
       case "min-id" =>
         cc.filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
       case _ =>
-        val twoTo62 = "CAST('4611686018427387904' AS DECIMAL(19,0))"
         val withLen = cc
           .join(docs.select(col("doc_id"), length(col("text")).as("len")),
             "doc_id")
           .select(col("cluster_id"), col("doc_id"),
-            expr(s"CAST(len AS DECIMAL(18,0)) * $twoTo62" +
-              " - CAST(doc_id AS DECIMAL(19,0))").as("packed"))
+            graft.ops.Num.packDesc(
+              col("len").cast(org.apache.spark.sql.types.DecimalType(18, 0)),
+              col("doc_id"), "curation survivorPolicy=quality")
+              .as("packed"))
         val surv = withLen.groupBy("cluster_id")
           .agg(max(col("packed")).as("pmx"))
         withLen.join(surv, "cluster_id")

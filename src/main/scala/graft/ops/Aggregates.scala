@@ -363,44 +363,46 @@ object Aggregates {
     * mirrors it with `max({'v': value, 'id': event_id})`.
     *
     * Plan (r13): the (value, id) pair aggregates as ONE packed
-    * DECIMAL(38,0) — `ubits(value)·2⁶² + event_id`, where `ubits` is
-    * [[graft.functions.DoubleOrderBits]] shifted to unsigned — NOT as
-    * `min/max(struct(...))`: struct buffers are not hash-aggregable,
-    * so the struct form silently planned as a SortAggregate that
-    * sorted the fact table in both partials. Decimal min/max is an
-    * ordinary HashAggregate buffer: map-side combined, one row per
-    * group on the shuffle, no sort. The packing is exact — the bit
-    * image is a bijection and 2⁶⁴·2⁶² < 10³⁸ — and its order equals
-    * struct order because the bit image preserves double total order;
-    * ids are guarded < 2⁶² (`raise_error` past it). The plain
-    * min/max(value) ride along in the same aggregate for the output
-    * columns (by construction the packed argmax carries exactly that
-    * value).
+    * DECIMAL(38,0) via [[graft.ops.Num.packAsc]] — the rank is
+    * [[graft.functions.DoubleOrderBits]] shifted into non-negative
+    * range by an UNCONDITIONAL `+ 2⁶³` (the bits are already in
+    * signed total order; a conditional unsigned reinterpretation
+    * would flip negatives ABOVE positives — the code-review bug this
+    * comment memorializes; the crafted-negatives spec pins it) —
+    * NOT as `min/max(struct(...))`: struct buffers are not
+    * hash-aggregable, so the struct form silently planned as a
+    * SortAggregate that sorted the fact table in both partials.
+    * Decimal min/max is an ordinary HashAggregate buffer: map-side
+    * combined, one row per group on the shuffle, no sort. The
+    * packing is exact (the bit image is a bijection and
+    * 2⁶⁴·2⁶² < 10³⁸); ids are guarded into [0, 2⁶²) with
+    * `raise_error`. The plain min/max(value) ride along in the same
+    * aggregate for the output columns (by construction the packed
+    * argmax carries exactly that value).
     */
-  def aggMinmaxBy(s: SparkSession, dir: String): DataFrame = {
-    val idCap = 1L << 62
-    val twoTo62 = "CAST('4611686018427387904' AS DECIMAL(19,0))"
-    val twoTo64 = "CAST('18446744073709551616' AS DECIMAL(20,0))"
+  def aggMinmaxBy(s: SparkSession, dir: String): DataFrame =
+    aggMinmaxBy(s, Sources.table(s, dir, "events"))
+
+  /** [[aggMinmaxBy]] over any
+    * `(event_id, event_type, value)` relation.
+    */
+  def aggMinmaxBy(s: SparkSession, events: DataFrame): DataFrame = {
+    val twoTo63 = "CAST('9223372036854775808' AS DECIMAL(19,0))"
     graft.functions.VectorFunctions.registerDbits(s)
-    Sources.table(s, dir, "events")
+    val ub = expr(s"CAST(graft_dbits(value) AS DECIMAL(20,0)) + $twoTo63")
+    events
       .filter(col("value").isNotNull && col("event_type").isNotNull &&
         col("event_id").isNotNull)
       .select(col("event_type"), col("value"),
-        expr("graft_dbits(value)").as("b"),
-        expr(s"IF(event_id < 0 OR event_id >= $idCap, raise_error(" +
-          "CONCAT('agg_minmax_by: event_id out of packable range: ', " +
-          "event_id)), event_id)").as("id"))
-      .select(col("event_type"), col("value"),
-        expr(s"(IF(b >= 0, CAST(b AS DECIMAL(20,0)), " +
-          s"CAST(b AS DECIMAL(20,0)) + $twoTo64)) * $twoTo62" +
-          " + CAST(id AS DECIMAL(19,0))").as("packed"))
+        graft.ops.Num.packAsc(ub, col("event_id"), "agg_minmax_by")
+          .as("packed"))
       .groupBy("event_type")
       .agg(max(col("packed")).as("pmx"), min(col("packed")).as("pmn"),
         max(col("value")).as("vmx"), min(col("value")).as("vmn"))
       .select(col("event_type"),
-        expr(s"CAST(pmx % $twoTo62 AS BIGINT)").as("max_value_event"),
+        graft.ops.Num.unpackIdAsc(col("pmx")).as("max_value_event"),
         round(col("vmx"), 4).as("max_value"),
-        expr(s"CAST(pmn % $twoTo62 AS BIGINT)").as("min_value_event"),
+        graft.ops.Num.unpackIdAsc(col("pmn")).as("min_value_event"),
         round(col("vmn"), 4).as("min_value"))
       .orderBy("event_type")
   }

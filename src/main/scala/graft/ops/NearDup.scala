@@ -948,24 +948,20 @@ object NearDup {
     */
   def dedupSurvivor(s: SparkSession, dir: String): DataFrame = {
     val clusters = dedupCluster(s, dir) // (doc_id, cluster_id), eager
-    val twoTo62 = "CAST('4611686018427387904' AS DECIMAL(19,0))"
     val meta = Sources.table(s, dir, "documents")
       .select(col("doc_id"), col("n_chars"))
     clusters.join(meta, "doc_id")
       .select(col("cluster_id"), col("n_chars"),
-        expr(s"IF(doc_id < 0 OR doc_id >= ${1L << 62}, raise_error(" +
-          "CONCAT('dedup_survivor: doc_id out of packable range: ', " +
-          "doc_id)), doc_id)").as("id"))
-      .select(col("cluster_id"), col("n_chars"),
-        expr(s"CAST(n_chars AS DECIMAL(18,0)) * $twoTo62" +
-          " - CAST(id AS DECIMAL(19,0))").as("packed"))
+        graft.ops.Num.packDesc(col("n_chars").cast(DecimalType(18, 0)),
+          col("doc_id"), "dedup_survivor").as("packed"))
       .groupBy("cluster_id")
       .agg(count(lit(1)).as("n_docs"),
         max(col("n_chars")).as("survivor_chars"),
         max(col("packed")).as("pmx"))
       .select(col("cluster_id"), col("n_docs"),
-        expr(s"CAST(CAST(survivor_chars AS DECIMAL(18,0)) * $twoTo62" +
-          " - pmx AS BIGINT)").as("survivor_id"),
+        graft.ops.Num.unpackIdDesc(
+          col("survivor_chars").cast(DecimalType(18, 0)), col("pmx"))
+          .as("survivor_id"),
         col("survivor_chars"), (col("n_docs") - lit(1L)).as("n_dropped"))
       .orderBy("cluster_id")
   }
@@ -1075,13 +1071,20 @@ object NearDup {
       .agg(collect_set(col("pos")).as("rm"))
     words.join(removedArr, Seq("doc_id"), "left")
       // `w0` re-bind (substitution rule) + null-rm fast path: the
-      // untouched majority of documents never runs the indexed filter
+      // untouched majority of documents never pays reassembly at all.
+      // Affected docs rebuild via array_except over the POSITION
+      // list — ArrayExcept hashes its right side, so a doc costs
+      // O(len + |rm|), where the earlier per-token
+      // `array_contains(rm, i)` scan was O(len·|rm|): quadratic
+      // exactly on the pathological fully-duplicated long documents
+      // the operator must survive
       .select(col("doc_id"), col("rm"), expr(
         "transform(array(w), w0 -> struct(" +
           "size(w0) AS n_tokens, " +
           "CASE WHEN rm IS NULL THEN concat_ws(' ', w0) " +
-          "ELSE concat_ws(' ', filter(w0, (x, i) -> " +
-          "NOT array_contains(rm, i))) END AS kept))[0]").as("r"))
+          "ELSE concat_ws(' ', transform(" +
+          "array_except(sequence(0, size(w0) - 1), rm), " +
+          "p -> element_at(w0, p + 1))) END AS kept))[0]").as("r"))
       .select(col("doc_id"),
         col("r.n_tokens").cast(LongType).as("n_tokens"),
         coalesce(size(col("rm")), lit(0)).cast(LongType).as("n_removed"),

@@ -37,4 +37,56 @@ object Num {
     */
   def davg(c: Column, scale: Int = 4): Column =
     dsum(c, scale) / count(c)
+
+  // --- Packed lexicographic argmax/argmin -------------------------------
+  //
+  // min/max over a STRUCT (or any var-length) aggregation buffer can
+  // only plan as a SortAggregate — both partials sort their full input
+  // by the group keys. Packing the (rank, id) pair into ONE
+  // DECIMAL(38,0) keeps a first/best-per-group cut in an ordinary
+  // map-side-combined HashAggregate. Shared here because the idiom
+  // appeared in four operators and immediately drifted (one site got
+  // the unsigned shift wrong, two sites dropped the range guard):
+  // the ordering proof and the guards live in exactly one place now.
+  //
+  // Contract: `rank` is a NON-NEGATIVE decimal with ≤ 16 digits
+  // (2^62·10^16 < 10^38 keeps the product exact in DECIMAL(38,0));
+  // `id` is guarded into [0, 2^62) at runtime (`raise_error` past it).
+  // packAsc orders by (rank asc, id asc); packDesc by (rank asc,
+  // id DESC) — i.e. max(packDesc) is the argmax by (rank, -id),
+  // the "largest rank, smallest id" tie-break.
+
+  /** 2^62 as a decimal literal — the id field width of the packing. */
+  val packShiftSql: String = "CAST('4611686018427387904' AS DECIMAL(19,0))"
+
+  private val packShift = expr(packShiftSql)
+
+  private def guardedId(id: Column, ctx: String): Column =
+    when(id < 0 || id >= lit(1L << 62),
+      raise_error(concat(lit(s"$ctx: id out of packable range [0, 2^62): "),
+        id.cast("string"))))
+      .otherwise(id)
+
+  /** `rank·2⁶² + id` — min/max ranks by (rank, id) lexicographic. */
+  def packAsc(rank: Column, id: Column, ctx: String): Column =
+    rank * packShift + guardedId(id, ctx).cast(DecimalType(19, 0))
+
+  /** `rank·2⁶² − id` — max ranks by (rank, −id): largest rank wins,
+    * ties break to the SMALLEST id.
+    */
+  def packDesc(rank: Column, id: Column, ctx: String): Column =
+    rank * packShift - guardedId(id, ctx).cast(DecimalType(19, 0))
+
+  /** Recover the id from a [[packAsc]] value (requires rank ≥ 0, so
+    * the packed value is non-negative and `%` is a true modulus).
+    */
+  def unpackIdAsc(packed: Column): Column =
+    (packed % packShift).cast(org.apache.spark.sql.types.LongType)
+
+  /** Recover the id from a [[packDesc]] value given the group's
+    * max rank (exact: the packed argmax carries exactly that rank).
+    */
+  def unpackIdDesc(maxRank: Column, packedMax: Column): Column =
+    (maxRank * packShift - packedMax)
+      .cast(org.apache.spark.sql.types.LongType)
 }

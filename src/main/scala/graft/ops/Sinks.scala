@@ -168,8 +168,23 @@ object Sinks {
     val conf = spark.sparkContext.hadoopConfiguration
     val in = new org.apache.hadoop.fs.Path(inDir)
     val fs = in.getFileSystem(conf)
-    val parts = fs.listStatus(in)
+    // refuse in-place (or nested) compaction: the overwrite write
+    // would delete the input part files out from under the lazy scan
+    // that is still reading them — data loss, not a rewrite
+    val inQ = fs.makeQualified(in)
+    val outQ = fs.makeQualified(new org.apache.hadoop.fs.Path(outDir))
+    require(inQ != outQ &&
+      !(outQ.toString + "/").startsWith(inQ.toString + "/") &&
+      !(inQ.toString + "/").startsWith(outQ.toString + "/"),
+      s"compact target $outQ overlaps source $inQ — " +
+        "write to a fresh directory, then swap")
+    // recursive listing: a partitioned layout (key=.../part-*.parquet)
+    // is still one compactable table
+    val it = fs.listFiles(in, /* recursive = */ true)
+    val parts = Iterator.continually(it)
+      .takeWhile(_.hasNext).map(_.next())
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .toArray
     require(parts.nonEmpty, s"$inDir holds no parquet part files")
     val bytes = parts.map(_.getLen).sum
     val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)

@@ -257,35 +257,37 @@ object TimeOps {
     * same window).
     *
     * Plan (r8, tightened r13): "first event" is `min` over the packed
-    * decimal `ts_µs·10¹⁹ + event_id` — lexicographic (ts, id) order
-    * as ONE fixed-width DECIMAL(38,0) value. The r8 form aggregated
-    * `min(struct(ts_µs, event_id))`, which Spark can only run as a
-    * SortAggregate: both partials sorted their full input by the
-    * group keys, i.e. the fact table got sorted after all (the r8
-    * note claimed otherwise; the plan said SortAggregate). A decimal
-    * min is an ordinary hash-aggregate buffer, so the cut now truly
-    * is map-side-combined HashAggregate → one keyed exchange, no
-    * sort anywhere but the presentation ORDER BY. Packing is exact:
-    * ts_µs < 10¹⁶ (through year 2255) and 0 ≤ event_id < 10¹⁹, so
-    * the sum stays inside 38 digits and `% 10¹⁹` recovers the id.
-    * The rank-window form both replace shuffled every surviving row
-    * and sorted each partition. Aggregate state is one 16-byte
-    * decimal per (user, type, hour) — bounded by group count at any
-    * scale.
+    * decimal `ts_µs·2⁶² + event_id` ([[graft.ops.Num.packAsc]]) —
+    * lexicographic (ts, id) order as ONE fixed-width DECIMAL(38,0)
+    * value. The r8 form aggregated `min(struct(ts_µs, event_id))`,
+    * which Spark can only run as a SortAggregate: both partials
+    * sorted their full input by the group keys, i.e. the fact table
+    * got sorted after all (the r8 note claimed otherwise; the plan
+    * said SortAggregate). A decimal min is an ordinary
+    * hash-aggregate buffer, so the cut now truly is
+    * map-side-combined HashAggregate → one keyed exchange, no sort
+    * anywhere but the presentation ORDER BY. Packing preconditions
+    * are ENFORCED, not assumed (the code-review gap this closes):
+    * a pre-1970 timestamp (negative µs would break the modulus
+    * recovery) and an id outside [0, 2⁶²) both `raise_error`.
+    * Aggregate state is one 16-byte decimal per (user, type, hour)
+    * — bounded by group count at any scale.
     */
   def dedupTimeWindow(s: SparkSession, dir: String): DataFrame = {
-    val shift = "CAST('10000000000000000000' AS DECIMAL(20,0))" // 10^19
+    val tsDec = expr("CAST(IF(unix_micros(ts) < 0, raise_error(" +
+      "CONCAT('dedup_time_window: pre-1970 ts not packable: ', " +
+      "CAST(ts AS STRING))), unix_micros(ts)) AS DECIMAL(18,0))")
     Sources.table(s, dir, "events")
       .filter(col("user_id").isNotNull && col("ts").isNotNull &&
         col("event_type").isNotNull)
       .select(col("user_id"), col("event_type"),
         date_trunc("hour", col("ts")).as("hour_start"),
-        expr(s"CAST(unix_micros(ts) AS DECIMAL(18,0)) * $shift" +
-          " + CAST(event_id AS DECIMAL(19,0))").as("ev"))
+        graft.ops.Num.packAsc(tsDec, col("event_id"),
+          "dedup_time_window").as("ev"))
       .groupBy("user_id", "event_type", "hour_start")
       .agg(min(col("ev")).as("first_ev"))
       .select(col("user_id"), col("event_type"), col("hour_start"),
-        expr(s"CAST(first_ev % $shift AS BIGINT)").as("event_id"))
+        graft.ops.Num.unpackIdAsc(col("first_ev")).as("event_id"))
       .orderBy("user_id", "event_type", "hour_start")
   }
 

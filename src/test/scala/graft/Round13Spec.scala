@@ -182,6 +182,42 @@ class Round13Spec extends SparkSpec {
       s"packed argmax must not fall back to SortAggregate:\n${p.take(1200)}")
   }
 
+  test("agg_minmax_by is correct with NEGATIVE values (the unsigned-" +
+    "shift regression the fixture cannot see)") {
+    import spark.implicits._
+    // {-1.0 (id 7), +100.0 (id 9)}: the broken unsigned
+    // reinterpretation ranked -1.0 ABOVE +100.0 and returned id 7 as
+    // the argmax; the order-preserving +2^63 shift must return id 9
+    val ev = Seq(
+      (7L, "a", -1.0), (9L, "a", 100.0),
+      (1L, "b", -5.5), (2L, "b", -2.25), (3L, "b", -2.25))
+      .toDF("event_id", "event_type", "value")
+    val r = graft.ops.Aggregates.aggMinmaxBy(spark, ev)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getDouble(2), x.getLong(3), x.getDouble(4)))
+      .toMap
+    assert(r("a") == ((9L, 100.0, 7L, -1.0)))
+    // group b: all negative; max = -2.25 with TIE on ids 2,3 -> the
+    // declared struct-lexicographic tie-break takes the LARGER id (3)
+    assert(r("b") == ((3L, -2.25, 1L, -5.5)))
+  }
+
+  test("dedup_time_window raises on pre-1970 timestamps instead of " +
+    "corrupting the packed recovery") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dtw").toString
+    Seq((5L, 1L, "x", new java.sql.Timestamp(-1000L), 1.0, "{}"))
+      .toDF("event_id", "user_id", "event_type", "ts", "value", "payload")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[Exception] {
+      graft.ops.TimeOps.dedupTimeWindow(spark, dir).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("pre-1970")))
+  }
+
   test("agg_minmax_by rejects ids outside the packable range") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("minmax").toString
@@ -215,5 +251,23 @@ class Round13Spec extends SparkSpec {
     val (_, nOut2) = Sinks.compact(spark, s"$base/in", s"$base/out4",
       targetFileBytes = math.max(1L, bytes / 4))
     assert(nOut2 >= 4, s"quarter-size target must yield >= 4 files, got $nOut2")
+    // in-place (and nested) compaction would destroy the input under
+    // the lazy scan — must refuse up front, input untouched
+    val e = intercept[IllegalArgumentException] {
+      Sinks.compact(spark, s"$base/in", s"$base/in")
+    }
+    assert(e.getMessage.contains("overlaps"))
+    intercept[IllegalArgumentException] {
+      Sinks.compact(spark, s"$base/in", s"$base/in/sub")
+    }
+    assert(spark.read.parquet(s"$base/in").count() == df.count())
+    // a hive-partitioned layout compacts via the recursive listing
+    val pdir = s"$base/part"
+    df.limit(100).write.partitionBy("event_type").parquet(pdir)
+    val (nPIn, nPOut) = Sinks.compact(spark, pdir, s"$base/pout",
+      targetFileBytes = 1024L * 1024 * 1024)
+    assert(nPIn >= 2 && nPOut == 1,
+      s"partitioned input must list recursively: $nPIn -> $nPOut")
+    assert(spark.read.parquet(s"$base/pout").count() == 100)
   }
 }
