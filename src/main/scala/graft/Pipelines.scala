@@ -229,10 +229,20 @@ object Pipelines {
     //    n_chars column needed)
     val cc = NearDup.connectedComponents(
       NearDup.dedupNgram(spark, docs, 3, 20, 0.2).select("doc_a", "doc_b"))
+    // branch-local persists that must live until the output is
+    // materialized (released with the others in the finally)
+    val branchPersists = scala.collection.mutable.ArrayBuffer
+      .empty[DataFrame]
     val nearDrop = (survivorPolicy match {
       case "min-id" =>
         cc.filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
       case _ =>
+        // withLen feeds BOTH sides of the survivor self-join (once
+        // directly, once via surv): without a persist the full n-gram
+        // pairing + iterative CC lineage would compute twice inside
+        // the single nearDrop action — the exact recompute cost the
+        // surrounding stages persist to avoid. (cluster_id, doc_id,
+        // packed) is three longs/row, same ~bytes-per-doc budget.
         val withLen = cc
           .join(docs.select(col("doc_id"), length(col("text")).as("len")),
             "doc_id")
@@ -241,6 +251,8 @@ object Pipelines {
               col("len").cast(org.apache.spark.sql.types.DecimalType(18, 0)),
               col("doc_id"), "curation survivorPolicy=quality")
               .as("packed"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        branchPersists += withLen
         val surv = withLen.groupBy("cluster_id")
           .agg(max(col("packed")).as("pmx"))
         withLen.join(surv, "cluster_id")
@@ -320,7 +332,8 @@ object Pipelines {
         d4.count(), out.count(),
         out.select("source", "bin_id").distinct().count())
     } finally
-      Seq(exactKeep, nearDrop, contaminated, qualityOk, notRepetitive,
-        denseEnough).foreach(_.unpersist(blocking = false))
+      (Seq(exactKeep, nearDrop, contaminated, qualityOk, notRepetitive,
+        denseEnough) ++ branchPersists)
+        .foreach(_.unpersist(blocking = false))
   }
 }

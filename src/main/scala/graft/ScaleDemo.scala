@@ -46,11 +46,8 @@ object ScaleDemo {
     }
     // similarity surface over generated 64-dim vectors (pure function
     // of vec_id — same replay-determinism rule as the docs connector)
-    val vecs = spark.range(n).repartition(cpus.toInt * 2)
-      .select(col("id").as("vec_id"), expr(
-        "transform(sequence(1, 64)," +
-          " i -> CAST(pmod(xxhash64(id, i), 2000) - 1000 AS FLOAT) / 1000.0)")
-        .as("embedding"))
+    val vecs = graft.sources.SyntheticVecs.vectors(spark, n,
+      parts = cpus.toInt * 2)
     time("sim_search_brute") {
       graft.ops.TextSim.simSearch(spark, vecs, 0L, 10).count()
     }

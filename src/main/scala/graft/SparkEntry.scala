@@ -1580,7 +1580,7 @@ object SparkEntry {
     "mix_temperature" ->
       """WITH s AS (SELECT lang, count(*) AS n_docs,
         |CAST(round(pow(CAST(count(*) AS DOUBLE), 0.7), 6) AS DECIMAL(18,6)) AS pw
-        |FROM documents GROUP BY lang),
+        |FROM documents WHERE lang IS NOT NULL GROUP BY lang),
         |t AS (SELECT sum(pw) AS tot_pw, sum(n_docs) AS tot_docs FROM s)
         |SELECT lang, n_docs,
         |round(CAST(n_docs AS DOUBLE) / CAST(tot_docs AS DOUBLE), 6) AS raw_share,

@@ -491,4 +491,31 @@ object VectorFunctions {
     import org.apache.spark.sql.functions.sqrt
     dot(spark, a, b) / (sqrt(dot(spark, a, a)) * sqrt(dot(spark, b, b)))
   }
+
+  /** Register `graft_might_contain(h)` bound to THIS broadcast Bloom
+    * filter ([[BloomProbe]]). The builder captures the filter, so the
+    * latest registration wins — one active filter name per session.
+    * Callers use [[mightContain]], which registers and resolves the
+    * column in one step (DataFrame analysis is eager, so the binding
+    * is pinned before any later re-registration can occur).
+    */
+  def registerMightContain(spark: SparkSession,
+      bf: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter]): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_might_contain",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 1,
+          s"graft_might_contain expects (h), got ${exprs.length} args")
+        BloomProbe(exprs.head, bf)
+      },
+      "built-in")
+
+  /** Codegen'd Bloom membership probe as a Column. */
+  def mightContain(spark: SparkSession, h: Column,
+      bf: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter]): Column = {
+    registerMightContain(spark, bf)
+    call_function("graft_might_contain", h)
+  }
 }

@@ -375,8 +375,9 @@ object Aggregates {
     * Decimal min/max is an ordinary HashAggregate buffer: map-side
     * combined, one row per group on the shuffle, no sort. The
     * packing is exact (the bit image is a bijection and
-    * 2⁶⁴·2⁶² < 10³⁸); ids are guarded into [0, 2⁶²) with
-    * `raise_error`. The plain min/max(value) ride along in the same
+    * 2⁶⁴·2⁶² < 10³⁸ — inside Num.packAsc's proved rank bound
+    * ⌊(10³⁸−2⁶²)/2⁶²⌋ > 2⁶⁴); both the rank and the id are
+    * `raise_error`-guarded in Num. The plain min/max(value) ride along in the same
     * aggregate for the output columns (by construction the packed
     * argmax carries exactly that value).
     */

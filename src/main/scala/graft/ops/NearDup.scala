@@ -538,10 +538,11 @@ object NearDup {
     * NO ORACLE — the sketch is engine-specific; `dedup_incremental` is
     * the exact baseline and the unit spec asserts flagged ⊇ exact.
     *
-    * The probe is a broadcast-closure UDF on purpose: Spark's native
-    * `BloomFilterMightContain` expression is internal to runtime
-    * filtering, and the probe is one xxhash + bit test per row — not a
-    * codegen-sensitive hot loop.
+    * The probe is the codegen'd [[graft.functions.BloomProbe]]
+    * expression over the broadcast filter (Spark's own
+    * `BloomFilterMightContain` is internal to runtime filtering, so
+    * the library carries its own): the probe fuses into whole-stage
+    * codegen and `ops/` stays entirely UDF-free.
     */
   def dedupBloom(s: SparkSession, dir: String, fpp: Double = 0.01): DataFrame =
     dedupBloom(s, Sources.table(s, dir, "documents"), fpp)
@@ -556,12 +557,13 @@ object NearDup {
     val corpus = d.filter(!col("is_new")).select("h")
     val bf = corpus.stat.bloomFilter("h", math.max(corpus.count(), 1L), fpp)
     val bfB = s.sparkContext.broadcast(bf)
-    val mightContain = udf((h: String) => bfB.value.mightContain(h))
+    val probe = graft.functions.VectorFunctions.mightContain(
+      s, col("h"), bfB)
     val exact = corpus.distinct().withColumn("in_corpus", lit(true))
     d.filter(col("is_new"))
       .join(exact, Seq("h"), "left")
       .agg(count(lit(1)).as("n_new"),
-        sum(when(mightContain(col("h")), 1L).otherwise(0L))
+        sum(when(probe, 1L).otherwise(0L))
           .as("n_bloom_flagged"),
         sum(when(col("in_corpus").isNotNull, 1L).otherwise(0L))
           .as("n_exact_dup"))
@@ -883,13 +885,24 @@ object NearDup {
     *      so the quadratic stage runs on the distinct set (vocabulary-
     *      sized, corpus-independent) after one map-side-combined
     *      distinct shuffle, never on rows.
-    *   2. **Multi-key blocking.** Each name lands in TWO blocks
+    *   2. **Multi-key blocking.** Each name lands in TWO token blocks
     *      (first token, last token); a pair is compared iff some block
     *      matches. Single-key blocking silently loses typos in the key
     *      itself ("red widgit" vs "red widget" differ in the last
     *      token, so a last-token block never compares them); two keys
     *      catch an edit in either token. Pair work is Σ blockᵢ²,
     *      bounded by the largest block, not vocab².
+    *   3. **Length-band sub-blocking.** A single high-frequency token
+    *      (every "smith ..." in a name corpus) would still make one
+    *      quadratic bucket, so each token block is cut by
+    *      `⌊len/(maxDist+1)⌋`: names within Levenshtein ≤ maxDist
+    *      differ in length by ≤ maxDist < the band width, so matching
+    *      names sit in the same or adjacent bands — each name posts
+    *      to its own band and band+1, which guarantees every true
+    *      pair still shares a key while a hot token's bucket shatters
+    *      across the length distribution. (Pairs whose lengths differ
+    *      by more than maxDist are pruned before the DP ever runs —
+    *      the band is a correct filter, not just a load split.)
     *
     * `a < b` keeps one direction; the pair-level `dropDuplicates`
     * collapses pairs that collide in both blocks. Levenshtein itself
@@ -901,18 +914,38 @@ object NearDup {
       Sources.table(s, dir, "part").select(col("p_name").as("name")),
       maxDist)
 
-  /** [[dedupFuzzy]] over any single-string-column relation `(name)`. */
-  def dedupFuzzy(s: SparkSession, names: DataFrame,
-                 maxDist: Int): DataFrame = {
+  /** Candidate pairs for [[dedupFuzzy]]: distinct unordered name
+    * pairs sharing a `(token, length-band)` blocking key. Split out
+    * so the blocking bound is testable independent of the DP stage.
+    */
+  private[graft] def fuzzyCandidates(names: DataFrame,
+                                     maxDist: Int): DataFrame = {
     val toks = split(col("name"), "\\s+")
+    // band width maxDist+1 so |len_a - len_b| <= maxDist implies
+    // same-or-adjacent bands; posting each name to (band, band+1)
+    // makes every true pair collide on at least one key
+    val band = floor(length(col("name")) / lit(maxDist + 1))
+      .cast(LongType)
+    def key(tok: org.apache.spark.sql.Column,
+            b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      concat_ws("|", tok, b)
     val vocab = names.filter(col("name").isNotNull).distinct()
-      .select(col("name"), explode(array_distinct(
-        array(element_at(toks, 1), element_at(toks, -1)))).as("block"))
+      .select(col("name"), explode(array_distinct(array(
+        key(element_at(toks, 1), band),
+        key(element_at(toks, 1), band + 1),
+        key(element_at(toks, -1), band),
+        key(element_at(toks, -1), band + 1)))).as("block"))
     val a = vocab.select(col("name").as("name_a"), col("block"))
     val b = vocab.select(col("name").as("name_b"), col("block"))
     a.join(b, "block")
       .filter(col("name_a") < col("name_b"))
       .select("name_a", "name_b").dropDuplicates("name_a", "name_b")
+  }
+
+  /** [[dedupFuzzy]] over any single-string-column relation `(name)`. */
+  def dedupFuzzy(s: SparkSession, names: DataFrame,
+                 maxDist: Int): DataFrame =
+    fuzzyCandidates(names, maxDist)
       // threshold form: the DP matrix only evaluates the |maxDist|
       // diagonal band and bails out early (returns -1 past the
       // threshold) — O(len·maxDist) per pair instead of O(len²),
@@ -922,7 +955,6 @@ object NearDup {
           .as("edit_dist"))
       .filter(col("edit_dist") =!= -1L)
       .orderBy("name_a", "name_b")
-  }
 
   /** `dedup_survivor` — quality-priority survivor selection over the
     * near-dup clusters of [[dedupCluster]]: instead of the
@@ -1016,7 +1048,9 @@ object NearDup {
     scrubSpans(s, Sources.table(s, dir, "documents"), n)
 
   /** Max tokens per document under [[scrubSpans]]'s packed
-    * first-occurrence key (2²¹; positions at or past it raise).
+    * first-occurrence key (2²¹; positions at or past it raise, as do
+    * doc_ids outside [0, 2⁴²) — both halves of the
+    * `shiftleft(doc_id, 21) + p` long are `raise_error`-enforced).
     */
   final val ScrubMaxDocTokens: Int = 1 << 21
 
@@ -1057,7 +1091,9 @@ object NearDup {
         expr(s"IF(p >= $ScrubMaxDocTokens, raise_error(CONCAT(" +
           s"'scrub_spans: document ', doc_id, ' exceeds " +
           s"$ScrubMaxDocTokens tokens — chunk it first')), " +
-          s"shiftleft(doc_id, 21) + p)").as("packed"))
+          s"IF(doc_id < 0 OR doc_id >= ${1L << 42}L, raise_error(CONCAT(" +
+          s"'scrub_spans: doc_id out of packable range [0, 2^42): ', " +
+          s"doc_id)), shiftleft(doc_id, 21) + p))").as("packed"))
     val dupGrams = occ.groupBy("h1", "h2")
       .agg(count(lit(1)).as("cnt"),
         min(col("packed")).as("first_packed"))

@@ -49,9 +49,13 @@ object Num {
   // the unsigned shift wrong, two sites dropped the range guard):
   // the ordering proof and the guards live in exactly one place now.
   //
-  // Contract: `rank` is a NON-NEGATIVE decimal with ≤ 16 digits
-  // (2^62·10^16 < 10^38 keeps the product exact in DECIMAL(38,0));
-  // `id` is guarded into [0, 2^62) at runtime (`raise_error` past it).
+  // Contract: `rank` is a NON-NEGATIVE decimal with
+  // rank ≤ 21684043449710088679 = ⌊(10³⁸ − 2⁶²)/2⁶²⌋ (then
+  // rank·2⁶² + (2⁶² − 1) < 10³⁸, so the packed value stays exact in
+  // DECIMAL(38,0); the bound admits a full unsigned-64-bit rank,
+  // 2⁶⁴ < 2.168·10¹⁹ — the graft_dbits caller needs exactly that).
+  // Both rank and id are guarded at runtime with `raise_error`:
+  // `id` into [0, 2^62), `rank` into [0, that bound].
   // packAsc orders by (rank asc, id asc); packDesc by (rank asc,
   // id DESC) — i.e. max(packDesc) is the argmax by (rank, -id),
   // the "largest rank, smallest id" tie-break.
@@ -67,15 +71,32 @@ object Num {
         id.cast("string"))))
       .otherwise(id)
 
+  /** ⌊(10³⁸ − 2⁶²)/2⁶²⌋ — the largest rank whose packing is provably
+    * exact in DECIMAL(38,0) for every legal id.
+    */
+  val packMaxRankSql: String =
+    "CAST('21684043449710088679' AS DECIMAL(20,0))"
+
+  private val packMaxRank = expr(packMaxRankSql)
+
+  private def guardedRank(rank: Column, ctx: String): Column =
+    when(rank < 0 || rank > packMaxRank,
+      raise_error(concat(
+        lit(s"$ctx: rank out of packable range [0, (10^38-2^62)/2^62]: "),
+        rank.cast("string"))))
+      .otherwise(rank)
+
   /** `rank·2⁶² + id` — min/max ranks by (rank, id) lexicographic. */
   def packAsc(rank: Column, id: Column, ctx: String): Column =
-    rank * packShift + guardedId(id, ctx).cast(DecimalType(19, 0))
+    guardedRank(rank, ctx) * packShift +
+      guardedId(id, ctx).cast(DecimalType(19, 0))
 
   /** `rank·2⁶² − id` — max ranks by (rank, −id): largest rank wins,
     * ties break to the SMALLEST id.
     */
   def packDesc(rank: Column, id: Column, ctx: String): Column =
-    rank * packShift - guardedId(id, ctx).cast(DecimalType(19, 0))
+    guardedRank(rank, ctx) * packShift -
+      guardedId(id, ctx).cast(DecimalType(19, 0))
 
   /** Recover the id from a [[packAsc]] value (requires rank ≥ 0, so
     * the packed value is non-negative and `%` is a true modulus).

@@ -262,28 +262,67 @@ object Relational {
       .orderBy("n_name")
   }
 
-  /** Skew-safe equi-join for a hot-keyed fact table: spread each join
-    * key of the skewed side over `salts` sub-keys (deterministic hash
-    * of the whole row — no RNG, reproducible plans) and replicate the
-    * other side once per salt, so one hot key's rows land on `salts`
-    * reducers instead of one. Row-for-row equivalent to
-    * `skewed.join(other, key)`.
+  /** Skew-safe equi-join for a hot-keyed fact table, hot-key-aware:
+    * detect heavy hitters first (one key-only count aggregate over the
+    * skewed side — map-side partial combine makes this a distinct-key
+    * shuffle, cheap even at 100 TB), then salt ONLY the detected hot
+    * keys over `salts` sub-keys (deterministic hash of the whole row —
+    * no RNG, reproducible plans) and replicate ONLY the matching rows
+    * of the other side once per salt. The cold remainder takes the
+    * plain equi-join with zero replication; the two halves union.
+    * Row-for-row equivalent to `skewed.join(other, key)`.
     *
-    * At 100 TB this is the manual fallback when AQE's skew-join split
-    * (`spark.sql.adaptive.skewJoin.enabled`, on by default) can't
-    * kick in — e.g. a skewed *broadcast-ineligible* aggregation input
-    * or a join AQE sees only post-shuffle. Replication factor of the
-    * small side is `salts`, so keep it modest (8–32).
+    * With no key at or above `hotThreshold` rows this degenerates to
+    * exactly the plain join — salting a uniform key distribution is
+    * pure overhead (measured 16× replication for nothing), so the
+    * default path must be the unsalted one.
+    *
+    * Driver state is bounded: at most `maxHotKeys` keys are collected,
+    * and the number of keys meeting `hotThreshold` is itself bounded
+    * by n/hotThreshold. At 100 TB this is the manual fallback when
+    * AQE's skew-join split (`spark.sql.adaptive.skewJoin.enabled`, on
+    * by default) can't kick in — e.g. a skewed *broadcast-ineligible*
+    * aggregation input or a join AQE sees only post-shuffle.
+    * Replication factor of the hot slice of the small side is `salts`,
+    * so keep it modest (8–32).
     */
   def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
-                 salts: Int = 16): DataFrame = {
-    val saltCol = pmod(
-      xxhash64(struct(skewed.columns.map(col).toSeq: _*)), lit(salts))
-    val left = skewed.withColumn("_salt", saltCol)
-    val right = other.withColumn("_salt",
-      explode(sequence(lit(0L), lit(salts - 1L))))
-    left.join(right, Seq(key, "_salt")).drop("_salt")
+                 salts: Int = 16, hotThreshold: Long = 100000L,
+                 maxHotKeys: Int = 10000): DataFrame = {
+    val hotKeys = detectHotKeys(skewed, key, hotThreshold, maxHotKeys)
+    if (hotKeys.isEmpty) {
+      skewed.join(other, Seq(key))
+    } else {
+      val isHot = col(key).isInCollection(hotKeys)
+      val saltCol = pmod(
+        xxhash64(struct(skewed.columns.map(col).toSeq: _*)), lit(salts))
+      val hotLeft = skewed.filter(isHot).withColumn("_salt", saltCol)
+      val hotRight = other.filter(isHot).withColumn("_salt",
+        explode(sequence(lit(0L), lit(salts - 1L))))
+      val hot = hotLeft.join(hotRight, Seq(key, "_salt")).drop("_salt")
+      // Cold keys can't match the hot slice of `other` (hot/cold
+      // partition the key space), so filtering both sides keeps the
+      // hot rows out of the cold shuffle entirely.
+      val cold = skewed.filter(!isHot).join(other.filter(!isHot), Seq(key))
+      hot.unionByName(cold)
+    }
   }
+
+  /** Heavy-hitter detection for [[saltedJoin]]: exact per-key counts
+    * (map-side partial combine shrinks the shuffle to distinct keys),
+    * keep the top `maxHotKeys` keys at/above `hotThreshold` in a
+    * deterministic order. Driver state is bounded twice over:
+    * `maxHotKeys` caps the collect, and at most n/hotThreshold keys
+    * can clear the threshold at all.
+    */
+  def detectHotKeys(skewed: DataFrame, key: String, hotThreshold: Long,
+                    maxHotKeys: Int = 10000): Seq[Any] =
+    skewed.groupBy(col(key))
+      .agg(count(lit(1)).as("_cnt"))
+      .filter(col("_cnt") >= hotThreshold)
+      .orderBy(col("_cnt").desc, col(key))
+      .limit(maxHotKeys)
+      .select(col(key)).collect().map(_.get(0)).toSeq
 
   /** `join_salted` — [[saltedJoin]] as a declared query: lineitem
     * (the skew-prone fact side) salted over 16 sub-keys against
@@ -292,7 +331,13 @@ object Relational {
     * rewrite is row-for-row semantics-preserving, the same
     * contract-as-oracle pattern as `agg_salted`. (SaltedJoinSpec
     * additionally pins the mechanism: per-salt spread and
-    * plain-join equivalence on a crafted hot key.)
+    * plain-join equivalence on a crafted hot key, and that cold keys
+    * are NOT replicated now that salting is hot-key-aware.)
+    *
+    * On TPC-H-shaped data l_orderkey is uniform (≤ 7 rows per key),
+    * so the detector finds no heavy hitters and this plans as the
+    * plain shuffle join — which is the point: the salt machinery only
+    * engages on measured skew.
     */
   def joinSalted(s: SparkSession, dir: String): DataFrame = {
     val li = Sources.table(s, dir, "lineitem")
@@ -302,7 +347,7 @@ object Relational {
     saltedJoin(li, ord, "okey")
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_lines"),
-        dsum(col("l_quantity")).as("sum_qty"))
+        round(dsum(col("l_quantity")), 4).as("sum_qty"))
       .orderBy("o_orderstatus")
   }
 

@@ -212,7 +212,12 @@ object Sampling {
     */
   def mixTemperature(s: SparkSession, dir: String,
                      alpha: Double = 0.7): DataFrame = {
+    // NULL lang is excluded on BOTH sides (here and in the oracle
+    // SQL): a null group would sort engine-dependently (Spark nulls
+    // first, DuckDB nulls last) and an unlabeled document has no
+    // place in a language-mix budget anyway.
     val perLang = Sources.table(s, dir, "documents")
+      .filter(col("lang").isNotNull)
       .groupBy("lang").agg(count(lit(1)).as("n_docs"))
       .select(col("lang"), col("n_docs"),
         round(pow(col("n_docs").cast(DoubleType), lit(alpha)), 6)

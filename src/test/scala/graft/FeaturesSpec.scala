@@ -66,6 +66,30 @@ class FeaturesSpec extends SparkSpec {
       ("red bolt", "red bolts", 1L)), s"got $pairs")
   }
 
+  test("dedup_fuzzy length-band blocking caps a hot-token bucket") {
+    import spark.implicits._
+    // pathological corpus: 1k names ALL sharing the first token, with
+    // unique last tokens — token-only blocking puts every name in one
+    // bucket (~500k candidate pairs); the length band must shatter it
+    val names = (0 until 1000)
+      .map(i => s"smith ${"x" * (i % 200)}$i").toDF("name")
+    val nCand = NearDup.fuzzyCandidates(names, maxDist = 3).count()
+    // band width 4 over lengths ~7..210 gives ~50 bands; with the
+    // band+1 double-posting each name meets ~2 bands' worth of the
+    // bucket. Anything near 500k means the band didn't engage.
+    assert(nCand < 50000L,
+      s"hot-token bucket not capped: $nCand candidate pairs")
+    // and the band NEVER loses a true pair: edit distance >= length
+    // difference, so same-or-adjacent bands cover every match — the
+    // 1-edit pairs of the crafted vocabulary all survive
+    val v = Seq("red widget", "red widgit", "red bolt", "red bolts")
+      .toDF("name")
+    val found = NearDup.dedupFuzzy(spark, v, 3).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(found == Set(("red widget", "red widgit"),
+      ("red bolt", "red bolts")), s"got $found")
+  }
+
   test("dedup_fuzzy quadratic stage runs on distinct names, no cartesian") {
     val p = plan(NearDup.dedupFuzzy(spark, sf))
     assert(!p.contains("CartesianProduct"), "blocked join became all-pairs")

@@ -578,4 +578,27 @@ class Round5Spec extends SparkSpec {
     assert(real.getLong(1) >= real.getLong(2) &&
       real.getLong(1) <= real.getLong(0))
   }
+
+  test("bloom probe is a plan-visible expression and ops/ is UDF-free") {
+    import spark.implicits._
+    val docs = (0L until 100L).map(i => (i, s"text $i"))
+      .toDF("doc_id", "text")
+    // the probe must appear as the named catalyst expression, not as
+    // an opaque ScalaUDF black box
+    val plan = NearDup.dedupBloom(spark, docs, 0.01)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_might_contain"),
+      s"expected the codegen'd BloomProbe in the plan\n$plan")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("UDF("),
+      s"no UDF dispatch expected in the probe plan\n$plan")
+    // and the whole ops/ package stays UDF-free at the source level
+    val opsDir = new java.io.File("src/main/scala/graft/ops")
+    val offenders = opsDir.listFiles().filter(_.getName.endsWith(".scala"))
+      .filter { f =>
+        val src = new String(java.nio.file.Files.readAllBytes(f.toPath))
+        "(?<![.\\w])udf\\(".r.findFirstIn(src).isDefined
+      }.map(_.getName)
+    assert(offenders.isEmpty,
+      s"udf( found in ops/ sources: ${offenders.mkString(", ")}")
+  }
 }

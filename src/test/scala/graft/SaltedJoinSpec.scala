@@ -18,7 +18,8 @@ class SaltedJoinSpec extends SparkSpec {
     val dim = Seq((1L, "hot"), (20L, "cold"), (30L, "cold"))
       .toDF("k", "label")
     val plain = fact.join(dim, Seq("k"))
-    val salted = Relational.saltedJoin(fact, dim, "k", salts = 8)
+    val salted = Relational.saltedJoin(fact, dim, "k", salts = 8,
+      hotThreshold = 1000L)
     assert(salted.count() == plain.count())
     val a = salted.select("k", "payload", "label")
       .collect().map(_.toSeq).toSet
@@ -40,7 +41,60 @@ class SaltedJoinSpec extends SparkSpec {
     assert(nBuckets == salts,
       s"expected the hot key spread over $salts salts, got $nBuckets")
     // and the join still returns every row exactly once
-    assert(Relational.saltedJoin(fact, dim, "k", salts).count() == 10000)
+    assert(Relational.saltedJoin(fact, dim, "k", salts,
+      hotThreshold = 1000L).count() == 10000)
+  }
+
+  test("hot-key detection finds exactly the heavy hitters") {
+    import spark.implicits._
+    // key 1: 5000 rows; keys 2..100: 10 rows each
+    val hot = spark.range(5000).select(lit(1L).as("k"))
+    val cold = spark.range(990)
+      .select((col("id") % 99 + 2).as("k"))
+    val fact = hot.unionByName(cold)
+    val hotKeys = Relational.detectHotKeys(fact, "k", hotThreshold = 1000L)
+    assert(hotKeys == Seq(1L),
+      s"expected only the crafted hot key, got $hotKeys")
+    // threshold above the max per-key count -> nothing detected
+    assert(Relational.detectHotKeys(fact, "k", hotThreshold = 10000L).isEmpty)
+  }
+
+  test("hot-key-aware salting: cold keys are NOT replicated, hot keys are") {
+    import spark.implicits._
+    // hot key 1 (6000 rows) + cold keys 2..50 (20 rows each)
+    val fact = spark.range(6000).select(lit(1L).as("k"),
+        col("id").as("payload"))
+      .unionByName(spark.range(980)
+        .select((col("id") % 49 + 2).as("k"), (col("id") + 100000).as("payload")))
+    val dim = spark.range(60)
+      .select((col("id") + 1).as("k"), concat(lit("d"), col("id")).as("label"))
+    val salts = 8
+    val salted = Relational.saltedJoin(fact, dim, "k", salts,
+      hotThreshold = 1000L)
+    val plain = fact.join(dim, Seq("k"))
+    // row-for-row equivalence
+    assert(salted.count() == plain.count())
+    assert(salted.collect().map(_.toSeq).toSet ==
+      plain.collect().map(_.toSeq).toSet)
+    // the explode (replication) branch exists, but its input is the
+    // hot slice only: exactly one Generate in the plan, and the cold
+    // union branch is a plain SortMergeJoin/ShuffledHashJoin with none
+    // AQE's toString prints Final Plan + Initial Plan; count Final only
+    val planStr = salted.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val nGenerate = "(?m)^.*Generate explode".r
+      .findAllIn(planStr).length
+    assert(nGenerate == 1,
+      s"expected exactly one explode branch (hot slice), got $nGenerate\n$planStr")
+
+    // and with no skew the machinery disengages entirely: no Generate
+    val uniform = spark.range(1000)
+      .select((col("id") % 100).as("k"), col("id").as("payload"))
+    val plainPath = Relational.saltedJoin(uniform, dim, "k", salts,
+      hotThreshold = 1000L)
+    val planU = plainPath.queryExecution.executedPlan.toString
+    assert(!planU.contains("Generate"),
+      s"uniform keys must take the unsalted plain-join path\n$planU")
   }
 
   test("saltedJoin on real tables matches join_fact row multiplicity") {
