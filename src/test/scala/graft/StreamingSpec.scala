@@ -207,4 +207,73 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() == sample.length)
     assert(out.filter(col("event_type") === "CLICK").count() == 3)
   }
+
+  test("T2 kill-and-restart from checkpoint: replayed batch re-commits " +
+      "idempotently (effectively-once)") {
+    import spark.implicits._
+    val inDir = java.nio.file.Files.createTempDirectory("graft-rs-in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-rs-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-rs-ck").toString
+    val schema = sample.toDF().schema
+    def runOnce(): Unit = {
+      // a just-stopped run's checkpoint lease can linger for a beat
+      // (the conflict surfaces as a STREAM_FAILED "concurrently
+      // using <ckpt>" on the restart); retry the whole run instead
+      // of flaking
+      val deadline = System.currentTimeMillis() + 30000
+      var done = false
+      while (!done) {
+        val q = TimeOps.foreachBatchSink(
+          TimeOps.fileStream(spark, inDir, schema), outDir, ckpt)(
+          b => b.withColumn("event_type", upper(col("event_type")))).start()
+        try {
+          q.processAllAvailable()
+          q.stop()
+          q.awaitTermination()
+          done = true
+        } catch {
+          case e: Exception if e.getMessage != null &&
+              e.getMessage.contains("concurrently using") &&
+              System.currentTimeMillis() < deadline =>
+            try q.stop() catch { case _: Exception => () }
+            Thread.sleep(500)
+        }
+      }
+    }
+    def batchDirs: Set[String] = new java.io.File(outDir).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).toSet
+    // run 1: batch 0 commits, then the query "dies"
+    sample.toDF().write.mode("append").parquet(inDir)
+    runOnce()
+    assert(batchDirs == Set("batch_id=0"))
+    // run 2 (restart from checkpoint): only the NEW file becomes a
+    // batch — the committed batch 0 is not re-read, not re-written
+    val extra = Seq(Ev(5, t("2024-01-01 02:00:00"), 3, "click", 5.0),
+      Ev(6, t("2024-01-01 02:10:00"), 3, "view", 6.0))
+    extra.toDF().write.mode("append").parquet(inDir)
+    runOnce()
+    assert(batchDirs == Set("batch_id=0", "batch_id=1"))
+    assert(spark.read.parquet(s"$outDir/batch_id=1").count() == 2)
+    // run 3 — the at-least-once case: crash AFTER the sink wrote
+    // batch 1 but BEFORE the checkpoint recorded the commit.
+    // Simulate by deleting the commit marker: on restart the engine
+    // replays batch 1 from its logged offsets, and the per-batchId
+    // overwrite absorbs the duplicate delivery
+    val commit1 = new java.io.File(s"$ckpt/commits/1")
+    assert(commit1.exists(), "expected a commit marker for batch 1")
+    assert(commit1.delete())
+    runOnce()
+    assert(batchDirs == Set("batch_id=0", "batch_id=1"),
+      "replay must not mint new batch dirs")
+    val all = spark.read.parquet(outDir)
+    assert(all.count() == sample.length + extra.length,
+      "replayed commit duplicated rows")
+    assert(all.select("event_id").distinct().count() ==
+      sample.length + extra.length)
+    // run 4: nothing new — restart is a no-op, state unchanged
+    runOnce()
+    assert(batchDirs == Set("batch_id=0", "batch_id=1"))
+    assert(spark.read.parquet(outDir).count() ==
+      sample.length + extra.length)
+  }
 }
