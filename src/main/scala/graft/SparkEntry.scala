@@ -154,6 +154,7 @@ object SparkEntry {
     "sim_ann_lsh" -> ((s, d) => Ann.simAnnLsh(s, d)),
     "sim_ann_ivf" -> ((s, d) => Ann.simAnnIvf(s, d)),
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
+    "dedup_semantic" -> ((s, d) => NearDup.dedupSemantic(s, d)),
     // feature preparation + CDC + fuzzy matching (round 5)
     "agg_weighted" -> (Aggregates.aggWeighted _),
     "agg_listagg" -> (Aggregates.aggListagg _),

@@ -1126,4 +1126,72 @@ object NearDup {
         coalesce(size(col("rm")), lit(0)).cast(LongType).as("n_removed"),
         col("r.kept").as("scrubbed_text"))
   }
+
+  /** `dedup_semantic` — SemDeDup-style semantic deduplication
+    * (Abbas et al. 2023, arXiv:2303.09540): embedding near-dup at
+    * corpus scale via k-means cluster BLOCKING. The exact formulation
+    * ([[TextSim.dedupEmbed]]) scores all N² pairs; SemDeDup observes
+    * that near-duplicate embeddings land in the same k-means cell, so
+    * it clusters first and compares only WITHIN a cell — per the
+    * paper, this keeps >99% of true pairs on real corpora while
+    * cutting pair work from N² to Σ_c n_c².
+    *
+    * Plan shape: one Lloyd's run ([[Cluster.kmeansCentroids]] — per
+    * iteration O(N·k·d) map work + a k·d-row shuffle), one broadcast
+    * argmin assignment, then a self-join keyed on `cluster_id` (the
+    * ONLY data-sized shuffle) with the codegen'd dot product scoring
+    * pairs inside each cell. At 100 TB, k grows with N (SemDeDup used
+    * 110k cells for LAION-440M) so cell sizes — and with them the
+    * quadratic-in-cell pair work — stay bounded; a runaway cell is
+    * the skew risk, mitigated by raising k (the cost of a finer
+    * quantizer is linear, the saving quadratic). Recall loss is
+    * exactly the cross-cell pairs, measured against the exact
+    * formulation in SemanticDedupSpec.
+    *
+    * Drop policy (deterministic): a vector is dropped iff some
+    * SMALLER-id vector in its cell has rounded cosine ≥ `minSim` —
+    * the keep-lowest-id greedy the rest of the dedup surface uses
+    * (e.g. [[TextSim.dedupText]]); the paper's keep-farthest-from-
+    * centroid variant is one `orderBy` swap away and changes nothing
+    * structural. Scoring filters on the ROUNDED similarity so the
+    * boundary call matches [[TextSim.dedupEmbed]] bit for bit.
+    *
+    * Returns `(vec_id, cluster_id, kept)` for every input vector.
+    * NO ORACLE (iterative float k-means is not portably
+    * SQL-expressible); SemanticDedupSpec proves precision 1 against
+    * exact cosine, measures recall vs [[TextSim.dedupEmbed]], and
+    * pins determinism.
+    */
+  def dedupSemantic(s: SparkSession, dir: String, k: Int = 8,
+                    iters: Int = 3, minSim: Double = 0.4): DataFrame =
+    dedupSemantic(s, Sources.table(s, dir, "embeddings"), k, iters, minSim)
+
+  /** [[dedupSemantic]] over any `(vec_id, embedding)` relation. */
+  def dedupSemantic(s: SparkSession, emb: DataFrame, k: Int,
+                    iters: Int, minSim: Double): DataFrame = {
+    val nd = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      graft.functions.VectorFunctions.dot(s, a, b)
+    // train once on the driver (k×d doubles), assign via ONE broadcast
+    // argmin projection — vectors never pair during clustering
+    val centroids = Cluster.kmeansCentroids(s, emb, k, iters)
+    val assigned = Cluster.assignWith(s, emb, centroids)
+      .withColumn("nrm", sqrt(nd(col("v"), col("v"))))
+    val a = assigned.select(col("cluster_id"),
+      col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cluster_id"),
+      col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    // the blocked self-join: shuffle both sides on cluster_id, score
+    // pairs in-cell only; `vec_a < vec_b` halves the pair scan and
+    // makes "dropped" well-defined (the larger id of each hot pair)
+    val dropped = a.join(b, Seq("cluster_id"))
+      .filter(col("vec_a") < col("vec_b") &&
+        round(nd(col("va"), col("vb")) / (col("na") * col("nb")), 4)
+          >= minSim)
+      .select(col("vec_b").as("vec_id")).distinct()
+    assigned
+      .join(dropped.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id").cast(LongType),
+        coalesce(!col("dup"), lit(true)).as("kept"))
+      .orderBy("vec_id")
+  }
 }
