@@ -348,6 +348,124 @@ case class DoubleOrderBits(child: Expression)
     copy(child = c)
 }
 
+/** Argmin-over-centroids assignment — the codegen'd core of every
+  * coarse quantizer (k-means assignment, IVF cell routing, SemDeDup
+  * blocking). Semantics are EXACTLY the `least(struct(d2, cid)...)`
+  * formulation it replaces ([[graft.ops.Cluster]] r6–r12): for each
+  * centroid `c`, `d2 = |c|² − 2·(v·c)` (the |v|²-free argmin form,
+  * norms and dots summed left-to-right), ties and NaNs resolved the
+  * way Spark's struct ordering resolves them (lower cid on ties; NaN
+  * greater than every real, NaN equal to NaN) — CentroidParitySpec
+  * pins bit-equality against the old expression tree.
+  *
+  * Why it exists: `least` over k struct expressions embeds k separate
+  * dot-product loops in the generated code, so plan size grows O(k)
+  * and Janino falls off whole-stage codegen in the low hundreds —
+  * measured 4× SLOWER at k=64 than k=32 on the same data. Real
+  * quantizers need k in the thousands (SemDeDup: 110k cells). This
+  * expression is ONE loop over a packed `double[]` matrix carried as
+  * a codegen reference object, so generated-code size is O(1) in k
+  * and the matrix lives flat in memory (sequential access, no
+  * per-centroid object graph).
+  *
+  * The matrix travels plan-side as a BinaryType literal
+  * (k·d big-endian doubles) — one literal node regardless of k, where
+  * the `array(array(lit…))` form would be k·d Literal nodes and die
+  * in analysis long before 110k cells.
+  *
+  * Null semantics: null vector → null result; vectors shorter than
+  * `d` dot only their first `n` components (DotProduct's min-length
+  * rule). Returns `struct(d2: double, cid: int)`.
+  */
+case class CentroidArgmin(child: Expression, cents: Array[Double],
+                          norms: Array[Double], d: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private def k: Int = norms.length
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) if d >= 1 && cents.length == k * d =>
+        TypeCheckResult.TypeCheckSuccess
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckFailure(
+        s"graft_argmin_centroid: packed matrix length ${cents.length} " +
+          s"is not k*d (k=$k, d=$d)")
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_argmin_centroid requires array<double>, got $t")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq(org.apache.spark.sql.types.StructField("d2", DoubleType),
+      org.apache.spark.sql.types.StructField("cid",
+        org.apache.spark.sql.types.IntegerType)))
+  override def prettyName: String = "graft_argmin_centroid"
+
+  // `least(struct…)` ordering in one comparison: strictly-smaller d2
+  // wins (ties keep the earlier cid), and a NaN incumbent loses to
+  // any real challenger (struct ordering puts NaN above every real)
+  private def better(d2: Double, best: Double): Boolean =
+    d2 < best || (java.lang.Double.isNaN(best) &&
+      !java.lang.Double.isNaN(d2))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), d)
+    var bestD2 = 0.0
+    var bestC = 0
+    var c = 0
+    while (c < k) {
+      var dot = 0.0
+      val off = c * d
+      var i = 0
+      while (i < n) { dot += v.getDouble(i) * cents(off + i); i += 1 }
+      val d2 = norms(c) - 2.0 * dot
+      if (c == 0 || better(d2, bestD2)) { bestD2 = d2; bestC = c }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestD2, bestC))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("argminCents", cents, "double[]")
+    val normsRef = ctx.addReferenceObj("argminNorms", norms, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val off = ctx.freshName("off")
+      val dot = ctx.freshName("dot")
+      val d2 = ctx.freshName("d2")
+      val bestD2 = ctx.freshName("bestD2")
+      val bestC = ctx.freshName("bestC")
+      s"""
+         |int $n = java.lang.Math.min($v.numElements(), $d);
+         |double $bestD2 = 0.0;
+         |int $bestC = 0;
+         |for (int $c = 0; $c < $k; $c++) {
+         |  double $dot = 0.0;
+         |  int $off = $c * $d;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += $v.getDouble($i) * $centsRef[$off + $i];
+         |  }
+         |  double $d2 = $normsRef[$c] - 2.0 * $dot;
+         |  if ($c == 0 || $d2 < $bestD2 ||
+         |      (java.lang.Double.isNaN($bestD2) &&
+         |       !java.lang.Double.isNaN($d2))) {
+         |    $bestD2 = $d2; $bestC = $c;
+         |  }
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[]{ $bestD2, $bestC });
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): CentroidArgmin =
+    copy(child = c)
+}
+
 /** Registration + Column-level entry points for the native vector
   * expressions.
   */
@@ -424,6 +542,64 @@ object VectorFunctions {
     registerShingle2(spark)
     call_function("graft_shingle2", toks,
       org.apache.spark.sql.functions.lit(n))
+  }
+
+  /** Idempotently register `graft_argmin_centroid(vec, packed, d)` —
+    * `packed` must be a binary literal of k·d big-endian doubles and
+    * `d` an integer literal (they parameterize the generated
+    * operator).
+    */
+  def registerCentroidArgmin(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_argmin_centroid",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 3,
+          s"graft_argmin_centroid expects (vec, packed, d), got " +
+            s"${exprs.length} args")
+        val packed = exprs(1)
+        if (!packed.foldable)
+          throw new IllegalArgumentException(
+            "graft_argmin_centroid: 'packed' must be a binary literal")
+        val bytes = packed.eval() match {
+          case b: Array[Byte] => b
+          case other => throw new IllegalArgumentException(
+            s"graft_argmin_centroid: 'packed' must be binary, got $other")
+        }
+        val d = literalInt("graft_argmin_centroid", "d", exprs(2))
+        require(d >= 1 && bytes.length % (8 * d) == 0,
+          s"graft_argmin_centroid: ${bytes.length} bytes is not a " +
+            s"whole number of $d-dim double rows")
+        val buf = java.nio.ByteBuffer.wrap(bytes)
+        val cents = Array.fill(bytes.length / 8)(buf.getDouble)
+        val k = cents.length / d
+        // norms summed left-to-right per row — the exact fold the
+        // least(struct…) formulation used (`c.map(x => x*x).sum`)
+        val norms = Array.tabulate(k) { c =>
+          var acc = 0.0
+          var i = 0
+          while (i < d) { acc += cents(c * d + i) * cents(c * d + i); i += 1 }
+          acc
+        }
+        CentroidArgmin(exprs.head, cents, norms, d)
+      },
+      "built-in")
+
+  /** Argmin centroid assignment as a Column: `struct(d2, cid)` of the
+    * nearest centroid per vector. The matrix is packed into ONE binary
+    * literal, so plan size is independent of k.
+    */
+  def centroidArgmin(spark: SparkSession, vec: Column,
+                     centroids: Array[Array[Double]]): Column = {
+    require(centroids.nonEmpty, "centroidArgmin: need at least 1 centroid")
+    val d = centroids.head.length
+    require(centroids.forall(_.length == d),
+      "centroidArgmin: ragged centroid matrix")
+    registerCentroidArgmin(spark)
+    val buf = java.nio.ByteBuffer.allocate(centroids.length * d * 8)
+    centroids.foreach(_.foreach(buf.putDouble))
+    call_function("graft_argmin_centroid", vec,
+      org.apache.spark.sql.functions.lit(buf.array()),
+      org.apache.spark.sql.functions.lit(d))
   }
 
   /** Idempotently register `graft_dbits(d)` ([[DoubleOrderBits]]). */

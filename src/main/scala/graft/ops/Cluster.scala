@@ -66,18 +66,18 @@ object Cluster {
     vectors(s, emb).select(col("vec_id"), col("v"),
       assignExpr(s, centroids).getField("cid").as("cluster_id"))
 
-  // argmin_c ||v - c||^2 = argmin_c (|c|^2 - 2 v·c): one DotProduct
-  // per centroid against a broadcast literal, ties to the lower id
+  // argmin_c ||v - c||^2 = argmin_c (|c|^2 - 2 v·c): ONE codegen'd
+  // loop over the packed centroid matrix, ties to the lower id.
+  // The least(struct(d2, cid)…)-of-k-DotProducts form this replaces
+  // generated O(k) code and collapsed at k >= 64 (4× slower than
+  // k=32 on the same data — Janino gives up on the plan); the packed
+  // expression is O(1) in k, which is what lets IVF/SemDeDup cell
+  // counts grow with the corpus. Bit-exact parity with the old form
+  // (same fold order, ties, NaN ordering) is pinned by
+  // CentroidParitySpec.
   private def assignExpr(s: SparkSession,
-                         centroids: Array[Array[Double]]): org.apache.spark.sql.Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      val cLit = array(c.toIndexedSeq.map(lit): _*)
-      val d2 = lit(c.map(x => x * x).sum) -
-        lit(2.0) * graft.functions.VectorFunctions.dot(s, col("v"), cLit)
-      struct(d2.as("d2"), lit(i).as("cid"))
-    }
-    least(scored.toIndexedSeq: _*)
-  }
+                         centroids: Array[Array[Double]]): org.apache.spark.sql.Column =
+    graft.functions.VectorFunctions.centroidArgmin(s, col("v"), centroids)
 
   /** The Lloyd iteration alone: returns the trained centroids (k × d
     * doubles on the driver) — the coarse-quantizer training step

@@ -1,0 +1,100 @@
+package graft
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** CentroidArgmin must be a drop-in for the least(struct(d2, cid)…)
+  * expression tree it replaced: same fold order, same tie-break, same
+  * NaN ordering, same short-vector rule — bit for bit, so every
+  * recorded k-means/IVF/SemDeDup artifact reproduces across the swap.
+  */
+class CentroidParitySpec extends SparkSpec {
+
+  // the r6–r12 formulation, verbatim: one DotProduct per centroid
+  // under least(struct(d2, cid))
+  private def oldAssign(centroids: Array[Array[Double]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val cLit = array(c.toIndexedSeq.map(lit): _*)
+      val d2 = lit(c.map(x => x * x).sum) -
+        lit(2.0) * VectorFunctions.dot(spark, col("v"), cLit)
+      struct(d2.as("d2"), lit(i).as("cid"))
+    }
+    least(scored.toIndexedSeq: _*)
+  }
+
+  private def vecs = {
+    import org.apache.spark.sql.types._
+    ops.Sources.table(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+  }
+
+  test("bit-identical to the least(struct) form on the fixture, k=8") {
+    val cents = ops.Cluster.kmeansCentroids(spark,
+      ops.Sources.table(spark, sf, "embeddings"), 8, 3)
+    val both = vecs.select(col("vec_id"),
+        oldAssign(cents).as("o"),
+        VectorFunctions.centroidArgmin(spark, col("v"), cents).as("n"))
+      .select(col("vec_id"),
+        col("o.cid").as("ocid"), col("n.cid").as("ncid"),
+        graft.functions.VectorFunctions.dbits(spark, col("o.d2")).as("od2"),
+        graft.functions.VectorFunctions.dbits(spark, col("n.d2")).as("nd2"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getInt(1) == r.getInt(2), s"cid drift on vec ${r.getLong(0)}")
+      assert(r.getLong(3) == r.getLong(4),
+        s"d2 bit drift on vec ${r.getLong(0)}")
+    }
+  }
+
+  test("exact-tie between duplicate centroids resolves to the lower cid") {
+    val cents = Array(Array(1.0, 0.0), Array(0.5, 0.5), Array(1.0, 0.0))
+    val df = spark.range(1).select(
+      expr("array(CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE))").as("v"))
+    val got = df.select(
+      VectorFunctions.centroidArgmin(spark, col("v"), cents)
+        .getField("cid")).head().getInt(0)
+    assert(got == 0, s"tie should keep the lower cid, got $got")
+  }
+
+  test("NaN centroid loses to any real centroid (struct-ordering rule)") {
+    val cents = Array(Array(Double.NaN, 0.0), Array(10.0, 10.0))
+    val df = spark.range(1).select(
+      expr("array(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE))").as("v"))
+    val both = df.select(
+      oldAssign(cents).getField("cid").as("o"),
+      VectorFunctions.centroidArgmin(spark, col("v"), cents)
+        .getField("cid").as("n")).head()
+    assert(both.getInt(0) == both.getInt(1),
+      s"NaN handling drift: old=${both.getInt(0)} new=${both.getInt(1)}")
+    assert(both.getInt(1) == 1)
+  }
+
+  test("null vector propagates to a null assignment") {
+    val df = spark.range(1)
+      .select(lit(null).cast("array<double>").as("v"))
+    val r = df.select(VectorFunctions
+      .centroidArgmin(spark, col("v"), Array(Array(1.0)))).head()
+    assert(r.isNullAt(0))
+  }
+
+  test("generated code size is O(1) in k: k=256 plans and evaluates") {
+    val cents = Array.tabulate(256, 16) { (c, i) =>
+      (c * 16 + i).toDouble / 4096.0 }
+    val df = spark.range(64).select(col("id"), expr(
+      "transform(sequence(1, 16), i -> CAST(id * i AS DOUBLE) / 16.0)")
+      .as("v"))
+    val out = df.select(col("id"), VectorFunctions
+        .centroidArgmin(spark, col("v"), cents).getField("cid").as("cid"))
+      .collect()
+    assert(out.length == 64)
+    assert(out.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 256))
+    // and it matches the old form where the old form still compiles
+    val old = df.select(col("id"),
+      oldAssign(cents.map(_.toArray)).getField("cid").as("cid")).collect()
+    assert(out.map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      old.map(r => (r.getLong(0), r.getInt(1))).toSeq)
+  }
+}
