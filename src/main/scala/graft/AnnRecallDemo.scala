@@ -22,7 +22,7 @@ object AnnRecallDemo {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val k = 10
-    val nLists = 16
+    val nLists = sys.env.getOrElse("SPARK_GRAFT_NLISTS", "16").toInt
     val queries = Seq(0L, 1L, 2L, 3L, 4L)
 
     val vecs = graft.sources.SyntheticVecs.vectors(spark, n,
