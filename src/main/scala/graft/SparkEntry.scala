@@ -786,7 +786,8 @@ object SparkEntry {
         |GROUP BY text_hash ORDER BY n_docs DESC, text_hash""".stripMargin,
 
     "sim_search" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
         |SELECT vec_id, round(list_dot_product(v, qv) /
         |(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
@@ -950,7 +951,8 @@ object SparkEntry {
         |ORDER BY user_id, event_id""".stripMargin,
 
     "sim_knn" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
         |p AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
         |round(list_dot_product(a.v, b.v) /
         |(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
@@ -976,7 +978,8 @@ object SparkEntry {
         |ORDER BY t.doc_id""".stripMargin,
 
     "dedup_embed" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |round(list_dot_product(a.v, b.v) /
         |(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim

@@ -51,6 +51,20 @@ object Ann {
     aggregate(signBits, lit(0L), (acc, b) => acc + b)
   }
 
+  /** The similarity surface's vector relation: embedding cast to
+    * double, zero-norm vectors excluded — they have no cosine, and
+    * under ANSI arithmetic the 0/0 THROWS rather than NaNs (the same
+    * rule `TextSim.simSearch`/`simKnn`/`dedupEmbed` and their oracle
+    * CTEs apply).
+    */
+  private def nonZero(s: SparkSession, emb: DataFrame): DataFrame = {
+    val nd = (a: Column, b: Column) =>
+      graft.functions.VectorFunctions.dot(s, a, b)
+    emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      .filter(nd(col("v"), col("v")) > 0.0)
+  }
+
   /** `sim_ann_ivf` — IVF (inverted-file) cosine top-k: the other
     * classic ANN layout. A fixed set of `nLists` coarse centroids
     * partitions the corpus (each vector assigned to its nearest
@@ -72,9 +86,7 @@ object Ann {
   /** [[simAnnIvf]] over any `(vec_id, embedding)` relation. */
   def simAnnIvf(s: SparkSession, emb: DataFrame, queryId: Long,
                 k: Int, nLists: Int, nProbe: Int): DataFrame = {
-    val e = emb
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+    val e = nonZero(s, emb)
     // deterministic coarse centroids: the nLists lowest-id vectors;
     // assignment divides each dot by the centroid's norm (|v| is
     // constant across candidates, so this argmax IS argmax of cosine)
@@ -93,9 +105,7 @@ object Ann {
   def simAnnIvfTrained(s: SparkSession, emb: DataFrame, queryId: Long = 0L,
                        k: Int = 10, nLists: Int = 16, nProbe: Int = 4,
                        iters: Int = 3): DataFrame = {
-    val e = emb
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+    val e = nonZero(s, emb)
     val trained = Cluster.kmeansCentroids(s, emb, nLists, iters)
     val centroids = s.range(1).select(
       array(trained.toIndexedSeq.map(c =>
@@ -149,9 +159,7 @@ object Ann {
   def simAnnLsh(s: SparkSession, emb: DataFrame, queryId: Long,
                 k: Int, nBits: Int, dims: Int): DataFrame = {
     val nd = (a: Column, b: Column) => graft.functions.VectorFunctions.dot(s, a, b)
-    val e = emb
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+    val e = nonZero(s, emb)
       .withColumn("bucket", bucketCode(s, col("v"), dims, nBits))
     val q = e.filter(col("vec_id") === queryId)
       .select(col("v").as("qv"), col("bucket").as("qbucket"))
@@ -184,6 +192,10 @@ object Ann {
                     nLists: Int = 16, iters: Int = 3): Unit = {
     val trained = Cluster.kmeansCentroids(s, emb, nLists, iters)
     Cluster.assignWith(s, emb, trained)
+      // a stored zero-norm vector would make every later probe throw
+      // on its 0/0 cosine — exclude at build time (same nonZero rule)
+      .filter(graft.functions.VectorFunctions
+        .dot(s, col("v"), col("v")) > 0.0)
       .withColumnRenamed("cluster_id", "list_id")
       .write.mode("overwrite").partitionBy("list_id")
       .parquet(s"$indexDir/lists")

@@ -1134,7 +1134,10 @@ object NearDup {
     * that near-duplicate embeddings land in the same k-means cell, so
     * it clusters first and compares only WITHIN a cell — per the
     * paper, this keeps >99% of true pairs on real corpora while
-    * cutting pair work from N² to Σ_c n_c².
+    * cutting pair work from N² to Σ_c n_c² — where n_c counts
+    * DISTINCT vectors: an exact-vector pre-collapse (see the overload)
+    * keeps the massive exact-duplicate groups every real dedup corpus
+    * contains from turning one cell quadratic.
     *
     * Plan shape: one Lloyd's run ([[Cluster.kmeansCentroids]] — per
     * iteration O(N·k·d) map work + a k·d-row shuffle), one broadcast
@@ -1155,6 +1158,10 @@ object NearDup {
     * centroid variant is one `orderBy` swap away and changes nothing
     * structural. Scoring filters on the ROUNDED similarity so the
     * boundary call matches [[TextSim.dedupEmbed]] bit for bit.
+    * Zero-norm vectors are always kept — their cosine is undefined,
+    * and they are excluded from the pair stage entirely (under ANSI
+    * arithmetic the 0/0 division would throw, not NaN; found by the
+    * SemanticDedupSpec zero-vector case).
     *
     * Returns `(vec_id, cluster_id, kept)` for every input vector.
     * NO ORACLE (iterative float k-means is not portably
@@ -1169,6 +1176,10 @@ object NearDup {
   /** [[dedupSemantic]] over any `(vec_id, embedding)` relation. */
   def dedupSemantic(s: SparkSession, emb: DataFrame, k: Int,
                     iters: Int, minSim: Double): DataFrame = {
+    // cos(u, u) = 1.0 exactly, so the exact pre-collapse below may
+    // assume identical nonzero vectors always pair; a minSim above 1
+    // would silently break that assumption
+    require(minSim <= 1.0, s"dedupSemantic: minSim must be <= 1, got $minSim")
     val nd = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
       graft.functions.VectorFunctions.dot(s, a, b)
     // train once on the driver (k×d doubles), assign via ONE broadcast
@@ -1176,20 +1187,52 @@ object NearDup {
     val centroids = Cluster.kmeansCentroids(s, emb, k, iters)
     val assigned = Cluster.assignWith(s, emb, centroids)
       .withColumn("nrm", sqrt(nd(col("v"), col("v"))))
-    val a = assigned.select(col("cluster_id"),
+    // EXACT-VECTOR PRE-COLLAPSE: a real dedup corpus has massive
+    // exact-duplicate groups (the whole point of deduping), and every
+    // copy lands in the SAME argmin cell — 100k copies of one page
+    // would put a 5·10⁹-pair quadratic bucket inside one cell. Group
+    // identical vectors first (one v-keyed shuffle, map-side combined
+    // — duplicate-heavy partitions collapse before they move) and let
+    // only the min-id representative of each group into the pairwise
+    // stage. Provably the same result: for any pair rule fires on,
+    // the group representative is an equally-similar witness with an
+    // id no larger (rep = group min), so drop decisions are
+    // unchanged; non-representatives drop against their own rep
+    // (cos = 1 ≥ minSim). Zero-norm vectors are exempt — their cosine
+    // is NaN, which the pairwise rule never drops, so collapsing them
+    // would change semantics.
+    val grpMin = min(col("vec_id")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("v")))
+    val marked = assigned.withColumn("rep_id",
+      when(col("nrm") > 0.0, grpMin).otherwise(col("vec_id")))
+    // zero-norm vectors never enter the pair stage at all: their
+    // cosine is undefined (0/0 — under ANSI arithmetic the division
+    // THROWS, it does not NaN), so they can never satisfy the drop
+    // rule; they pass through as kept
+    val reps = marked.filter(col("vec_id") === col("rep_id") &&
+      col("nrm") > 0.0)
+    val a = reps.select(col("cluster_id"),
       col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = assigned.select(col("cluster_id"),
+    val b = reps.select(col("cluster_id"),
       col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
     // the blocked self-join: shuffle both sides on cluster_id, score
     // pairs in-cell only; `vec_a < vec_b` halves the pair scan and
     // makes "dropped" well-defined (the larger id of each hot pair)
-    val dropped = a.join(b, Seq("cluster_id"))
+    val pairDropped = a.join(b, Seq("cluster_id"))
       .filter(col("vec_a") < col("vec_b") &&
         round(nd(col("va"), col("vb")) / (col("na") * col("nb")), 4)
           >= minSim)
       .select(col("vec_b").as("vec_id")).distinct()
-    assigned
-      .join(dropped.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+    // dropped = non-representatives (their rep is the witness) plus
+    // pairwise-dropped representatives
+    val exactDropped = marked.filter(col("vec_id") =!= col("rep_id"))
+      .select(col("vec_id"))
+    // disjoint by construction (pairDropped ⊆ representatives,
+    // exactDropped = non-representatives), so plain union-all — a
+    // distinct here would be a whole extra shuffle for nothing
+    marked
+      .join(pairDropped.union(exactDropped)
+        .withColumn("dup", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster_id").cast(LongType),
         coalesce(!col("dup"), lit(true)).as("kept"))
       .orderBy("vec_id")

@@ -176,6 +176,11 @@ object TextSim {
     val nd = (a: Column, b: Column) => graft.functions.VectorFunctions.dot(s, a, b)
     val e = emb
       .select(col("vec_id"), vecAsDouble(col("embedding")).as("v"))
+      // zero-norm vectors have no cosine: under ANSI arithmetic the
+      // 0/0 would THROW (not NaN), so the whole similarity surface
+      // restricts its vector relation to nonzero norms — mirrored in
+      // every oracle's CTE (`list_dot_product(v, v) > 0`)
+      .filter(nd(col("v"), col("v")) > 0.0)
     val q = e.filter(col("vec_id") === queryId).select(col("v").as("qv"))
     e.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
@@ -210,6 +215,9 @@ object TextSim {
     val e = emb
       .select(col("vec_id"), vecAsDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(nd(col("v"), col("v"))))
+      // no cosine for zero-norm vectors (ANSI 0/0 throws) — excluded
+      // here and in the oracle CTE alike
+      .filter(col("nrm") > 0.0)
     // repartition the probe side: a small embeddings file is one input
     // split, which would pin the whole N·M pair scan to a single task
     val a = e.repartition(s.sparkContext.defaultParallelism)
@@ -247,6 +255,9 @@ object TextSim {
     val e = emb
       .select(col("vec_id"), vecAsDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(nd(col("v"), col("v"))))
+      // no cosine for zero-norm vectors (ANSI 0/0 throws) — excluded
+      // here and in the oracle CTE alike
+      .filter(col("nrm") > 0.0)
     val probe = e.repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     val cand = e.select(col("vec_id").as("nid"), col("v").as("nv"),

@@ -88,6 +88,45 @@ class SemanticDedupSpec extends SparkSpec {
     }
   }
 
+  test("a massive exact-duplicate group collapses before the pair stage") {
+    // 2000 copies of one vector + the fixture corpus: without the
+    // exact pre-collapse this is a 2M-pair bucket inside one cell;
+    // with it, one representative enters the pairwise stage and all
+    // copies drop against it
+    val emb = ops.Sources.table(spark, sf, "embeddings")
+      .select("vec_id", "embedding")
+    val maxId = emb.agg(max("vec_id")).head().getLong(0)
+    val template = emb.orderBy("vec_id").limit(1)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val copies = spark.range(2000).select(
+      (col("id") + lit(maxId + 1L)).as("vec_id"),
+      lit(template.toArray).cast("array<float>").as("embedding"))
+    val out = NearDup.dedupSemantic(spark, emb.union(copies), 8, 3, minSim)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val copyIds = (1L to 2000L).map(_ + maxId)
+    // every planted copy drops (its group representative is the
+    // original, which has the smallest id of the group)
+    copyIds.foreach(id => assert(!out(id), s"exact copy $id survived"))
+    assert(out.size == emb.count() + 2000)
+  }
+
+  test("identical zero vectors are all kept (NaN cosine never drops)") {
+    val emb = ops.Sources.table(spark, sf, "embeddings")
+      .select("vec_id", "embedding")
+    val maxId = emb.agg(max("vec_id")).head().getLong(0)
+    val d = emb.orderBy("vec_id").limit(1)
+      .select(size(col("embedding"))).head().getInt(0)
+    val zeros = spark.range(3).select(
+      (col("id") + lit(maxId + 1L)).as("vec_id"),
+      expr(s"transform(sequence(1, $d), i -> CAST(0.0 AS FLOAT))")
+        .as("embedding"))
+    val out = NearDup.dedupSemantic(spark, emb.union(zeros), 8, 3, minSim)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    (1L to 3L).foreach { i =>
+      assert(out(maxId + i), s"zero vector ${maxId + i} wrongly dropped")
+    }
+  }
+
   test("cells agree with the trained assignment (blocking is honest)") {
     val emb = ops.Sources.table(spark, sf, "embeddings")
     val cents = Cluster.kmeansCentroids(spark, emb, 8, 3)
