@@ -57,14 +57,21 @@ object SemDedupDemo {
       f"     ($plantedDropped/$plantedTotal exact copies caught; " +
       f"$falseDrops non-planted drops at cos >= $minSim)")
 
-    val cells = out.groupBy("cluster_id").count()
-      .collect().map(_.getLong(1))
-    val pairWork = cells.map(c => c * (c - 1) / 2).sum
+    // pair work counts DISTINCT vectors per cell — the exact-dup
+    // pre-collapse means only group representatives reach the pair
+    // join, so this is what the join actually scans
+    val cells = out.join(corpus, "vec_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("embedding")).as("reps"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val pairWork = cells.map { case (_, r) => r * (r - 1) / 2 }.sum
     val exactWork = m * (m - 1) / 2
-    println(f"cell sizes         min ${cells.min}, max ${cells.max}, " +
-      f"mean ${cells.sum / cells.length}")
-    println(f"pair work          $pairWork%,d in-cell vs $exactWork%,d " +
-      f"all-pairs = ${exactWork.toDouble / pairWork}%.1fx reduction")
+    println(f"cell sizes         min ${cells.map(_._1).min}, " +
+      f"max ${cells.map(_._1).max}, mean ${cells.map(_._1).sum / cells.length}" +
+      f" (distinct reps: min ${cells.map(_._2).min}, max ${cells.map(_._2).max})")
+    println(f"pair work          $pairWork%,d in-cell (reps only) vs " +
+      f"$exactWork%,d all-pairs = ${exactWork.toDouble / pairWork}%.1fx reduction")
     out.unpersist(blocking = false)
 
     if (sys.env.get("SPARK_GRAFT_SEMDEDUP_EXACT").contains("1")) {
