@@ -462,6 +462,22 @@ case class CentroidArgmin(child: Expression, cents: Array[Double],
     })
   }
 
+  // case-class equality over Array fields is REFERENCE equality, so
+  // two independently-built assignments over the same matrix would
+  // compare unequal and defeat Catalyst's subexpression elimination
+  // ([[graft.ops.Cluster.kmeansAssign]] builds the expression twice —
+  // once per projected field); compare by content like the
+  // least(struct…) tree this replaced did
+  override def equals(o: Any): Boolean = o match {
+    case that: CentroidArgmin =>
+      child == that.child && d == that.d &&
+        java.util.Arrays.equals(cents, that.cents) &&
+        java.util.Arrays.equals(norms, that.norms)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode() + d) + java.util.Arrays.hashCode(cents)
+
   override protected def withNewChildInternal(c: Expression): CentroidArgmin =
     copy(child = c)
 }

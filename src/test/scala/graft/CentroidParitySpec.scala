@@ -80,6 +80,26 @@ class CentroidParitySpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("independently built assignments are value-equal (CSE-able)") {
+    // kmeansAssign builds the expression once per projected field;
+    // if Array-field reference equality leaked into equals, Catalyst
+    // subexpression elimination would see two distinct expressions
+    // and evaluate the k·d loop twice per row
+    val m = Array(Array(1.0, 2.0), Array(3.0, 4.0))
+    val df = spark.range(1)
+      .select(expr("array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE))").as("v"))
+      .select(
+        VectorFunctions.centroidArgmin(spark, col("v"), m.map(_.clone()))
+          .getField("cid").as("a"),
+        VectorFunctions.centroidArgmin(spark, col("v"), m.map(_.clone()))
+          .getField("d2").as("b"))
+    val nodes = df.queryExecution.analyzed.expressions.flatMap(_.collect {
+      case c: graft.functions.CentroidArgmin => c })
+    assert(nodes.length == 2)
+    assert(nodes(0) == nodes(1), "content equality")
+    assert(nodes(0).semanticEquals(nodes(1)), "semantic equality")
+  }
+
   test("generated code size is O(1) in k: k=256 plans and evaluates") {
     val cents = Array.tabulate(256, 16) { (c, i) =>
       (c * 16 + i).toDouble / 4096.0 }
