@@ -585,6 +585,12 @@ object VectorFunctions {
         require(d >= 1 && bytes.length % (8 * d) == 0,
           s"graft_argmin_centroid: ${bytes.length} bytes is not a " +
             s"whole number of $d-dim double rows")
+        // k=0 would sail through the modulo check and then assign
+        // every row to a nonexistent centroid 0 (the eval loop never
+        // runs) — the SQL registration path must refuse it like the
+        // Column entry point does
+        require(bytes.nonEmpty,
+          "graft_argmin_centroid: need at least 1 centroid row")
         val buf = java.nio.ByteBuffer.wrap(bytes)
         val cents = Array.fill(bytes.length / 8)(buf.getDouble)
         val k = cents.length / d
@@ -684,30 +690,37 @@ object VectorFunctions {
     dot(spark, a, b) / (sqrt(dot(spark, a, a)) * sqrt(dot(spark, b, b)))
   }
 
-  /** Register `graft_might_contain(h)` bound to THIS broadcast Bloom
-    * filter ([[BloomProbe]]). The builder captures the filter, so the
-    * latest registration wins — one active filter name per session.
-    * Callers use [[mightContain]], which registers and resolves the
-    * column in one step (DataFrame analysis is eager, so the binding
-    * is pinned before any later re-registration can occur).
+  private val mightContainSeq = new java.util.concurrent.atomic.AtomicLong
+
+  /** Register a `graft_might_contain_<n>(h)` bound to THIS broadcast
+    * Bloom filter ([[BloomProbe]]) and return the generated name. The
+    * name is UNIQUE PER REGISTRATION: a session-global fixed name
+    * would let two threads sharing one SparkSession race —
+    * `createOrReplaceTempFunction` from thread B could swap the
+    * builder between thread A's `call_function` and its DataFrame's
+    * analysis, silently binding A's probe to B's filter. One registry
+    * entry per [[graft.ops.NearDup.dedupBloom]] call is the price
+    * (bounded by calls per session, each entry a closure over a
+    * broadcast HANDLE).
     */
   def registerMightContain(spark: SparkSession,
       bf: org.apache.spark.broadcast.Broadcast[
-        org.apache.spark.util.sketch.BloomFilter]): Unit =
+        org.apache.spark.util.sketch.BloomFilter]): String = {
+    val name = s"graft_might_contain_${mightContainSeq.incrementAndGet()}"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_might_contain",
+      name,
       { exprs: Seq[Expression] =>
         require(exprs.length == 1,
-          s"graft_might_contain expects (h), got ${exprs.length} args")
+          s"$name expects (h), got ${exprs.length} args")
         BloomProbe(exprs.head, bf)
       },
       "built-in")
+    name
+  }
 
   /** Codegen'd Bloom membership probe as a Column. */
   def mightContain(spark: SparkSession, h: Column,
       bf: org.apache.spark.broadcast.Broadcast[
-        org.apache.spark.util.sketch.BloomFilter]): Column = {
-    registerMightContain(spark, bf)
-    call_function("graft_might_contain", h)
-  }
+        org.apache.spark.util.sketch.BloomFilter]): Column =
+    call_function(registerMightContain(spark, bf), h)
 }

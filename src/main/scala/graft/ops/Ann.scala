@@ -57,13 +57,10 @@ object Ann {
     * rule `TextSim.simSearch`/`simKnn`/`dedupEmbed` and their oracle
     * CTEs apply).
     */
-  private def nonZero(s: SparkSession, emb: DataFrame): DataFrame = {
-    val nd = (a: Column, b: Column) =>
-      graft.functions.VectorFunctions.dot(s, a, b)
-    emb.select(col("vec_id"),
+  private def nonZero(s: SparkSession, emb: DataFrame): DataFrame =
+    emb.filter(TextSim.nonZeroNorm(s, col("embedding")))
+      .select(col("vec_id"),
         transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-      .filter(nd(col("v"), col("v")) > 0.0)
-  }
 
   /** `sim_ann_ivf` — IVF (inverted-file) cosine top-k: the other
     * classic ANN layout. A fixed set of `nLists` coarse centroids

@@ -1191,8 +1191,12 @@ object NearDup {
     // exact-duplicate groups (the whole point of deduping), and every
     // copy lands in the SAME argmin cell — 100k copies of one page
     // would put a 5·10⁹-pair quadratic bucket inside one cell. Group
-    // identical vectors first (one v-keyed shuffle, map-side combined
-    // — duplicate-heavy partitions collapse before they move) and let
+    // identical vectors via ONE v-keyed window (every row must cross
+    // the wire once to meet its copies — a groupBy+join-back would
+    // partial-aggregate map-side but then pay a SECOND full-width
+    // v-keyed shuffle for the join, strictly more movement; the
+    // 100k-copy group lands in one window partition, a linear min
+    // scan) and let
     // only the min-id representative of each group into the pairwise
     // stage. Provably the same result: for any pair rule fires on,
     // the group representative is an equally-similar witness with an

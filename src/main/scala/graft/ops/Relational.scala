@@ -289,7 +289,22 @@ object Relational {
   def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
                  salts: Int = 16, hotThreshold: Long = 100000L,
                  maxHotKeys: Int = 10000): DataFrame = {
+    // NOTE: detection is an EAGER job over `skewed`'s lineage, and the
+    // join then recomputes that lineage — fine over a scan (the bench
+    // case), a double evaluation of anything expensive. Callers with a
+    // costly upstream should persist it first, or skip detection
+    // entirely via the knownHotKeys overload (skew is often stable
+    // run to run — yesterday's hot keys are today's).
     val hotKeys = detectHotKeys(skewed, key, hotThreshold, maxHotKeys)
+    saltedJoin(skewed, other, key, hotKeys, salts)
+  }
+
+  /** [[saltedJoin]] with caller-supplied hot keys — no detection scan:
+    * the variant for expensive upstreams or externally-known skew.
+    */
+  def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
+                 knownHotKeys: Seq[Any], salts: Int): DataFrame = {
+    val hotKeys = knownHotKeys
     if (hotKeys.isEmpty) {
       skewed.join(other, Seq(key))
     } else {

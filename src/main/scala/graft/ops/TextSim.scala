@@ -161,6 +161,22 @@ object TextSim {
   private def vecAsDouble(c: Column): Column =
     transform(c, x => x.cast(DoubleType))
 
+  /** `|v|² > 0` on the RAW embedding column — the zero-norm exclusion
+    * predicate of the similarity surface. Built from a native array
+    * CAST (not the `transform` lambda [[vecAsDouble]] uses): predicate
+    * pushdown moves this filter below the projection, and a pushed
+    * `transform` is CodegenFallback — the scan filter would run the
+    * per-element lambda interpreted, twice per row, on every corpus
+    * row (a found regression, not a hypothetical). Elementwise
+    * float→double cast is exact, so the value is bit-identical to
+    * `dot(vecAsDouble(c), vecAsDouble(c))` and to the oracles'
+    * `list_dot_product(CAST(embedding AS DOUBLE[]), …)`.
+    */
+  private[ops] def nonZeroNorm(s: SparkSession, c: Column): Column = {
+    val d = c.cast(ArrayType(DoubleType))
+    graft.functions.VectorFunctions.dot(s, d, d) > 0.0
+  }
+
   /** `sim_search` — L5, brute-force cosine top-k against a broadcast
     * query vector. Plan shape: 1-row aggregate (the query vector) →
     * broadcast nested-loop join (1×N, i.e. a map) → per-partition
@@ -175,12 +191,14 @@ object TextSim {
                 k: Int): DataFrame = {
     val nd = (a: Column, b: Column) => graft.functions.VectorFunctions.dot(s, a, b)
     val e = emb
-      .select(col("vec_id"), vecAsDouble(col("embedding")).as("v"))
       // zero-norm vectors have no cosine: under ANSI arithmetic the
       // 0/0 would THROW (not NaN), so the whole similarity surface
       // restricts its vector relation to nonzero norms — mirrored in
-      // every oracle's CTE (`list_dot_product(v, v) > 0`)
-      .filter(nd(col("v"), col("v")) > 0.0)
+      // every oracle's CTE (`list_dot_product(v, v) > 0`). Filtered
+      // on the RAW column (see nonZeroNorm) so the scan filter stays
+      // codegen'd
+      .filter(nonZeroNorm(s, col("embedding")))
+      .select(col("vec_id"), vecAsDouble(col("embedding")).as("v"))
     val q = e.filter(col("vec_id") === queryId).select(col("v").as("qv"))
     e.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
@@ -213,11 +231,12 @@ object TextSim {
     // norm once per vector (N dots), not once per pair (3·N² dots)
     val nd = (a: Column, b: Column) => graft.functions.VectorFunctions.dot(s, a, b)
     val e = emb
+      // no cosine for zero-norm vectors (ANSI 0/0 throws) — excluded
+      // here and in the oracle CTE alike, on the raw column so the
+      // scan filter stays codegen'd (see nonZeroNorm)
+      .filter(nonZeroNorm(s, col("embedding")))
       .select(col("vec_id"), vecAsDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(nd(col("v"), col("v"))))
-      // no cosine for zero-norm vectors (ANSI 0/0 throws) — excluded
-      // here and in the oracle CTE alike
-      .filter(col("nrm") > 0.0)
     // repartition the probe side: a small embeddings file is one input
     // split, which would pin the whole N·M pair scan to a single task
     val a = e.repartition(s.sparkContext.defaultParallelism)
@@ -253,11 +272,12 @@ object TextSim {
   def simKnn(s: SparkSession, emb: DataFrame, k: Int): DataFrame = {
     val nd = (a: Column, b: Column) => graft.functions.VectorFunctions.dot(s, a, b)
     val e = emb
+      // no cosine for zero-norm vectors (ANSI 0/0 throws) — excluded
+      // here and in the oracle CTE alike, on the raw column so the
+      // scan filter stays codegen'd (see nonZeroNorm)
+      .filter(nonZeroNorm(s, col("embedding")))
       .select(col("vec_id"), vecAsDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(nd(col("v"), col("v"))))
-      // no cosine for zero-norm vectors (ANSI 0/0 throws) — excluded
-      // here and in the oracle CTE alike
-      .filter(col("nrm") > 0.0)
     val probe = e.repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     val cand = e.select(col("vec_id").as("nid"), col("v").as("nv"),
