@@ -141,6 +141,10 @@ object SparkEntry {
     "decontaminate" -> ((s, d) => NearDup.decontaminate(s, d)),
     "dedup_incremental" -> (NearDup.dedupIncremental _),
     "dedup_chunk" -> ((s, d) => NearDup.dedupChunk(s, d)),
+    // portable-hash twins of the xxhash64 production paths: identical
+    // banding/vote logic, md5-derived 60-bit hashes DuckDB reproduces
+    "dedup_simhash_portable" -> (NearDup.dedupSimhashPortable _),
+    "dedup_minhash_portable" -> ((s, d) => NearDup.dedupMinhashPortable(s, d)),
     // no-oracle ops (driver records rows-only checks)
     "dedup_bloom" -> ((s, d) => NearDup.dedupBloom(s, d)),
     "freq_items" -> ((s, d) => Aggregates.freqItems(s, d)),
@@ -212,6 +216,19 @@ object SparkEntry {
     */
   private def dsumSql(c: String, scale: Int = 4): String =
     s"CAST(SUM(CAST($c AS DECIMAL(18,$scale))) AS DOUBLE)"
+
+  /** DuckDB reconstruction of the 60-bit hash Spark computes as
+    * `CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT)`: a
+    * nibble-weighted sum over the same md5 hex string (`$hx` must be a
+    * column already holding `md5(x)`). Term i contributes
+    * `nibble_value * 16^(15-i)`; max value 2⁶⁰−1, inside BIGINT on
+    * both engines. Shared by the `dedup_simhash_portable` /
+    * `dedup_minhash_portable` oracles.
+    */
+  private def hex60Sql(hx: String): String =
+    (1 to 15).map { i =>
+      s"(strpos('0123456789abcdef', substring($hx, $i, 1)) - 1) * ${1L << (4 * (15 - i))}"
+    }.mkString("(", " + ", ")")
 
   /** Shared recursive-CTE prefix: n-gram near-dup pairs → transitive
     * reachability (the SQL mirror of [[graft.ops.NearDup.dedupNgram]]
@@ -1154,6 +1171,66 @@ object SparkEntry {
         |round(CAST(shared AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - shared AS DOUBLE), 4) AS jaccard
         |FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b) p
         |WHERE jaccard >= ${NearDup.DefaultMinJaccard} ORDER BY doc_a, doc_b""".stripMargin,
+
+    // portable SimHash: same tokenization as text_tokens, 60-bit
+    // md5-nibble hash (hex60Sql), votes per bit, positive votes pack
+    // into the signature, 4 x 15-bit bands — the full vote/band logic
+    // of NearDup.simhash under a hash both engines compute.
+    "dedup_simhash_portable" ->
+      raw"""WITH toks AS (SELECT DISTINCT doc_id, token FROM
+        |(SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents) t
+        |WHERE token <> ''),
+        |hx AS (SELECT doc_id, md5(token) AS h FROM toks),
+        |thv AS (SELECT doc_id, ${hex60Sql("h")} AS th FROM hx),
+        |votes AS (SELECT doc_id, p, sum(CASE WHEN (th // CAST(power(2, p) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+        |FROM thv CROSS JOIN range(0, 60) AS ps(p) GROUP BY doc_id, p),
+        |sh AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS simhash
+        |FROM votes GROUP BY doc_id)
+        |SELECT doc_id, CAST(simhash AS BIGINT) AS simhash,
+        |CAST((simhash // 35184372088832) % 32768 AS BIGINT) AS band0,
+        |CAST((simhash // 1073741824) % 32768 AS BIGINT) AS band1,
+        |CAST((simhash // 32768) % 32768 AS BIGINT) AS band2,
+        |CAST(simhash % 32768 AS BIGINT) AS band3
+        |FROM sh ORDER BY doc_id""".stripMargin,
+
+    // portable MinHash+LSH: clusterReachSql's shingling, ONE md5-60
+    // base hash per shingle (hex60Sql), 16 affine-mod-Mersenne
+    // permutation minima whose integer arithmetic is pasted VERBATIM
+    // from NearDup.affineHashSql (only the integer-division token
+    // differs: Spark `div`, DuckDB `//`), 4-slot comma-joined band
+    // keys, bucketed candidate join, agreement-count Jaccard >= 0.4,
+    // 1-row exact-integer summary (single IEEE division for the avg).
+    "dedup_minhash_portable" -> {
+      val minCols = NearDup.PortableSeeds.zipWithIndex.map {
+        case ((a, b), i) =>
+          s"min(${NearDup.affineHashSql("th", a, b, "//")}) AS mh$i"
+      }.mkString(", ")
+      val bandRows = (0 until 4).map { bI =>
+        val key = (bI * 4 until bI * 4 + 4)
+          .map(j => s"CAST(mh$j AS VARCHAR)").mkString(" || ',' || ")
+        s"SELECT doc_id, $bI AS band_idx, $key AS band_key FROM hvw"
+      }.mkString(" UNION ALL ")
+      val matches = (0 until 16)
+        .map(i => s"(CASE WHEN wa.mh$i = wb.mh$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      raw"""WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+        |idx AS (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i FROM t),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS sh FROM idx),
+        |gx AS (SELECT doc_id, ${hex60Sql("h")} AS th FROM (SELECT doc_id, md5(sh) AS h FROM g) q),
+        |hvw AS (SELECT doc_id, $minCols FROM gx GROUP BY doc_id),
+        |bk AS ($bandRows),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM bk a JOIN bk b USING (band_idx, band_key) WHERE a.doc_id < b.doc_id),
+        |pm AS (SELECT c.doc_a, c.doc_b, $matches AS matches
+        |FROM cand c JOIN hvw wa ON wa.doc_id = c.doc_a
+        |JOIN hvw wb ON wb.doc_id = c.doc_b),
+        |flt AS (SELECT * FROM pm WHERE CAST(matches AS DOUBLE) / 16 >= 0.4)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |CAST(coalesce(sum(matches), 0) AS BIGINT) AS sum_matches,
+        |CASE WHEN count(*) = 0 THEN 0.0
+        |ELSE CAST(sum(matches) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 16) END AS avg_jaccard
+        |FROM flt""".stripMargin
+    },
 
     "agg_weighted" ->
       s"""SELECT l_returnflag,

@@ -11,6 +11,14 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * `xxhash64(token)`; the final value packs positive-vote bits into
   * one long.
   *
+  * A `LongType` child is taken as the token hash ITSELF (no further
+  * hashing) — the portable-oracle path ([[graft.ops.NearDup
+  * .simhashPortable]]) feeds an md5-derived 60-bit value that DuckDB
+  * can reproduce nibble-by-nibble, so the vote/packing logic here is
+  * what the oracle actually checks. Bits ≥ the child's width always
+  * vote −1 and pack to 0, keeping the result inside the child's
+  * range.
+  *
   * Scalar slots, not an array buffer, for the same reason as
   * [[MinHashSigAgg]]: every update/merge is a plain
   * `slot + (bit ? 1 : −1)` / `left + right` expression — no
@@ -35,10 +43,11 @@ case class SimHashSigAgg(child: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
-      case org.apache.spark.sql.types.StringType =>
+      case org.apache.spark.sql.types.StringType | LongType =>
         TypeCheckResult.TypeCheckSuccess
       case t => TypeCheckResult.TypeCheckFailure(
-        s"graft_simhash requires a string column, got $t")
+        "graft_simhash requires a string (token) or bigint " +
+          s"(precomputed hash) column, got $t")
     }
 
   private lazy val slots: IndexedSeq[AttributeReference] =
@@ -50,9 +59,16 @@ case class SimHashSigAgg(child: Expression)
   override lazy val initialValues: Seq[Expression] =
     Seq.fill(64)(Literal(0L))
 
-  /** ±1 by bit p of xxhash64(token). */
+  /** ±1 by bit p of the token hash: `xxhash64(token)` for a string
+    * child, the child value itself for a long child (the portable
+    * md5-derived path). The repeated hash node across the 64 update
+    * expressions is collapsed by codegen subexpression elimination.
+    */
   private def tokenSign(p: Int): Expression = {
-    val hash = XxHash64(Seq(child), 42L)
+    val hash = child.dataType match {
+      case LongType => child
+      case _ => XxHash64(Seq(child), 42L)
+    }
     val bit = BitwiseAnd(ShiftRight(hash, Literal(p)), Literal(1L))
     If(GreaterThan(bit, Literal(0L)), Literal(1L), Literal(-1L))
   }

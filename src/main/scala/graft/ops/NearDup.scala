@@ -84,6 +84,48 @@ object NearDup {
   final val DefaultMinJaccard = 0.2
   final val DefaultMinContain = 0.5
 
+  /** 2⁶¹−1, the Mersenne prime modulus of the portable permutation
+    * family ([[affineHashSql]]).
+    */
+  final val MersenneP = 2305843009213693951L
+
+  /** Deterministic `(a, b)` pairs for the portable MinHash permutation
+    * family `h_i(x) = (a_i·x + b_i) mod (2⁶¹−1)` (min-wise universal
+    * hashing in the Broder 1997 "On the resemblance and containment of
+    * documents" formulation). A fixed-seed splitmix-style LCG, NOT
+    * runtime randomness: the constants are part of the query's
+    * semantics — the DuckDB oracle interpolates the very same values.
+    * `a` is odd and in [1, 2³¹), `b` in [0, 2³¹) — the bounds
+    * [[affineHashSql]]'s no-overflow proof relies on.
+    */
+  val PortableSeeds: IndexedSeq[(Long, Long)] = {
+    var s = 0x9E3779B97F4A7C15L
+    def next(): Long = {
+      s = s * 6364136223846793005L + 1442695040888963407L; s
+    }
+    (0 until 16).map { _ =>
+      ((next() >>> 33) | 1L, next() >>> 33)
+    }
+  }
+
+  /** SQL for `(a·x + b) mod (2⁶¹−1)` over a non-negative `x < 2⁶⁰`,
+    * with every intermediate provably inside a signed 64-bit integer —
+    * the SAME string is pasted into the Spark query (`div` integer
+    * division) and the DuckDB oracle (`//`), so the two engines run
+    * bit-identical arithmetic by construction.
+    *
+    * Decomposition (x = xh·2³⁰ + xl, a < 2³¹, b < 2³¹,
+    * p = 2⁶¹−1): t1 = a·xh mod p (a·xh < 2⁶¹); t1·2³⁰ mod p =
+    * (t1 mod 2³¹)·2³⁰ + t1 div 2³¹ (mod p, since 2⁶¹ ≡ 1) — the sum
+    * is < 2⁶¹+2³⁰; final (t2 + a·xl + b) < 2⁶¹+2⁶¹+2³¹ < 2⁶³.
+    */
+  def affineHashSql(x: String, a: Long, b: Long, div: String): String = {
+    val p = MersenneP
+    val t1 = s"(($a * ($x $div 1073741824)) % $p)"
+    val t2 = s"((($t1 % 2147483648) * 1073741824 + ($t1 $div 2147483648)) % $p)"
+    s"(($t2 + $a * ($x % 1073741824) + $b) % $p)"
+  }
+
   /** `dedup_minhash` — banded MinHash+LSH near-dup summary.
     *
     * Classic banding: the 64-hash signature splits into 16 bands of
@@ -165,6 +207,113 @@ object NearDup {
     out
   }
 
+  /** `dedup_minhash_portable` — the ORACLE-CHECKABLE MinHash+LSH
+    * variant.
+    *
+    * Same banding pipeline as [[dedupMinhash]] (signature → bands →
+    * bucketed candidate join → signature-agreement Jaccard estimate →
+    * 1-row summary), but every hash is DuckDB-reproducible: 3-token
+    * shingles stay as STRINGS (`tok tok tok`), hashed ONCE to a
+    * 60-bit integer (first 15 hex nibbles of `md5(shingle)`, which
+    * the oracle rebuilds as a nibble-weighted sum over the same hex),
+    * then permuted by 16 affine maps `(a_i·x + b_i) mod (2⁶¹−1)` —
+    * [[affineHashSql]] pastes the IDENTICAL overflow-safe integer
+    * arithmetic into both engines, and [[PortableSeeds]] fixes the
+    * constants. One md5 per shingle, not one per (shingle, seed): the
+    * per-seed-md5 first cut benched 4.4 s at sf0.1 with the 16×-md5
+    * signature build dominating (easy to misattribute — a bare
+    * `sigs.count()` profile prunes the min columns and never runs
+    * the md5s); this formulation benches 1.2 s, in line with the
+    * rest of the dedup family, and the affine family is ~20 int ops
+    * per seed AND the theoretically standard min-wise construction
+    * (Broder 1997).
+    * Band keys are the comma-joined decimal minima of `r` consecutive
+    * slots, so candidate generation, the agreement count, and the
+    * ≥ `minSim` cutoff are all hash-compared against the oracle.
+    *
+    * The production path [[dedupMinhash]] stays on xxhash64 shingle
+    * IDs + `xxhash64(slice(sig))` band hashes (no crypto hash at all,
+    * but not computable in DuckDB SQL); the deltas here — md5 base
+    * hash, affine permutations, string band keys, 16 hashes instead
+    * of 64 — are exactly the portability surface, nothing
+    * algorithmic.
+    *
+    * The summary emits exact integers (`n_pairs`, `sum_matches`) plus
+    * one division for `avg_jaccard` — a single IEEE op on exact
+    * integer inputs, bit-identical across engines (never an
+    * accumulation-order-dependent float average).
+    */
+  def dedupMinhashPortable(s: SparkSession, dir: String,
+                           numHashes: Int = 16, bands: Int = 4,
+                           minSim: Double = 0.4): DataFrame =
+    dedupMinhashPortable(s, Sources.table(s, dir, "documents"),
+      numHashes, bands, minSim)
+
+  /** [[dedupMinhashPortable]] over any `(doc_id, text)` relation. */
+  def dedupMinhashPortable(s: SparkSession, docs: DataFrame,
+                           numHashes: Int, bands: Int,
+                           minSim: Double): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    val r = numHashes / bands
+    // unfiltered split — the same tokenization the dedup_ngram /
+    // dedup_cluster oracle family (clusterReachSql) already proves;
+    // shingle strings via the ShingleStrings primitive loop (the
+    // transform/concat_ws lambda spelling evaluates interpreted per
+    // window: 0.82 s vs 0.46 s warm on this stage at sf0.1)
+    val toks = docs.select(col("doc_id"),
+      split(lower(col("text")), "\\s+").as("toks"))
+    val shingles = toks
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.VectorFunctions.shingleStrings(s, col("toks"), 3)))
+        .as("sh"))
+    val hashed = shingles.select(col("doc_id"),
+      expr("CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT)")
+        .as("th"))
+    require(numHashes <= PortableSeeds.length,
+      s"only ${PortableSeeds.length} portable seeds defined")
+    val mins = PortableSeeds.take(numHashes).zipWithIndex.map {
+      case ((a, b), i) =>
+        min(expr(affineHashSql("th", a, b, "div"))).as(s"mh$i")
+    }
+    val sigs = hashed.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val unp = sigs.select(col("doc_id"),
+      posexplode(array((0 until bands).map(b =>
+        concat_ws(",", (b * r until (b + 1) * r)
+          .map(j => col(s"mh$j")): _*)): _*))
+        .as(Seq("band_idx", "band_key")))
+    val cand = unp
+      .select(col("doc_id").as("doc_a"), col("band_idx"), col("band_key"))
+      .join(unp.select(col("doc_id").as("doc_b"), col("band_idx"),
+        col("band_key")), Seq("band_idx", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sigA = sigs.select(col("doc_id").as("doc_a") +:
+      (0 until numHashes).map(i => col(s"mh$i").as(s"a$i")): _*)
+    val sigB = sigs.select(col("doc_id").as("doc_b") +:
+      (0 until numHashes).map(i => col(s"mh$i").as(s"b$i")): _*)
+    val matches = (0 until numHashes).map(i =>
+      when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val scored = cand.join(sigA, "doc_a").join(sigB, "doc_b")
+      .select(col("doc_a"), col("doc_b"), matches.as("matches"))
+      .filter(col("matches").cast(DoubleType) / numHashes >= minSim)
+    val out = scored.agg(
+        count(lit(1)).cast(LongType).as("n_pairs"),
+        coalesce(sum(col("matches")), lit(0L)).cast(LongType)
+          .as("sum_matches"),
+        when(count(lit(1)) === 0, lit(0.0))
+          .otherwise(sum(col("matches")).cast(DoubleType) /
+            (count(lit(1)).cast(DoubleType) * numHashes))
+          .as("avg_jaccard"))
+      .localCheckpoint()
+    sigs.unpersist(blocking = false)
+    out
+  }
+
   /** Per-document 64-bit SimHash over token hashes: bit b of the
     * signature is the sign of Σ_tokens (±1 by bit b of xxhash64(tok)),
     * computed by the declarative aggregate
@@ -198,6 +347,47 @@ object NearDup {
   /** `dedup_simhash` — the declared-query wrapper around [[simhash]]. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     simhash(s, dir)
+
+  /** `dedup_simhash_portable` — the ORACLE-CHECKABLE SimHash variant.
+    *
+    * Identical vote/packing/band logic to [[simhash]] (it runs through
+    * the same [[graft.functions.SimHashSigAgg]] aggregate), but the
+    * per-token hash is the first 15 hex nibbles of `md5(token)` read
+    * as a 60-bit integer — a value DuckDB reconstructs exactly
+    * (nibble-weighted sum over the same md5 hex string), so the full
+    * signature AND the 15-bit band split get a hash-compare oracle.
+    * The production query [[dedupSimhash]] stays on `xxhash64`
+    * (non-cryptographic, ~20× cheaper per token, but not computable
+    * in DuckDB SQL) — the ONLY delta between the two paths is that
+    * hash choice, so this oracle covers everything else.
+    *
+    * 60 bits (not 64) keeps the conv-parsed value inside a signed
+    * long without overflow on either engine; bands are therefore
+    * 4 × 15 bits. Bits 60–63 of the aggregate always vote −1 and pack
+    * to 0 (see [[graft.functions.SimHashSigAgg]]).
+    */
+  def dedupSimhashPortable(s: SparkSession, dir: String): DataFrame =
+    simhashPortable(s, Sources.table(s, dir, "documents"))
+
+  /** [[dedupSimhashPortable]] over any `(doc_id, text)` relation. */
+  def simhashPortable(s: SparkSession, docs: DataFrame): DataFrame = {
+    graft.functions.SimHashAgg.register(s)
+    docs
+      .select(col("doc_id"),
+        explode(array_distinct(split(lower(col("text")), "\\s+"))).as("token"))
+      .filter(col("token") =!= "")
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(token), 1, 15), 16, 10) AS BIGINT)")
+          .as("th"))
+      .groupBy("doc_id")
+      .agg(call_function("graft_simhash", col("th")).as("simhash"))
+      .select(col("doc_id"), col("simhash"),
+        expr("(simhash >> 45) & 32767").as("band0"),
+        expr("(simhash >> 30) & 32767").as("band1"),
+        expr("(simhash >> 15) & 32767").as("band2"),
+        expr("simhash & 32767").as("band3"))
+      .orderBy("doc_id")
+  }
 
   /** Near-dup candidate pairs from simhash band collisions, with exact
     * Hamming distance ≤ `maxHamming`. Join is on the band value —
