@@ -145,6 +145,7 @@ object SparkEntry {
     // banding/vote logic, md5-derived 60-bit hashes DuckDB reproduces
     "dedup_simhash_portable" -> (NearDup.dedupSimhashPortable _),
     "dedup_minhash_portable" -> ((s, d) => NearDup.dedupMinhashPortable(s, d)),
+    "dedup_minhash_incr" -> ((s, d) => NearDup.dedupMinhashIncr(s, d)),
     // no-oracle ops (driver records rows-only checks)
     "dedup_bloom" -> ((s, d) => NearDup.dedupBloom(s, d)),
     "freq_items" -> ((s, d) => Aggregates.freqItems(s, d)),
@@ -229,6 +230,41 @@ object SparkEntry {
     (1 to 15).map { i =>
       s"(strpos('0123456789abcdef', substring($hx, $i, 1)) - 1) * ${1L << (4 * (15 - i))}"
     }.mkString("(", " + ", ")")
+
+  /** Shared CTE prefix of the portable-MinHash oracle family
+    * (`dedup_minhash_portable`, `dedup_minhash_incr`): clusterReachSql's
+    * shingling → one md5-60 base hash per distinct shingle →
+    * [[graft.ops.NearDup.PortableSeeds]] affine permutation minima as
+    * the wide signature relation `hvw(doc_id, mh0..mh15)`. One
+    * definition so the two oracles can never drift from each other —
+    * or from the Spark side, whose arithmetic comes from the same
+    * [[graft.ops.NearDup.affineHashSql]] builder.
+    */
+  private def portableSigCtes: String = {
+    val minCols = NearDup.PortableSeeds.zipWithIndex.map {
+      case ((a, b), i) =>
+        s"min(${NearDup.affineHashSql("th", a, b, "//")}) AS mh$i"
+    }.mkString(", ")
+    raw"""WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+      |idx AS (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i FROM t),
+      |g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS sh FROM idx),
+      |gx AS (SELECT doc_id, ${hex60Sql("h")} AS th FROM (SELECT doc_id, md5(sh) AS h FROM g) q),
+      |hvw AS (SELECT doc_id, $minCols FROM gx GROUP BY doc_id)""".stripMargin
+  }
+
+  /** 4 × 4-slot band rows over a `hvw`-shaped relation `$src`. */
+  private def portableBandSql(src: String): String =
+    (0 until 4).map { bI =>
+      val key = (bI * 4 until bI * 4 + 4)
+        .map(j => s"CAST(mh$j AS VARCHAR)").mkString(" || ',' || ")
+      s"SELECT doc_id, $bI AS band_idx, $key AS band_key FROM $src"
+    }.mkString(" UNION ALL ")
+
+  /** Slot-agreement count between `wa` and `wb` `hvw` rows. */
+  private val portableMatchesSql: String =
+    (0 until 16)
+      .map(i => s"(CASE WHEN wa.mh$i = wb.mh$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
 
   /** Shared recursive-CTE prefix: n-gram near-dup pairs → transitive
     * reachability (the SQL mirror of [[graft.ops.NearDup.dedupNgram]]
@@ -1200,28 +1236,12 @@ object SparkEntry {
     // differs: Spark `div`, DuckDB `//`), 4-slot comma-joined band
     // keys, bucketed candidate join, agreement-count Jaccard >= 0.4,
     // 1-row exact-integer summary (single IEEE division for the avg).
-    "dedup_minhash_portable" -> {
-      val minCols = NearDup.PortableSeeds.zipWithIndex.map {
-        case ((a, b), i) =>
-          s"min(${NearDup.affineHashSql("th", a, b, "//")}) AS mh$i"
-      }.mkString(", ")
-      val bandRows = (0 until 4).map { bI =>
-        val key = (bI * 4 until bI * 4 + 4)
-          .map(j => s"CAST(mh$j AS VARCHAR)").mkString(" || ',' || ")
-        s"SELECT doc_id, $bI AS band_idx, $key AS band_key FROM hvw"
-      }.mkString(" UNION ALL ")
-      val matches = (0 until 16)
-        .map(i => s"(CASE WHEN wa.mh$i = wb.mh$i THEN 1 ELSE 0 END)")
-        .mkString(" + ")
-      raw"""WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
-        |idx AS (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i FROM t),
-        |g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS sh FROM idx),
-        |gx AS (SELECT doc_id, ${hex60Sql("h")} AS th FROM (SELECT doc_id, md5(sh) AS h FROM g) q),
-        |hvw AS (SELECT doc_id, $minCols FROM gx GROUP BY doc_id),
-        |bk AS ($bandRows),
+    "dedup_minhash_portable" ->
+      raw"""$portableSigCtes,
+        |bk AS (${portableBandSql("hvw")}),
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |FROM bk a JOIN bk b USING (band_idx, band_key) WHERE a.doc_id < b.doc_id),
-        |pm AS (SELECT c.doc_a, c.doc_b, $matches AS matches
+        |pm AS (SELECT c.doc_a, c.doc_b, $portableMatchesSql AS matches
         |FROM cand c JOIN hvw wa ON wa.doc_id = c.doc_a
         |JOIN hvw wb ON wb.doc_id = c.doc_b),
         |flt AS (SELECT * FROM pm WHERE CAST(matches AS DOUBLE) / 16 >= 0.4)
@@ -1229,8 +1249,25 @@ object SparkEntry {
         |CAST(coalesce(sum(matches), 0) AS BIGINT) AS sum_matches,
         |CASE WHEN count(*) = 0 THEN 0.0
         |ELSE CAST(sum(matches) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 16) END AS avg_jaccard
-        |FROM flt""".stripMargin
-    },
+        |FROM flt""".stripMargin,
+
+    // incremental probe-vs-corpus variant: same signature relation,
+    // probe batch = doc_id % 4 = 0 banded against the rest, per-pair
+    // agreement rows (exact integers, total ordering on the pair key).
+    "dedup_minhash_incr" ->
+      raw"""$portableSigCtes,
+        |hp AS (SELECT * FROM hvw WHERE doc_id % 4 = 0),
+        |hc AS (SELECT * FROM hvw WHERE doc_id % 4 <> 0),
+        |bkp AS (${portableBandSql("hp")}),
+        |bkc AS (${portableBandSql("hc")}),
+        |cand AS (SELECT DISTINCT a.doc_id AS probe_doc, b.doc_id AS corpus_doc
+        |FROM bkp a JOIN bkc b USING (band_idx, band_key)),
+        |pm AS (SELECT c.probe_doc, c.corpus_doc, $portableMatchesSql AS matches
+        |FROM cand c JOIN hvw wa ON wa.doc_id = c.probe_doc
+        |JOIN hvw wb ON wb.doc_id = c.corpus_doc)
+        |SELECT probe_doc, corpus_doc, CAST(matches AS BIGINT) AS matches
+        |FROM pm WHERE CAST(matches AS DOUBLE) / 16 >= 0.4
+        |ORDER BY probe_doc, corpus_doc""".stripMargin,
 
     "agg_weighted" ->
       s"""SELECT l_returnflag,

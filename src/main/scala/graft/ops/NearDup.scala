@@ -250,12 +250,17 @@ object NearDup {
       numHashes, bands, minSim)
 
   /** [[dedupMinhashPortable]] over any `(doc_id, text)` relation. */
-  def dedupMinhashPortable(s: SparkSession, docs: DataFrame,
-                           numHashes: Int, bands: Int,
-                           minSim: Double): DataFrame = {
-    require(numHashes % bands == 0,
-      s"bands ($bands) must divide numHashes ($numHashes)")
-    val r = numHashes / bands
+  /** Per-document portable MinHash signature (wide: `doc_id,
+    * mh0..mh{n-1}`): one md5-60 base hash per distinct shingle
+    * ([[graft.functions.ShingleStrings]] windows), then the
+    * [[PortableSeeds]] affine permutations, minimized per doc. The
+    * signature every `dedup_minhash_portable`-family query and oracle
+    * shares.
+    */
+  def portableSigs(s: SparkSession, docs: DataFrame,
+                   numHashes: Int): DataFrame = {
+    require(numHashes <= PortableSeeds.length,
+      s"only ${PortableSeeds.length} portable seeds defined")
     // unfiltered split — the same tokenization the dedup_ngram /
     // dedup_cluster oracle family (clusterReachSql) already proves;
     // shingle strings via the ShingleStrings primitive loop (the
@@ -271,20 +276,35 @@ object NearDup {
     val hashed = shingles.select(col("doc_id"),
       expr("CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT)")
         .as("th"))
-    require(numHashes <= PortableSeeds.length,
-      s"only ${PortableSeeds.length} portable seeds defined")
     val mins = PortableSeeds.take(numHashes).zipWithIndex.map {
       case ((a, b), i) =>
         min(expr(affineHashSql("th", a, b, "div"))).as(s"mh$i")
     }
-    val sigs = hashed.groupBy("doc_id")
-      .agg(mins.head, mins.tail: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val unp = sigs.select(col("doc_id"),
+    hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** `(doc_id, band_idx, band_key)` rows from a [[portableSigs]]-shaped
+    * frame: band `b`'s key is the comma-joined decimal minima of its
+    * `r` consecutive slots.
+    */
+  private def portableBandRows(sigs: DataFrame, numHashes: Int,
+                               bands: Int): DataFrame = {
+    val r = numHashes / bands
+    sigs.select(col("doc_id"),
       posexplode(array((0 until bands).map(b =>
         concat_ws(",", (b * r until (b + 1) * r)
           .map(j => col(s"mh$j")): _*)): _*))
         .as(Seq("band_idx", "band_key")))
+  }
+
+  def dedupMinhashPortable(s: SparkSession, docs: DataFrame,
+                           numHashes: Int, bands: Int,
+                           minSim: Double): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    val sigs = portableSigs(s, docs, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val unp = portableBandRows(sigs, numHashes, bands)
     val cand = unp
       .select(col("doc_id").as("doc_a"), col("band_idx"), col("band_key"))
       .join(unp.select(col("doc_id").as("doc_b"), col("band_idx"),
@@ -312,6 +332,143 @@ object NearDup {
       .localCheckpoint()
     sigs.unpersist(blocking = false)
     out
+  }
+
+  /** `dedup_minhash_incr` — ORACLE-CHECKABLE incremental near-dup:
+    * a probe batch (`doc_id % 4 == 0`, the "new arrivals") banded
+    * against the corpus (every other doc), per-pair agreement counts,
+    * ≥ `minSim` cutoff. The incremental shape matters at 100 TB: the
+    * corpus side's signatures are computed independently of the probe
+    * batch, which is exactly what [[minhashIndexWrite]] /
+    * [[minhashIndexProbe]] materialize — this query is the same
+    * dataflow with both sides inline (and on the [[PortableSeeds]]
+    * family) so DuckDB can verify the probe-vs-corpus join, the
+    * agreement arithmetic, and the cutoff end to end, per pair.
+    */
+  def dedupMinhashIncr(s: SparkSession, dir: String,
+                       numHashes: Int = 16, bands: Int = 4,
+                       minSim: Double = 0.4): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    val docs = Sources.table(s, dir, "documents")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sigsP = portableSigs(s, docs.filter(col("doc_id") % 4 === 0),
+      numHashes).persist(lvl)
+    val sigsC = portableSigs(s, docs.filter(col("doc_id") % 4 =!= 0),
+      numHashes).persist(lvl)
+    val cand = portableBandRows(sigsP, numHashes, bands)
+      .select(col("doc_id").as("probe_doc"), col("band_idx"),
+        col("band_key"))
+      .join(portableBandRows(sigsC, numHashes, bands)
+        .select(col("doc_id").as("corpus_doc"), col("band_idx"),
+          col("band_key")), Seq("band_idx", "band_key"))
+      .select("probe_doc", "corpus_doc").distinct()
+    val sigA = sigsP.select(col("doc_id").as("probe_doc") +:
+      (0 until numHashes).map(i => col(s"mh$i").as(s"a$i")): _*)
+    val sigB = sigsC.select(col("doc_id").as("corpus_doc") +:
+      (0 until numHashes).map(i => col(s"mh$i").as(s"b$i")): _*)
+    val matches = (0 until numHashes).map(i =>
+      when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val out = cand.join(sigA, "probe_doc").join(sigB, "corpus_doc")
+      .select(col("probe_doc"), col("corpus_doc"),
+        matches.as("matches"))
+      .filter(col("matches").cast(DoubleType) / numHashes >= minSim)
+      .localCheckpoint()
+    sigsP.unpersist(blocking = false)
+    sigsC.unpersist(blocking = false)
+    out.orderBy("probe_doc", "corpus_doc")
+  }
+
+  /** One-time banded MinHash index over a corpus — the materialized
+    * form of [[dedupMinhash]]'s left side, so arriving batches probe
+    * WITHOUT recomputing corpus signatures (the per-batch cost the
+    * inline formulation pays at every run; at 100 TB the corpus
+    * signature pass dominates everything else, and it amortizes to
+    * zero here). Same pattern as `Ann.ivfIndexWrite/Probe`.
+    *
+    * Layout under `path`:
+    *  - `bands/` — `(band_hash, doc_id)` partitioned by `band_idx`
+    *    (16 self-contained subindexes: bounded file sizes, per-band
+    *    rebuild, and partition pruning for schedulers that probe a
+    *    band subset);
+    *  - `sigs/` — `(doc_id, sig: array<bigint>)` for the
+    *    agreement-count verification join.
+    *
+    * Production (xxhash64) signature family, like [[dedupMinhash]] —
+    * the index is a scale artifact, not an oracle query; MinhashIndexSpec
+    * pins probe results against the inline formulation instead.
+    */
+  def minhashIndexWrite(s: SparkSession, docs: DataFrame, path: String,
+                        numHashes: Int = 64, bands: Int = 16): Unit = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    val r = numHashes / bands
+    val sigs = minhashSignatures(s, docs, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, ${bands - 1})," +
+          s" b -> xxhash64(slice(sig, b * $r + 1, $r)))"))
+        .as(Seq("band_idx", "band_hash")))
+      .write.mode("overwrite").partitionBy("band_idx")
+      .parquet(s"$path/bands")
+    sigs.write.mode("overwrite").parquet(s"$path/sigs")
+    sigs.unpersist(blocking = false)
+    import s.implicits._
+    Seq((numHashes, bands)).toDF("num_hashes", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Probe a [[minhashIndexWrite]] index with a batch of new docs:
+    * near-dup `(probe_doc, corpus_doc, est_jaccard)` pairs at
+    * ≥ `minSim`. Only the BATCH is signature-hashed; the corpus enters
+    * as two parquet scans. A small batch's band rows sit under the
+    * broadcast threshold, so the candidate join streams the corpus
+    * bands map-side — no corpus shuffle at any scale; the follow-up
+    * signature joins touch only collision-sized pair sets.
+    * `numHashes`/`bands` must match the values the index was written
+    * with (checked against the index's `meta/` record — probing with
+    * a mismatched family would silently band-collide on nothing).
+    */
+  def minhashIndexProbe(s: SparkSession, path: String,
+                        newDocs: DataFrame, numHashes: Int = 64,
+                        bands: Int = 16,
+                        minSim: Double = 0.4): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    val meta = s.read.parquet(s"$path/meta")
+      .select("num_hashes", "bands").collect()(0)
+    require(meta.getInt(0) == numHashes && meta.getInt(1) == bands,
+      s"index at $path was written with numHashes=${meta.getInt(0)}, " +
+        s"bands=${meta.getInt(1)}; probe asked for $numHashes/$bands")
+    val r = numHashes / bands
+    val idxBands = s.read.parquet(s"$path/bands")
+    val idxSigs = s.read.parquet(s"$path/sigs")
+    val newSigs = minhashSignatures(s, newDocs, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newBands = newSigs.select(col("doc_id").as("probe_doc"),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1})," +
+          s" b -> xxhash64(slice(sig, b * $r + 1, $r)))"))
+        .as(Seq("band_idx", "band_hash")))
+    val cand = newBands
+      .join(idxBands.select(col("doc_id").as("corpus_doc"),
+        col("band_idx"), col("band_hash")),
+        Seq("band_idx", "band_hash"))
+      .select("probe_doc", "corpus_doc").distinct()
+    val est = cand
+      .join(newSigs.select(col("doc_id").as("probe_doc"),
+        col("sig").as("sig_a")), "probe_doc")
+      .join(idxSigs.select(col("doc_id").as("corpus_doc"),
+        col("sig").as("sig_b")), "corpus_doc")
+      .select(col("probe_doc"), col("corpus_doc"),
+        (expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0))," +
+          " 0, (acc, v) -> acc + v)").cast(DoubleType) /
+          numHashes.toDouble).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minSim)
+    val out = est.localCheckpoint()
+    newSigs.unpersist(blocking = false)
+    out.orderBy("probe_doc", "corpus_doc")
   }
 
   /** Per-document 64-bit SimHash over token hashes: bit b of the
