@@ -89,6 +89,40 @@ class MinhashIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("was written with"))
   }
 
+  test("streaming ingestion probes the index per micro-batch through " +
+    "the idempotent foreachBatch sink") {
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val docs = (1L to 8L).map(i =>
+      (i, if (i == 2L) baseText
+      else s"corpus doc $i " + (1 to 25).map(j => s"w${i}_$j")
+        .mkString(" ")))
+      .toDF("doc_id", "text")
+    val path = tmpDir()
+    NearDup.minhashIndexWrite(spark, docs, path)
+    val outDir = tmpDir()
+    val ckpt = tmpDir()
+    val stream = MemoryStream[(Long, String)]
+    stream.addData((101L, baseText),
+      (102L, (1 to 30).map(i => s"zz$i").mkString(" ")))
+    val q = graft.ops.TimeOps.foreachBatchSink(
+        stream.toDF().toDF("doc_id", "text"), outDir, ckpt)(
+        b => NearDup.minhashIndexProbe(spark, path, b))
+      .start()
+    q.processAllAvailable()
+    stream.addData((103L, editText)) // near dup arrives a batch later
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.read.parquet(outDir)
+      .select("probe_doc", "corpus_doc")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((101L, 2L)) && pairs.contains((103L, 2L)),
+      s"streamed probes missed the planted dups: $pairs")
+    assert(!pairs.exists(_._1 == 102L),
+      s"unrelated streamed doc produced pairs: $pairs")
+  }
+
   test("rewrite is idempotent: second write, same probe result") {
     import spark.implicits._
     val docs = (1L to 6L).map(i =>
