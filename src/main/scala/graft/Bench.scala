@@ -81,11 +81,24 @@ object Bench {
     // successful min into the totals while also appearing in
     // "failed" — now membership in `failed` removes the query from
     // `results` outright, so the exclusion invariant is exact.
+    // Force through the noop SINK, never count(): count() lets the
+    // optimizer prune every column the count doesn't need, so a query
+    // ending in an aggregation or projection was timed WITHOUT its
+    // computed columns — measured at sf0.1 warm: agg_group 0.29 s
+    // counted vs 1.07 s materialized (the decimal sums were never
+    // computed), dedup_simhash 0.40 vs 1.32 (the signature aggregate
+    // was dropped). The DuckDB baseline fetches full results, so
+    // count() timing was systematically charitable to Spark (r12
+    // fix — totals before/after are NOT comparable; BASELINE.md
+    // re-paired both engines in one window on the new rule). noop
+    // materializes every column executor-side with no sink cost.
     def once(name: String,
              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-               catch { case _: Throwable => failed += name; false }
+      val ok = try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        true
+      } catch { case _: Throwable => failed += name; false }
       val sec = (System.nanoTime() - t0) / 1e9
       if (ok) { samples(name) = samples(name) :+ sec; Some(sec) } else None
     }

@@ -146,6 +146,7 @@ object SparkEntry {
     "dedup_simhash_portable" -> (NearDup.dedupSimhashPortable _),
     "dedup_minhash_portable" -> ((s, d) => NearDup.dedupMinhashPortable(s, d)),
     "dedup_minhash_incr" -> ((s, d) => NearDup.dedupMinhashIncr(s, d)),
+    "dedup_simhash_pairs" -> ((s, d) => NearDup.dedupSimhashPairsPortable(s, d)),
     // no-oracle ops (driver records rows-only checks)
     "dedup_bloom" -> ((s, d) => NearDup.dedupBloom(s, d)),
     "freq_items" -> ((s, d) => Aggregates.freqItems(s, d)),
@@ -240,17 +241,40 @@ object SparkEntry {
     * or from the Spark side, whose arithmetic comes from the same
     * [[graft.ops.NearDup.affineHashSql]] builder.
     */
+  /** Shingle → md5-60 hash CTEs shared by BOTH portable near-dup
+    * families: `gx(doc_id, th)` holds one 60-bit hash per distinct
+    * 3-token shingle (clusterReachSql's shingling, hex60Sql's value).
+    */
+  private def portableShingleCtes: String =
+    raw"""WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+      |idx AS (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i FROM t),
+      |g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS sh FROM idx),
+      |gx AS (SELECT doc_id, ${hex60Sql("h")} AS th FROM (SELECT doc_id, md5(sh) AS h FROM g) q)""".stripMargin
+
   private def portableSigCtes: String = {
     val minCols = NearDup.PortableSeeds.zipWithIndex.map {
       case ((a, b), i) =>
         s"min(${NearDup.affineHashSql("th", a, b, "//")}) AS mh$i"
     }.mkString(", ")
-    raw"""WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
-      |idx AS (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i FROM t),
-      |g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS sh FROM idx),
-      |gx AS (SELECT doc_id, ${hex60Sql("h")} AS th FROM (SELECT doc_id, md5(sh) AS h FROM g) q),
+    raw"""$portableShingleCtes,
       |hvw AS (SELECT doc_id, $minCols FROM gx GROUP BY doc_id)""".stripMargin
   }
+
+  /** Shared CTE prefix of the portable-SimHash oracle family
+    * (`dedup_simhash_portable`, `dedup_simhash_pairs`): text_tokens'
+    * tokenization → md5-60 token hash (hex60Sql) → per-bit ±1 votes →
+    * positive votes packed into `sh(doc_id, simhash)`.
+    */
+  private def portableSimhashCtes: String =
+    raw"""WITH toks AS (SELECT DISTINCT doc_id, token FROM
+      |(SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents) t
+      |WHERE token <> ''),
+      |hx AS (SELECT doc_id, md5(token) AS h FROM toks),
+      |thv AS (SELECT doc_id, ${hex60Sql("h")} AS th FROM hx),
+      |votes AS (SELECT doc_id, p, sum(CASE WHEN (th // CAST(power(2, p) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+      |FROM thv CROSS JOIN range(0, 60) AS ps(p) GROUP BY doc_id, p),
+      |sh AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS simhash
+      |FROM votes GROUP BY doc_id)""".stripMargin
 
   /** 4 × 4-slot band rows over a `hvw`-shaped relation `$src`. */
   private def portableBandSql(src: String): String =
@@ -1213,21 +1237,42 @@ object SparkEntry {
     // into the signature, 4 x 15-bit bands — the full vote/band logic
     // of NearDup.simhash under a hash both engines compute.
     "dedup_simhash_portable" ->
-      raw"""WITH toks AS (SELECT DISTINCT doc_id, token FROM
-        |(SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents) t
-        |WHERE token <> ''),
-        |hx AS (SELECT doc_id, md5(token) AS h FROM toks),
-        |thv AS (SELECT doc_id, ${hex60Sql("h")} AS th FROM hx),
-        |votes AS (SELECT doc_id, p, sum(CASE WHEN (th // CAST(power(2, p) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS v
-        |FROM thv CROSS JOIN range(0, 60) AS ps(p) GROUP BY doc_id, p),
-        |sh AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS simhash
-        |FROM votes GROUP BY doc_id)
+      raw"""$portableSimhashCtes
         |SELECT doc_id, CAST(simhash AS BIGINT) AS simhash,
         |CAST((simhash // 35184372088832) % 32768 AS BIGINT) AS band0,
         |CAST((simhash // 1073741824) % 32768 AS BIGINT) AS band1,
         |CAST((simhash // 32768) % 32768 AS BIGINT) AS band2,
         |CAST(simhash % 32768 AS BIGINT) AS band3
         |FROM sh ORDER BY doc_id""".stripMargin,
+
+    // portable SimHash PAIRS over SHINGLE features: band-blocked
+    // candidates (never all pairs), exact Hamming via bit_count(xor)
+    // <= 8 — the NearDup.simhashPairs blocking + cutoff logic.
+    // Shingles, not unigrams: unigram-SET simhash is degenerate on a
+    // bounded-vocabulary corpus (measured 38k hamming-0 pairs among
+    // the 5000 sf0.1 docs — every doc holds most of the vocab), while
+    // shingle features separate real dups from noise (16 hamming-0
+    // pairs, the planted exact dups + collisions).
+    "dedup_simhash_pairs" -> {
+      val bandRows = Seq(
+        ("35184372088832", 0), ("1073741824", 1), ("32768", 2))
+        .map { case (d, b) =>
+          s"SELECT doc_id, simhash, (simhash // $d) % 32768 AS band, $b AS band_idx FROM s2"
+        }.mkString("", " UNION ALL ",
+          " UNION ALL SELECT doc_id, simhash, simhash % 32768 AS band, 3 AS band_idx FROM s2")
+      raw"""$portableShingleCtes,
+        |votes AS (SELECT doc_id, p, sum(CASE WHEN (th // CAST(power(2, p) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+        |FROM gx CROSS JOIN range(0, 60) AS ps(p) GROUP BY doc_id, p),
+        |s2 AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS simhash
+        |FROM votes GROUP BY doc_id),
+        |bands AS ($bandRows),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |a.simhash AS sh_a, b.simhash AS sh_b
+        |FROM bands a JOIN bands b USING (band, band_idx) WHERE a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+        |FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 8
+        |ORDER BY doc_a, doc_b""".stripMargin
+    },
 
     // portable MinHash+LSH: clusterReachSql's shingling, ONE md5-60
     // base hash per shingle (hex60Sql), 16 affine-mod-Mersenne

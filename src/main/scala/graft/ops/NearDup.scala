@@ -334,6 +334,71 @@ object NearDup {
     out
   }
 
+  /** Per-document portable SimHash over 3-token SHINGLE hashes —
+    * [[simhashPortable]]'s machinery with the feature space swapped.
+    * Unigram-SET simhash is degenerate on a bounded-vocabulary corpus
+    * (measured: 38k hamming-0 pairs among the 5000 sf0.1 fixture docs,
+    * because every doc's distinct-token set covers most of the vocab);
+    * shingle features separate real near-dups from noise (16
+    * hamming-0 pairs on the same corpus), and hashing features rather
+    * than words is the practical SimHash construction (Manku,
+    * Jain & Das Sarma 2007, "Detecting near-duplicates for web
+    * crawling").
+    */
+  def simhashShinglePortable(s: SparkSession, docs: DataFrame): DataFrame = {
+    graft.functions.SimHashAgg.register(s)
+    val toks = docs.select(col("doc_id"),
+      split(lower(col("text")), "\\s+").as("toks"))
+    toks
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.VectorFunctions.shingleStrings(s, col("toks"), 3)))
+        .as("sh"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT)")
+          .as("th"))
+      .groupBy("doc_id")
+      .agg(call_function("graft_simhash", col("th")).as("simhash"))
+      .select(col("doc_id"), col("simhash"),
+        expr("(simhash >> 45) & 32767").as("band0"),
+        expr("(simhash >> 30) & 32767").as("band1"),
+        expr("(simhash >> 15) & 32767").as("band2"),
+        expr("simhash & 32767").as("band3"))
+  }
+
+  /** `dedup_simhash_pairs` — ORACLE-CHECKABLE SimHash pair detection:
+    * [[simhashShinglePortable]] signatures, candidates from 15-bit
+    * band collisions (bucketed, never all-pairs — the [[simhashPairs]]
+    * blocking), exact Hamming distance by `bit_count(xor)` with the
+    * standard ≤ `maxHamming` cutoff — all re-derived bit for bit by
+    * the DuckDB oracle.
+    */
+  def dedupSimhashPairsPortable(s: SparkSession, dir: String,
+                                maxHamming: Int = 8): DataFrame = {
+    // persist: the signature aggregation feeds BOTH sides of the band
+    // self-join (and each side explodes it 4x into band rows) — same
+    // discipline as dedupMinhashPortable's sigs
+    val sh = simhashShinglePortable(s, Sources.table(s, dir, "documents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = (0 to 3).map { b =>
+      sh.select(col("doc_id"), col("simhash"), col(s"band$b").as("band"),
+        lit(b).as("band_idx"))
+    }.reduce(_ unionByName _)
+    val a = bands.select(col("doc_id").as("doc_a"),
+      col("simhash").as("sh_a"), col("band"), col("band_idx"))
+    val b = bands.select(col("doc_id").as("doc_b"),
+      col("simhash").as("sh_b"), col("band"), col("band_idx"))
+    val out = a.join(b, Seq("band", "band_idx"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(expr("sh_a ^ sh_b")).cast(LongType).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .localCheckpoint()
+    sh.unpersist(blocking = false)
+    out.orderBy("doc_a", "doc_b")
+  }
+
   /** `dedup_minhash_incr` — ORACLE-CHECKABLE incremental near-dup:
     * a probe batch (`doc_id % 4 == 0`, the "new arrivals") banded
     * against the corpus (every other doc), per-pair agreement counts,

@@ -62,6 +62,29 @@ class PortableHashSpec extends SparkSpec {
       "make every band a collision")
   }
 
+  test("shingle simhash: exact dups share the signature (hamming 0), " +
+    "disjoint docs land no shared band") {
+    import spark.implicits._
+    val a = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, a),
+      (3L, (1 to 20).map(i => s"zz$i").mkString(" ")),
+      (4L, "too short")).toDF("doc_id", "text")
+    val out = NearDup.simhashShinglePortable(spark, docs).collect()
+    // doc 4 has < 3 tokens -> no shingles -> absent
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    val m = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L), "exact dups must share the shingle simhash")
+    assert(java.lang.Long.bitCount(m(1L) ^ m(3L)) > 8,
+      s"unrelated shingle sets landed within the hamming cutoff: " +
+        s"${java.lang.Long.bitCount(m(1L) ^ m(3L))}")
+    out.foreach { r =>
+      val sh = r.getLong(1)
+      val b = (2 to 5).map(r.getLong)
+      assert((b(0) << 45 | b(1) << 30 | b(2) << 15 | b(3)) == sh
+        && sh >= 0 && sh < (1L << 60))
+    }
+  }
+
   test("portable minhash: exact dups collide in every slot; disjoint " +
     "corpora produce no pairs") {
     import spark.implicits._
