@@ -18,10 +18,10 @@ object Bench {
     //    scans still split by file). 38.0 s -> 32.4 s. A production
     //    deployment sizes this to data volume — that sizing IS the
     //    knob, not a bench trick. r6 swept the neighborhood under one
-    //    load window: 4 -> 30.5 s, 8 -> 31.1 s, 16 -> 32.5 s — 8 is
-    //    on the flat part of the curve; 4 buys ~2% (inside the
-    //    10-15% pass-to-pass noise) while halving parallelism for
-    //    the corpus-heavy queries, so 8 stays.
+    //    load window: 4 -> 30.5 s, 8 -> 31.1 s, 16 -> 32.5 s; the
+    //    r12 re-sweep under noop forcing (full materialization)
+    //    confirmed the shape: 8 -> 51.4 oracle-subset (min-of-3),
+    //    single passes 16 -> 63.2, 32 -> 81.3. 8 stays.
     // Overridable for A/B runs: SPARK_GRAFT_AQE=true,
     //   SPARK_GRAFT_PARTS=32, SPARK_GRAFT_RUNS=1
     val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "false")

@@ -117,7 +117,7 @@ object ExplainDump {
       "dedup_time_window" -> "packed-decimal min HashAggregate, one exchange, truly no sort (r13: first event per (user, type, hour) = min over the packed decimal ts_micros*2^62 + event_id (Num.packAsc; preconditions raise_error-enforced) — the r8 min-STRUCT form silently planned as SortAggregate and sorted the fact table in both partials; the rank-window form before it shuffled every surviving row and ran full window machinery)",
       "window_anomaly" -> "trailing stats as cum-minus-lag, one shared sort (r6)",
       "gap_stats" -> "window + aggregate sharing one exchange",
-      "encode_bucket" -> "fit-broadcast-transform: cuts broadcast, big side unshuffled",
+      "encode_bucket" -> "fit-then-transform: sort-based exact deciles embedded as literals, big side a pure projection (r12: replaces the percentile-aggregate fit + cut-array broadcast + interpreted per-row fold)",
       "agg_salted" -> "salted two-phase skew aggregate (r12): phase-1 partials keyed on (key, salt) spread a hot key over 16 reducers, phase-2 combines |keys|x16 rows — both aggregates map-side combine, so the second exchange carries partials only",
       "scrub_spans" -> "corpus exact-substring scrub (r13): ShingleHash2 emits 128-bit gram fingerprints in one codegen'd pass (no gram strings anywhere), first occurrence = min over a packed (doc_id << 21 | p) long so the per-gram aggregate stays a map-side-combined HashAggregate, join-back keyed on the fingerprint, <= n-row sequence explode per scrubbed occurrence, and reassembly is an indexed filter over the in-row words array (no corpus-sized token explode) — every exchange keyed, nothing pairwise; 279 -> 42 s at 1M docs across the three plan generations")
     // Queries whose public entry point materializes through an eager

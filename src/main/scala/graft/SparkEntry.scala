@@ -224,23 +224,14 @@ object SparkEntry {
     * nibble-weighted sum over the same md5 hex string (`$hx` must be a
     * column already holding `md5(x)`). Term i contributes
     * `nibble_value * 16^(15-i)`; max value 2⁶⁰−1, inside BIGINT on
-    * both engines. Shared by the `dedup_simhash_portable` /
-    * `dedup_minhash_portable` oracles.
+    * both engines. Shared by the whole portable near-dup oracle
+    * family (simhash/minhash, per-doc/pairs/incremental).
     */
   private def hex60Sql(hx: String): String =
     (1 to 15).map { i =>
       s"(strpos('0123456789abcdef', substring($hx, $i, 1)) - 1) * ${1L << (4 * (15 - i))}"
     }.mkString("(", " + ", ")")
 
-  /** Shared CTE prefix of the portable-MinHash oracle family
-    * (`dedup_minhash_portable`, `dedup_minhash_incr`): clusterReachSql's
-    * shingling → one md5-60 base hash per distinct shingle →
-    * [[graft.ops.NearDup.PortableSeeds]] affine permutation minima as
-    * the wide signature relation `hvw(doc_id, mh0..mh15)`. One
-    * definition so the two oracles can never drift from each other —
-    * or from the Spark side, whose arithmetic comes from the same
-    * [[graft.ops.NearDup.affineHashSql]] builder.
-    */
   /** Shingle → md5-60 hash CTEs shared by BOTH portable near-dup
     * families: `gx(doc_id, th)` holds one 60-bit hash per distinct
     * 3-token shingle (clusterReachSql's shingling, hex60Sql's value).
@@ -251,6 +242,15 @@ object SparkEntry {
       |g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS sh FROM idx),
       |gx AS (SELECT doc_id, ${hex60Sql("h")} AS th FROM (SELECT doc_id, md5(sh) AS h FROM g) q)""".stripMargin
 
+  /** Shared CTE prefix of the portable-MinHash oracle family
+    * (`dedup_minhash_portable`, `dedup_minhash_incr`):
+    * [[portableShingleCtes]] → [[graft.ops.NearDup.PortableSeeds]]
+    * affine permutation minima as the wide signature relation
+    * `hvw(doc_id, mh0..mh15)`. One definition so the two oracles can
+    * never drift from each other — or from the Spark side, whose
+    * arithmetic comes from the same
+    * [[graft.ops.NearDup.affineHashSql]] builder.
+    */
   private def portableSigCtes: String = {
     val minCols = NearDup.PortableSeeds.zipWithIndex.map {
       case ((a, b), i) =>

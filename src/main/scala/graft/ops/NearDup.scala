@@ -249,7 +249,6 @@ object NearDup {
     dedupMinhashPortable(s, Sources.table(s, dir, "documents"),
       numHashes, bands, minSim)
 
-  /** [[dedupMinhashPortable]] over any `(doc_id, text)` relation. */
   /** Per-document portable MinHash signature (wide: `doc_id,
     * mh0..mh{n-1}`): one md5-60 base hash per distinct shingle
     * ([[graft.functions.ShingleStrings]] windows), then the
@@ -297,6 +296,7 @@ object NearDup {
         .as(Seq("band_idx", "band_key")))
   }
 
+  /** [[dedupMinhashPortable]] over any `(doc_id, text)` relation. */
   def dedupMinhashPortable(s: SparkSession, docs: DataFrame,
                            numHashes: Int, bands: Int,
                            minSim: Double): DataFrame = {
@@ -346,10 +346,9 @@ object NearDup {
     * crawling").
     */
   def simhashShinglePortable(s: SparkSession, docs: DataFrame): DataFrame = {
-    graft.functions.SimHashAgg.register(s)
     val toks = docs.select(col("doc_id"),
       split(lower(col("text")), "\\s+").as("toks"))
-    toks
+    val th = toks
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(array_distinct(
         graft.functions.VectorFunctions.shingleStrings(s, col("toks"), 3)))
@@ -357,8 +356,7 @@ object NearDup {
       .select(col("doc_id"),
         expr("CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT)")
           .as("th"))
-      .groupBy("doc_id")
-      .agg(call_function("graft_simhash", col("th")).as("simhash"))
+    simhashDecomposed(th, 60)
       .select(col("doc_id"), col("simhash"),
         expr("(simhash >> 45) & 32767").as("band0"),
         expr("(simhash >> 30) & 32767").as("band1"),
@@ -536,28 +534,57 @@ object NearDup {
     out.orderBy("probe_doc", "corpus_doc")
   }
 
+  /** Per-document SimHash from a precomputed non-null hash column
+    * `th`: `bits` separate builtin ±1-vote sums, positive votes packed
+    * into one long in a post-aggregation projection. SEPARATE sums on
+    * purpose — the same JIT reality [[minhashSignatures]] documents
+    * for its 64 min aggregates: the fused
+    * [[graft.functions.SimHashSigAgg]] (kept as the SQL-surface
+    * `graft_simhash` and the X7 declarative-aggregate showcase) puts
+    * all 64 slot updates in one generated method, and measured
+    * 2.55 s vs 0.94 s for this spelling on the sf0.1 shingle corpus
+    * (260k rows, warm, bit-identical outputs — equality
+    * double-checked at build time and pinned by PortableHashSpec).
+    * For `bits = 64`, slot 63's pack term is `1L << 63` =
+    * Long.MinValue — the same disjoint-bit sum the fused aggregate
+    * evaluates, so negative xxhash64 values round-trip identically.
+    */
+  private def simhashDecomposed(thDf: DataFrame, bits: Int): DataFrame = {
+    val votes = (0 until bits).map(p =>
+      sum(when(expr(s"(th >> $p) & 1") === 1, 1L).otherwise(-1L))
+        .as(s"v$p"))
+    thDf
+      // the fused aggregate SKIPS null hashes (If(IsNull, slot, …));
+      // no caller produces one, but mirror the contract defensively —
+      // a null th here would otherwise vote −1 on every bit
+      .filter(col("th").isNotNull)
+      .groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), (0 until bits).map(p =>
+        when(col(s"v$p") > 0, lit(1L << p)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
+  }
+
   /** Per-document 64-bit SimHash over token hashes: bit b of the
-    * signature is the sign of Σ_tokens (±1 by bit b of xxhash64(tok)),
-    * computed by the declarative aggregate
-    * [[graft.functions.SimHashSigAgg]] — ONE hash aggregation, one
-    * row per token map-side and one 64-long vote vector per doc on
-    * the shuffle (the explode-per-bit formulation it replaces put 64
-    * rows per token through the first aggregation). Near-dup
-    * candidates share a 16-bit band (`band0..band3`), the standard
-    * Hamming-space blocking.
+    * signature is the sign of Σ_tokens (±1 by bit b of xxhash64(tok)).
+    * One row per distinct token map-side, one 64-slot vote row per
+    * (doc, map task) on the shuffle — see [[simhashDecomposed]] for
+    * why the votes are separate builtin sums. Near-dup candidates
+    * share a 16-bit band (`band0..band3`), the standard Hamming-space
+    * blocking.
     */
   def simhash(s: SparkSession, dir: String): DataFrame =
     simhash(s, Sources.table(s, dir, "documents"))
 
   /** [[simhash]] over any `(doc_id, text)` relation. */
   def simhash(s: SparkSession, docs: DataFrame): DataFrame = {
-    graft.functions.SimHashAgg.register(s)
-    docs
+    val th = docs
       .select(col("doc_id"),
         explode(array_distinct(split(lower(col("text")), "\\s+"))).as("token"))
       .filter(col("token") =!= "")
-      .groupBy("doc_id")
-      .agg(call_function("graft_simhash", col("token")).as("simhash"))
+      // same hash as SimHashSigAgg's internal XxHash64(_, 42L): the
+      // xxhash64() function's fixed seed is 42
+      .select(col("doc_id"), xxhash64(col("token")).as("th"))
+    simhashDecomposed(th, 64)
       .select(col("doc_id"), col("simhash"),
         expr("(simhash >> 48) & 65535").as("band0"),
         expr("(simhash >> 32) & 65535").as("band1"),
@@ -593,16 +620,14 @@ object NearDup {
 
   /** [[dedupSimhashPortable]] over any `(doc_id, text)` relation. */
   def simhashPortable(s: SparkSession, docs: DataFrame): DataFrame = {
-    graft.functions.SimHashAgg.register(s)
-    docs
+    val th = docs
       .select(col("doc_id"),
         explode(array_distinct(split(lower(col("text")), "\\s+"))).as("token"))
       .filter(col("token") =!= "")
       .select(col("doc_id"),
         expr("CAST(conv(substring(md5(token), 1, 15), 16, 10) AS BIGINT)")
           .as("th"))
-      .groupBy("doc_id")
-      .agg(call_function("graft_simhash", col("th")).as("simhash"))
+    simhashDecomposed(th, 60)
       .select(col("doc_id"), col("simhash"),
         expr("(simhash >> 45) & 32767").as("band0"),
         expr("(simhash >> 30) & 32767").as("band1"),

@@ -38,6 +38,27 @@ class PortableHashSpec extends SparkSpec {
     assert(agg == expected, s"\nagg:      $agg\nexpected: $expected")
   }
 
+  test("decomposed simhash query path equals the fused graft_simhash " +
+    "aggregate (production xxhash64 tokens, incl. negative hashes)") {
+    import spark.implicits._
+    SimHashAgg.register(spark)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "sphinx of black quartz judge my vow"))
+      .toDF("doc_id", "text")
+    val q = NearDup.simhash(spark, docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fused = docs
+      .select(col("doc_id"), explode(array_distinct(
+        split(lower(col("text")), "\\s+"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("doc_id")
+      .agg(call_function("graft_simhash", col("token")).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(q == fused, s"\ndecomposed: $q\nfused:      $fused")
+  }
+
   test("portable simhash: bands recompose, 60-bit range, exact dups " +
     "agree, tokenless docs absent") {
     import spark.implicits._

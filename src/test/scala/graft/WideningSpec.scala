@@ -287,11 +287,20 @@ class WideningSpec extends SparkSpec {
   test("fit-transform encoders broadcast the statistics, not the data") {
     Seq(Features.encodeTarget(spark, sf),
       Features.scaleRobust(spark, sf),
-      Features.encodeBucket(spark, sf),
       TextSim.filterLenBand(spark, sf)).foreach { df =>
       val p = plan(df)
       assert(p.contains("BroadcastExchange"),
         s"fit stats must broadcast:\n${p.take(1200)}")
     }
+    // encode_bucket went one step further in r12: the fit result is
+    // embedded as LITERALS (Num.exactPercentiles collects the 9 cut
+    // points driver-side), so the transform needs NO join machinery at
+    // all — assert the stronger property: a pure projection whose only
+    // exchange is the presentation sort
+    val eb = plan(Features.encodeBucket(spark, sf))
+    assert(!eb.contains("BroadcastExchange") && !eb.contains("Join"),
+      s"encode_bucket must be joinless:\n${eb.take(1200)}")
+    assert("Exchange hashpartitioning".r.findAllIn(eb).isEmpty,
+      s"encode_bucket must not shuffle the fact table:\n${eb.take(1200)}")
   }
 }
