@@ -1,0 +1,63 @@
+package graft
+
+import graft.ops.Num
+import org.apache.spark.sql.functions._
+
+/** [[Num.exactPercentiles]] (sort + targeted order statistics) must be
+  * BIT-IDENTICAL to the builtin `percentile` aggregate — same
+  * `p·(n−1)` position, same `lower + (upper − lower)·frac`
+  * interpolation, same null handling — since oracle queries embed its
+  * results as literals where the builtin's values used to flow.
+  */
+class ExactPercentilesSpec extends SparkSpec {
+
+  private val ps = Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+
+  private def builtin(df: org.apache.spark.sql.DataFrame,
+                      c: String): Seq[Double] = {
+    val arr = ps.mkString("array(", ",", ")")
+    df.agg(expr(s"percentile($c, $arr)")).collect()(0)
+      .getSeq[Double](0)
+  }
+
+  test("matches the builtin on duplicates, negatives, and irrational " +
+    "interpolation positions") {
+    import spark.implicits._
+    // deterministic pseudo-random doubles with planted duplicates and
+    // sign changes; 1003 rows (odd) exercises non-integral positions
+    val vals = (0 until 1003).map { i =>
+      val x = math.sin(i * 12.9898) * 43758.5453
+      val frac = x - math.floor(x)
+      (if (i % 7 == 0) -1 else 1) * (if (i % 13 == 0) 0.5 else frac) * 100
+    }
+    val df = vals.toDF("v")
+    val got = Num.exactPercentiles(df, "v", ps)
+    val want = builtin(df, "v")
+    got.zip(want).zip(ps).foreach { case ((g, w), p) =>
+      assert(g == w, s"p=$p: exact $g != builtin $w")
+    }
+  }
+
+  test("ignores nulls exactly like the aggregate; single-row and " +
+    "two-row interpolation agree") {
+    import spark.implicits._
+    val withNulls = Seq[Option[Double]](Some(3.0), None, Some(1.0),
+      Some(2.0), None).toDF("v")
+    assert(Num.exactPercentiles(withNulls, "v", ps) ==
+      builtin(withNulls, "v"))
+    val one = Seq(42.5).toDF("v")
+    assert(Num.exactPercentiles(one, "v", ps) == builtin(one, "v"))
+    val two = Seq(1.0, 2.0).toDF("v")
+    assert(Num.exactPercentiles(two, "v", ps) == builtin(two, "v"))
+  }
+
+  test("refuses an all-null column (the aggregate would return null; " +
+    "callers embed literals and must not embed NaN silently)") {
+    import spark.implicits._
+    val empty = Seq[Option[Double]](None, None).toDF("v")
+    val e = intercept[IllegalArgumentException] {
+      Num.exactPercentiles(empty, "v", Seq(0.5))
+    }
+    assert(e.getMessage.contains("no non-null rows"))
+  }
+}
