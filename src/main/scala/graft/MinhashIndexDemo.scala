@@ -40,8 +40,12 @@ object MinhashIndexDemo {
     // canonical (nearby small clusters, the real-crawl shape), so a
     // tail cut would put every canonical inside the batch itself and
     // the probe would correctly find ZERO cross-split pairs. Every
-    // 101st doc instead leaves each dup's canonical in the corpus.
+    // stride-th doc (default every 100th) instead leaves each dup's
+    // canonical in the corpus.
     val stride = n / batchN.max(1L)
+    require(stride >= 1,
+      s"SPARK_GRAFT_BATCH ($batchN) must be <= SPARK_GRAFT_DOCS ($n): " +
+        "a batch larger than the corpus gives stride 0 (empty splits)")
     val all = spark.read.format("graft-docs")
       .option("numDocs", n).option("numPartitions", cpus.toInt * 2)
       .load().select("doc_id", "text")

@@ -276,19 +276,32 @@ object SparkEntry {
       |sh AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS simhash
       |FROM votes GROUP BY doc_id)""".stripMargin
 
-  /** 4 × 4-slot band rows over a `hvw`-shaped relation `$src`. */
-  private def portableBandSql(src: String): String =
-    (0 until 4).map { bI =>
-      val key = (bI * 4 until bI * 4 + 4)
+  /** Band rows over a `hvw`-shaped relation `$src` —
+    * `PortableBands` bands of `PortableNumHashes / PortableBands`
+    * consecutive slots (the shared constants, so the split can never
+    * drift from the Spark side's `portableBandRows`).
+    */
+  private def portableBandSql(src: String): String = {
+    val r = NearDup.PortableNumHashes / NearDup.PortableBands
+    (0 until NearDup.PortableBands).map { bI =>
+      val key = (bI * r until bI * r + r)
         .map(j => s"CAST(mh$j AS VARCHAR)").mkString(" || ',' || ")
       s"SELECT doc_id, $bI AS band_idx, $key AS band_key FROM $src"
     }.mkString(" UNION ALL ")
+  }
 
   /** Slot-agreement count between `wa` and `wb` `hvw` rows. */
   private val portableMatchesSql: String =
-    (0 until 16)
+    (0 until NearDup.PortableNumHashes)
       .map(i => s"(CASE WHEN wa.mh$i = wb.mh$i THEN 1 ELSE 0 END)")
       .mkString(" + ")
+
+  /** The agreement cutoff `matches/numHashes >= minSim`, from the
+    * shared constants.
+    */
+  private val portableCutSql: String =
+    s"CAST(matches AS DOUBLE) / ${NearDup.PortableNumHashes} >= " +
+      s"${NearDup.PortableMinSim}"
 
   /** Shared recursive-CTE prefix: n-gram near-dup pairs → transitive
     * reachability (the SQL mirror of [[graft.ops.NearDup.dedupNgram]]
@@ -1270,7 +1283,7 @@ object SparkEntry {
         |a.simhash AS sh_a, b.simhash AS sh_b
         |FROM bands a JOIN bands b USING (band, band_idx) WHERE a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
-        |FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 8
+        |FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= ${NearDup.PortableMaxHamming}
         |ORDER BY doc_a, doc_b""".stripMargin
     },
 
@@ -1289,11 +1302,11 @@ object SparkEntry {
         |pm AS (SELECT c.doc_a, c.doc_b, $portableMatchesSql AS matches
         |FROM cand c JOIN hvw wa ON wa.doc_id = c.doc_a
         |JOIN hvw wb ON wb.doc_id = c.doc_b),
-        |flt AS (SELECT * FROM pm WHERE CAST(matches AS DOUBLE) / 16 >= 0.4)
+        |flt AS (SELECT * FROM pm WHERE $portableCutSql)
         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
         |CAST(coalesce(sum(matches), 0) AS BIGINT) AS sum_matches,
         |CASE WHEN count(*) = 0 THEN 0.0
-        |ELSE CAST(sum(matches) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 16) END AS avg_jaccard
+        |ELSE CAST(sum(matches) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * ${NearDup.PortableNumHashes}) END AS avg_jaccard
         |FROM flt""".stripMargin,
 
     // incremental probe-vs-corpus variant: same signature relation,
@@ -1301,8 +1314,8 @@ object SparkEntry {
     // agreement rows (exact integers, total ordering on the pair key).
     "dedup_minhash_incr" ->
       raw"""$portableSigCtes,
-        |hp AS (SELECT * FROM hvw WHERE doc_id % 4 = 0),
-        |hc AS (SELECT * FROM hvw WHERE doc_id % 4 <> 0),
+        |hp AS (SELECT * FROM hvw WHERE doc_id % ${NearDup.PortableProbeMod} = 0),
+        |hc AS (SELECT * FROM hvw WHERE doc_id % ${NearDup.PortableProbeMod} <> 0),
         |bkp AS (${portableBandSql("hp")}),
         |bkc AS (${portableBandSql("hc")}),
         |cand AS (SELECT DISTINCT a.doc_id AS probe_doc, b.doc_id AS corpus_doc
@@ -1311,7 +1324,7 @@ object SparkEntry {
         |FROM cand c JOIN hvw wa ON wa.doc_id = c.probe_doc
         |JOIN hvw wb ON wb.doc_id = c.corpus_doc)
         |SELECT probe_doc, corpus_doc, CAST(matches AS BIGINT) AS matches
-        |FROM pm WHERE CAST(matches AS DOUBLE) / 16 >= 0.4
+        |FROM pm WHERE $portableCutSql
         |ORDER BY probe_doc, corpus_doc""".stripMargin,
 
     "agg_weighted" ->

@@ -12,12 +12,19 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * one long.
   *
   * A `LongType` child is taken as the token hash ITSELF (no further
-  * hashing) — the portable-oracle path ([[graft.ops.NearDup
-  * .simhashPortable]]) feeds an md5-derived 60-bit value that DuckDB
-  * can reproduce nibble-by-nibble, so the vote/packing logic here is
-  * what the oracle actually checks. Bits ≥ the child's width always
-  * vote −1 and pack to 0, keeping the result inside the child's
-  * range.
+  * hashing) — e.g. an md5-derived 60-bit value DuckDB can reproduce
+  * nibble-by-nibble. Bits ≥ the child's width always vote −1 and pack
+  * to 0, keeping the result inside the child's range.
+  *
+  * NOTE (r12): the declared QUERY paths no longer aggregate through
+  * this class — they use the decomposed builtin-sum spelling
+  * (`NearDup.simhashDecomposed`; the fused 64-slot update method here
+  * is JIT-hostile, measured 2.55 vs 0.94 s at sf0.1). This aggregate
+  * remains the SQL-surface `graft_simhash` and the X7
+  * declarative-aggregate showcase; PortableHashSpec pins the two
+  * formulations bit-equal (string child incl. negative hashes, and
+  * long child), so the oracle checks the shared semantics even
+  * though it executes the decomposed form.
   *
   * Scalar slots, not an array buffer, for the same reason as
   * [[MinHashSigAgg]]: every update/merge is a plain

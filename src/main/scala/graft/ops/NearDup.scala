@@ -89,6 +89,19 @@ object NearDup {
     */
   final val MersenneP = 2305843009213693951L
 
+  // Portable-family defaults — same shared-constant discipline as
+  // DefaultMaxDf above: BOTH the Scala entry points and the oracle
+  // SQL in SparkEntry interpolate these, so a change can never
+  // silently desynchronize query and oracle.
+  final val PortableNumHashes = 16
+  final val PortableBands = 4
+  final val PortableMinSim = 0.4
+  final val PortableMaxHamming = 8
+  /** `doc_id % PortableProbeMod == 0` is `dedup_minhash_incr`'s probe
+    * batch; the rest is its corpus.
+    */
+  final val PortableProbeMod = 4
+
   /** Deterministic `(a, b)` pairs for the portable MinHash permutation
     * family `h_i(x) = (a_i·x + b_i) mod (2⁶¹−1)` (min-wise universal
     * hashing in the Broder 1997 "On the resemblance and containment of
@@ -244,8 +257,9 @@ object NearDup {
     * accumulation-order-dependent float average).
     */
   def dedupMinhashPortable(s: SparkSession, dir: String,
-                           numHashes: Int = 16, bands: Int = 4,
-                           minSim: Double = 0.4): DataFrame =
+                           numHashes: Int = PortableNumHashes,
+                           bands: Int = PortableBands,
+                           minSim: Double = PortableMinSim): DataFrame =
     dedupMinhashPortable(s, Sources.table(s, dir, "documents"),
       numHashes, bands, minSim)
 
@@ -256,30 +270,62 @@ object NearDup {
     * signature every `dedup_minhash_portable`-family query and oracle
     * shares.
     */
-  def portableSigs(s: SparkSession, docs: DataFrame,
-                   numHashes: Int): DataFrame = {
-    require(numHashes <= PortableSeeds.length,
-      s"only ${PortableSeeds.length} portable seeds defined")
-    // unfiltered split — the same tokenization the dedup_ngram /
-    // dedup_cluster oracle family (clusterReachSql) already proves;
-    // shingle strings via the ShingleStrings primitive loop (the
-    // transform/concat_ws lambda spelling evaluates interpreted per
-    // window: 0.82 s vs 0.46 s warm on this stage at sf0.1)
+  /** `(doc_id, th)` — one md5-60 hash per distinct 3-token shingle:
+    * the Spark-side mirror of the oracle family's shared
+    * `portableShingleCtes` (SparkEntry), factored for the same
+    * reason — BOTH portable families (minhash sigs, shingle simhash)
+    * consume this relation, and a single definition cannot drift.
+    * Unfiltered split (the tokenization clusterReachSql already
+    * proves); shingle strings via the ShingleStrings primitive loop
+    * (the transform/concat_ws lambda spelling evaluates interpreted
+    * per window: 0.82 s vs 0.46 s warm on this stage at sf0.1).
+    */
+  private def portableShingleHashes(s: SparkSession,
+                                    docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
       split(lower(col("text")), "\\s+").as("toks"))
-    val shingles = toks
+    toks
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(array_distinct(
         graft.functions.VectorFunctions.shingleStrings(s, col("toks"), 3)))
         .as("sh"))
-    val hashed = shingles.select(col("doc_id"),
-      expr("CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT)")
-        .as("th"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT)")
+          .as("th"))
+  }
+
+  def portableSigs(s: SparkSession, docs: DataFrame,
+                   numHashes: Int): DataFrame = {
+    require(numHashes <= PortableSeeds.length,
+      s"only ${PortableSeeds.length} portable seeds defined")
     val mins = PortableSeeds.take(numHashes).zipWithIndex.map {
       case ((a, b), i) =>
         min(expr(affineHashSql("th", a, b, "div"))).as(s"mh$i")
     }
-    hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    portableShingleHashes(s, docs).groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+  }
+
+  /** Per-pair signature-agreement scoring shared by the summary and
+    * incremental portable queries: join `cand(leftKey, rightKey)` to
+    * the two [[portableSigs]]-shaped frames, count agreeing slots,
+    * keep pairs at `matches/numHashes >= minSim`. One definition so a
+    * scoring fix can never reach one query and miss the other.
+    */
+  private def agreementScore(cand: DataFrame, sigsL: DataFrame,
+                             sigsR: DataFrame, leftKey: String,
+                             rightKey: String, numHashes: Int,
+                             minSim: Double): DataFrame = {
+    val sigA = sigsL.select(col("doc_id").as(leftKey) +:
+      (0 until numHashes).map(i => col(s"mh$i").as(s"a$i")): _*)
+    val sigB = sigsR.select(col("doc_id").as(rightKey) +:
+      (0 until numHashes).map(i => col(s"mh$i").as(s"b$i")): _*)
+    val matches = (0 until numHashes).map(i =>
+      when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cand.join(sigA, leftKey).join(sigB, rightKey)
+      .select(col(leftKey), col(rightKey), matches.as("matches"))
+      .filter(col("matches").cast(DoubleType) / numHashes >= minSim)
   }
 
   /** `(doc_id, band_idx, band_key)` rows from a [[portableSigs]]-shaped
@@ -311,16 +357,8 @@ object NearDup {
         col("band_key")), Seq("band_idx", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val sigA = sigs.select(col("doc_id").as("doc_a") +:
-      (0 until numHashes).map(i => col(s"mh$i").as(s"a$i")): _*)
-    val sigB = sigs.select(col("doc_id").as("doc_b") +:
-      (0 until numHashes).map(i => col(s"mh$i").as(s"b$i")): _*)
-    val matches = (0 until numHashes).map(i =>
-      when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
-      .reduce(_ + _)
-    val scored = cand.join(sigA, "doc_a").join(sigB, "doc_b")
-      .select(col("doc_a"), col("doc_b"), matches.as("matches"))
-      .filter(col("matches").cast(DoubleType) / numHashes >= minSim)
+    val scored = agreementScore(cand, sigs, sigs, "doc_a", "doc_b",
+      numHashes, minSim)
     val out = scored.agg(
         count(lit(1)).cast(LongType).as("n_pairs"),
         coalesce(sum(col("matches")), lit(0L)).cast(LongType)
@@ -345,24 +383,13 @@ object NearDup {
     * Jain & Das Sarma 2007, "Detecting near-duplicates for web
     * crawling").
     */
-  def simhashShinglePortable(s: SparkSession, docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      split(lower(col("text")), "\\s+").as("toks"))
-    val th = toks
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(
-        graft.functions.VectorFunctions.shingleStrings(s, col("toks"), 3)))
-        .as("sh"))
-      .select(col("doc_id"),
-        expr("CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT)")
-          .as("th"))
-    simhashDecomposed(th, 60)
+  def simhashShinglePortable(s: SparkSession, docs: DataFrame): DataFrame =
+    simhashDecomposed(portableShingleHashes(s, docs), 60)
       .select(col("doc_id"), col("simhash"),
         expr("(simhash >> 45) & 32767").as("band0"),
         expr("(simhash >> 30) & 32767").as("band1"),
         expr("(simhash >> 15) & 32767").as("band2"),
         expr("simhash & 32767").as("band3"))
-  }
 
   /** `dedup_simhash_pairs` — ORACLE-CHECKABLE SimHash pair detection:
     * [[simhashShinglePortable]] signatures, candidates from 15-bit
@@ -372,7 +399,8 @@ object NearDup {
     * the DuckDB oracle.
     */
   def dedupSimhashPairsPortable(s: SparkSession, dir: String,
-                                maxHamming: Int = 8): DataFrame = {
+                                maxHamming: Int = PortableMaxHamming)
+      : DataFrame = {
     // persist: the signature aggregation feeds BOTH sides of the band
     // self-join (and each side explodes it 4x into band rows) — same
     // discipline as dedupMinhashPortable's sigs
@@ -409,15 +437,18 @@ object NearDup {
     * agreement arithmetic, and the cutoff end to end, per pair.
     */
   def dedupMinhashIncr(s: SparkSession, dir: String,
-                       numHashes: Int = 16, bands: Int = 4,
-                       minSim: Double = 0.4): DataFrame = {
+                       numHashes: Int = PortableNumHashes,
+                       bands: Int = PortableBands,
+                       minSim: Double = PortableMinSim): DataFrame = {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
     val docs = Sources.table(s, dir, "documents")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val sigsP = portableSigs(s, docs.filter(col("doc_id") % 4 === 0),
+    val sigsP = portableSigs(s,
+      docs.filter(col("doc_id") % PortableProbeMod === 0),
       numHashes).persist(lvl)
-    val sigsC = portableSigs(s, docs.filter(col("doc_id") % 4 =!= 0),
+    val sigsC = portableSigs(s,
+      docs.filter(col("doc_id") % PortableProbeMod =!= 0),
       numHashes).persist(lvl)
     val cand = portableBandRows(sigsP, numHashes, bands)
       .select(col("doc_id").as("probe_doc"), col("band_idx"),
@@ -426,17 +457,8 @@ object NearDup {
         .select(col("doc_id").as("corpus_doc"), col("band_idx"),
           col("band_key")), Seq("band_idx", "band_key"))
       .select("probe_doc", "corpus_doc").distinct()
-    val sigA = sigsP.select(col("doc_id").as("probe_doc") +:
-      (0 until numHashes).map(i => col(s"mh$i").as(s"a$i")): _*)
-    val sigB = sigsC.select(col("doc_id").as("corpus_doc") +:
-      (0 until numHashes).map(i => col(s"mh$i").as(s"b$i")): _*)
-    val matches = (0 until numHashes).map(i =>
-      when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
-      .reduce(_ + _)
-    val out = cand.join(sigA, "probe_doc").join(sigB, "corpus_doc")
-      .select(col("probe_doc"), col("corpus_doc"),
-        matches.as("matches"))
-      .filter(col("matches").cast(DoubleType) / numHashes >= minSim)
+    val out = agreementScore(cand, sigsP, sigsC, "probe_doc",
+        "corpus_doc", numHashes, minSim)
       .localCheckpoint()
     sigsP.unpersist(blocking = false)
     sigsC.unpersist(blocking = false)
@@ -514,7 +536,13 @@ object NearDup {
         s"transform(sequence(0, ${bands - 1})," +
           s" b -> xxhash64(slice(sig, b * $r + 1, $r)))"))
         .as(Seq("band_idx", "band_hash")))
-    val cand = newBands
+    // explicit broadcast: the batch band rows are small by contract
+    // (a probe batch), but their sizeInBytes ESTIMATE flows from the
+    // batch's upstream source through Generate — a filter over a big
+    // scan would estimate large, and the planner would silently pick
+    // a sort-merge join that shuffles the whole corpus bands table,
+    // the exact per-batch cost this index exists to amortize away
+    val cand = broadcast(newBands)
       .join(idxBands.select(col("doc_id").as("corpus_doc"),
         col("band_idx"), col("band_hash")),
         Seq("band_idx", "band_hash"))
@@ -599,12 +627,14 @@ object NearDup {
 
   /** `dedup_simhash_portable` — the ORACLE-CHECKABLE SimHash variant.
     *
-    * Identical vote/packing/band logic to [[simhash]] (it runs through
-    * the same [[graft.functions.SimHashSigAgg]] aggregate), but the
-    * per-token hash is the first 15 hex nibbles of `md5(token)` read
-    * as a 60-bit integer — a value DuckDB reconstructs exactly
-    * (nibble-weighted sum over the same md5 hex string), so the full
-    * signature AND the 15-bit band split get a hash-compare oracle.
+    * Identical vote/packing/band logic to [[simhash]] (both run
+    * through [[simhashDecomposed]]; the fused
+    * [[graft.functions.SimHashSigAgg]] is the SQL surface, pinned
+    * bit-equal by PortableHashSpec), but the per-token hash is the
+    * first 15 hex nibbles of `md5(token)` read as a 60-bit integer —
+    * a value DuckDB reconstructs exactly (nibble-weighted sum over
+    * the same md5 hex string), so the full signature AND the 15-bit
+    * band split get a hash-compare oracle.
     * The production query [[dedupSimhash]] stays on `xxhash64`
     * (non-cryptographic, ~20× cheaper per token, but not computable
     * in DuckDB SQL) — the ONLY delta between the two paths is that
