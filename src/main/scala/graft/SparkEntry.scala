@@ -147,6 +147,7 @@ object SparkEntry {
     "dedup_minhash_portable" -> ((s, d) => NearDup.dedupMinhashPortable(s, d)),
     "dedup_minhash_incr" -> ((s, d) => NearDup.dedupMinhashIncr(s, d)),
     "dedup_simhash_pairs" -> ((s, d) => NearDup.dedupSimhashPairsPortable(s, d)),
+    "doc_fingerprint_portable" -> (NearDup.docFingerprintPortable _),
     // no-oracle ops (driver records rows-only checks)
     "dedup_bloom" -> ((s, d) => NearDup.dedupBloom(s, d)),
     "freq_items" -> ((s, d) => Aggregates.freqItems(s, d)),
@@ -1308,6 +1309,16 @@ object SparkEntry {
         |CASE WHEN count(*) = 0 THEN 0.0
         |ELSE CAST(sum(matches) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * ${NearDup.PortableNumHashes}) END AS avg_jaccard
         |FROM flt""".stripMargin,
+
+    // portable min-shingle fingerprint: the first MinHash slot + the
+    // distinct-shingle count per doc, over the shared shingle CTEs.
+    "doc_fingerprint_portable" -> {
+      val (a, b) = NearDup.PortableSeeds.head
+      raw"""$portableShingleCtes
+        |SELECT doc_id, min(${NearDup.affineHashSql("th", a, b, "//")}) AS fingerprint,
+        |CAST(count(*) AS BIGINT) AS n_shingles
+        |FROM gx GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     // incremental probe-vs-corpus variant: same signature relation,
     // probe batch = doc_id % 4 = 0 banded against the rest, per-pair

@@ -425,6 +425,25 @@ object NearDup {
     out.orderBy("doc_a", "doc_b")
   }
 
+  /** `doc_fingerprint_portable` — ORACLE-CHECKABLE min-shingle doc
+    * fingerprint ([[graft.ops.TextSim.docFingerprint]]'s shape under
+    * the portable hash family): per doc, the minimum affine-permuted
+    * md5-60 shingle hash — exactly the first MinHash signature slot —
+    * plus the distinct-shingle count. The production fingerprint stays
+    * on the in-row `array_min(ShingleHash)` zero-exchange form; this
+    * twin trades that for hashes DuckDB recomputes, closing the
+    * oracle gap on the fingerprint SEMANTICS (min over the doc's
+    * shingle-hash set).
+    */
+  def docFingerprintPortable(s: SparkSession, dir: String): DataFrame = {
+    val (a, b) = PortableSeeds.head
+    portableShingleHashes(s, Sources.table(s, dir, "documents"))
+      .groupBy("doc_id")
+      .agg(min(expr(affineHashSql("th", a, b, "div"))).as("fingerprint"),
+        count(lit(1)).cast(LongType).as("n_shingles"))
+      .orderBy("doc_id")
+  }
+
   /** `dedup_minhash_incr` — ORACLE-CHECKABLE incremental near-dup:
     * a probe batch (`doc_id % 4 == 0`, the "new arrivals") banded
     * against the corpus (every other doc), per-pair agreement counts,
