@@ -43,9 +43,12 @@ object MinhashIndexDemo {
     // stride-th doc (default every 100th) instead leaves each dup's
     // canonical in the corpus.
     val stride = n / batchN.max(1L)
-    require(stride >= 1,
-      s"SPARK_GRAFT_BATCH ($batchN) must be <= SPARK_GRAFT_DOCS ($n): " +
-        "a batch larger than the corpus gives stride 0 (empty splits)")
+    require(stride >= 2,
+      s"SPARK_GRAFT_BATCH ($batchN) must be < SPARK_GRAFT_DOCS ($n) / 2: " +
+        "stride 1 makes the batch the whole corpus (doc_id % 1 == 0 " +
+        "everywhere) and the corpus split empty, so the demo would " +
+        "write an empty index and probe nothing; stride 0 is empty " +
+        "splits outright")
     val all = spark.read.format("graft-docs")
       .option("numDocs", n).option("numPartitions", cpus.toInt * 2)
       .load().select("doc_id", "text")

@@ -80,7 +80,13 @@ object Num {
       val lo = math.floor(pos).toLong
       val hi = math.ceil(pos).toLong
       val frac = pos - lo
-      picked(lo) * (1 - frac) + picked(hi) * frac
+      // PercentileBase.getPercentile short-circuits to the lower order
+      // statistic when the two straddling values are EQUAL (a percentile
+      // landing inside a duplicate run); the weighted sum v·(1−frac)+v·frac
+      // differs from v in the last bit for some (v, frac) pairs, so the
+      // shortcut is required for bit-parity, not just speed.
+      if (picked(lo) == picked(hi)) picked(lo)
+      else picked(lo) * (1 - frac) + picked(hi) * frac
     }
   }
 

@@ -21,7 +21,14 @@ class CoverageSyncSpec extends AnyFunSuite {
     assert(committed.contains(CoverageDump.Begin) &&
       committed.contains(CoverageDump.End),
       "COVERAGE.md lost its TOTALS markers")
-    val expected = CoverageDump.splice(committed)
+    // pin to the artifact the COMMITTED block cites, not the newest
+    // file: the driver writes CORRECTNESS_r{N}.json after the round's
+    // final commit, and a newest-file comparison reddened judging HEAD
+    // two rounds running. CoverageDump.main (run at round start) still
+    // re-renders against the newest artifact, so a stale pin is caught
+    // exactly when it is fixable.
+    val expected = CoverageDump.splice(committed,
+      CoverageDump.pinnedCorrectness(committed))
     if (committed != expected) {
       val cl = committed.linesIterator.toVector
       val el = expected.linesIterator.toVector

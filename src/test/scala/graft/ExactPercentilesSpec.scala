@@ -5,9 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** [[Num.exactPercentiles]] (sort + targeted order statistics) must be
   * BIT-IDENTICAL to the builtin `percentile` aggregate — same
-  * `p·(n−1)` position, same `lower + (upper − lower)·frac`
-  * interpolation, same null handling — since oracle queries embed its
-  * results as literals where the builtin's values used to flow.
+  * `p·(n−1)` position, same WEIGHTED `lower·(1−frac) + upper·frac`
+  * interpolation (NOT the algebraically-equal
+  * `lower + (upper − lower)·frac`, whose double rounding differs in
+  * the last bit), same equal-straddle shortcut, same null handling —
+  * since oracle queries embed its results as literals where the
+  * builtin's values used to flow.
   */
 class ExactPercentilesSpec extends SparkSpec {
 
@@ -36,6 +39,26 @@ class ExactPercentilesSpec extends SparkSpec {
     got.zip(want).zip(ps).foreach { case ((g, w), p) =>
       assert(g == w, s"p=$p: exact $g != builtin $w")
     }
+  }
+
+  test("equal straddling order statistics short-circuit like the " +
+    "builtin (duplicate run at a non-integral position)") {
+    import spark.implicits._
+    // 11 rows, p=0.52 → pos = 5.2, lo=5, hi=6, frac=0.2; sorted
+    // positions 5 and 6 both hold v=0.84, for which
+    // v·(1−0.2) + v·0.2 = 0.8400000000000001 ≠ v — without the
+    // equal-value shortcut this test fails on the last bit.
+    val v = 0.84
+    assert(v * (1 - 0.2) + v * 0.2 != v,
+      "fixture no longer exercises the last-bit case")
+    val df = Seq(0.0, 0.1, 0.2, 0.3, 0.4, v, v, 0.9, 1.0, 1.1, 1.2)
+      .toDF("v")
+    val psDup = Seq(0.52)
+    val got = Num.exactPercentiles(df, "v", psDup)
+    val want = df.agg(expr("percentile(v, 0.52)")).collect()(0)
+      .getDouble(0)
+    assert(got == Seq(want) && got.head == v,
+      s"got $got want $want (v=$v)")
   }
 
   test("ignores nulls exactly like the aggregate; single-row and " +
