@@ -497,18 +497,35 @@ object SparkEntry {
          |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
     "agg_corr" -> {
-      def ds(c: String) = s"CAST(SUM(CAST($c AS DECIMAL(18,6))) AS DOUBLE)"
+      // integer-cents power sums mirroring the engine (r13): xu/yc are
+      // exact long units, products exact in integer space, SUM(BIGINT)
+      // widens to HUGEINT (no overflow), and the units→double close is
+      // exact-decimal MULTIPLICATION by 10^-s — DuckDB's decimal
+      // division silently degrades to DOUBLE and double-rounds (25% of
+      // random unit sums differ in the last bit), so division is
+      // banned here. The old DECIMAL(18,6)-of-double-product spelling
+      // rounded fl(y·y) (error ~1.2e-6 — crosses 6-dp boundaries), so
+      // its sums differ from the exact ones pre-round.
+      def us(u: String, scale: Int): String =
+        if (scale == 0) s"CAST(CAST(SUM($u) AS DECIMAL(38,0)) AS DOUBLE)"
+        else {
+          val inv = java.math.BigDecimal.ONE.movePointLeft(scale).toPlainString
+          s"CAST(CAST(SUM($u) AS DECIMAL(38,0)) * CAST($inv AS DECIMAL($scale,$scale)) AS DOUBLE)"
+        }
       s"""SELECT l_returnflag, n,
          |round((sxy - sx * sy / nd) / (nd - 1), 2) AS qp_covar,
          |round((nd * sxy - sx * sy) /
          |  (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy)), 4) AS qp_corr,
          |round((nd * sxy - sx * sy) / (nd * sxx - sx * sx), 4) AS price_per_qty
          |FROM (SELECT l_returnflag, count(*) AS n, CAST(count(*) AS DOUBLE) AS nd,
-         |  ${ds("l_quantity")} AS sx, ${ds("l_extendedprice")} AS sy,
-         |  ${ds("l_quantity * l_extendedprice")} AS sxy,
-         |  ${ds("l_quantity * l_quantity")} AS sxx,
-         |  ${ds("l_extendedprice * l_extendedprice")} AS syy
-         |  FROM lineitem GROUP BY l_returnflag) t
+         |  ${us("xu", 0)} AS sx, ${us("yc", 2)} AS sy,
+         |  ${us("xu * yc", 2)} AS sxy,
+         |  ${us("xu * xu", 0)} AS sxx,
+         |  ${us("yc * yc", 4)} AS syy
+         |  FROM (SELECT l_returnflag,
+         |    CAST(round(l_quantity) AS BIGINT) AS xu,
+         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS yc
+         |    FROM lineitem) u GROUP BY l_returnflag) t
          |ORDER BY l_returnflag""".stripMargin
     },
 

@@ -95,35 +95,45 @@ object Aggregates {
     // (six for profile_drift's two snapshots), each scan carrying a
     // builtin-percentile value->count map — the dominant cost on the
     // 600k-distinct price column. 2.3 s -> 0.9 s at sf0.1
-    // (profile_drift 2.3 -> 1.8 for both snapshots). The 1-row agg is
-    // localCheckpoint'd so the union's three branches read it instead
-    // of re-planning the aggregation.
+    // (profile_drift 2.3 -> 1.8 for both snapshots).
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
     // the sort-based median ONLY for the ~600k-distinct price column
     // (where the builtin's value->count map is the 2 s cost);
     // l_quantity (50 values) and l_discount (11) stay as builtin
     // percentiles INSIDE the fused agg — their maps are tiny and one
     // agg pass beats two extra sort jobs
-    val priceMedian =
-      Num.exactPercentiles(li, "l_extendedprice", Seq(0.5)).head
+    //
+    // r13 job-count cut: the fused 1-row agg is COLLECTED (it used to
+    // be localCheckpoint'd and re-read by three union branches — one
+    // extra job plus three local scans), the price median's sort pass
+    // reuses its non-null count (skipping exactPercentiles' own count
+    // job), and the 3-row result is rebuilt from driver-side literals:
+    // 5 jobs per profile down to 3. Means are exact long-unit sums
+    // ([[Num.lavg]] — quantity integer, price/discount exactly 2 dp),
+    // bit-identical to the old decimal spelling without the per-row
+    // BigDecimal adds.
     val aggs = cols.flatMap { c => Seq(
       count(col(c)).as(s"n_$c"),
-      davg(col(c)).as(s"mean_$c"),
+      lavg(col(c), if (c == "l_quantity") 0 else 2).as(s"mean_$c"),
       round(stddev_samp(col(c)), 4).as(s"std_$c"),
       min(col(c)).as(s"min_$c"),
       max(col(c)).as(s"max_$c")) } ++ Seq(
       expr("percentile(l_quantity, 0.5)").as("median_l_quantity"),
       expr("percentile(l_discount, 0.5)").as("median_l_discount"))
-    val one = li.agg(aggs.head, aggs.tail: _*).localCheckpoint()
-    cols.map { c =>
-      val median =
-        if (c == "l_extendedprice") lit(priceMedian)
-        else col(s"median_$c")
-      one.select(lit(c).as("col_name"), col(s"n_$c").as("n"),
-        col(s"mean_$c").as("mean"), median.as("median"),
-        col(s"std_$c").as("std"), col(s"min_$c").as("min_val"),
-        col(s"max_$c").as("max_val"))
-    }.reduce(_ unionByName _)
+    val one = li.agg(aggs.head, aggs.tail: _*).collect()(0)
+    def dOf(name: String): java.lang.Double =
+      Option(one.getAs[Any](name)).map(_.asInstanceOf[Double])
+        .map(java.lang.Double.valueOf).orNull
+    val priceMedian = Num.exactPercentiles(li, "l_extendedprice",
+      Seq(0.5), knownCount = one.getAs[Long]("n_l_extendedprice")).head
+    val s = li.sparkSession
+    import s.implicits._
+    cols.sorted.map { c =>
+      (c, one.getAs[Long](s"n_$c"), dOf(s"mean_$c"),
+        if (c == "l_extendedprice") java.lang.Double.valueOf(priceMedian)
+        else dOf(s"median_$c"),
+        dOf(s"std_$c"), dOf(s"min_$c"), dOf(s"max_$c"))
+    }.toDF("col_name", "n", "mean", "median", "std", "min_val", "max_val")
       .orderBy("col_name")
   }
 
@@ -166,23 +176,39 @@ object Aggregates {
 
   /** `agg_group` — A8, the flagship TPC-H-Q1-shaped grouped aggregate:
     * scan → pushed filter on l_shipdate → partial+final hash agg on
-    * (l_returnflag, l_linestatus) → sort. All sums decimal-exact;
-    * averages are exact-sum / count (see Num).
+    * (l_returnflag, l_linestatus) → sort. All sums exact and
+    * order-independent; averages are exact-sum / count (see Num).
+    *
+    * r13: the exact sums run as LONG unit sums ([[Num.units]] —
+    * quantities are integers, prices/discounts/taxes exactly 2 dp, so
+    * every per-row unit is exact and the sums codegen to primitive
+    * long adds) instead of [[Num.dsum]]'s DECIMAL(28,s) buffer, whose
+    * every add went through BigDecimal. The disc-price and charge
+    * products multiply in INTEGER unit space (cents × (100−disc¢) ×
+    * (100+tax¢)), so they are exact by construction rather than by a
+    * double-rounding argument. Bit-identical outputs (same exact
+    * rationals → same closing double casts); measured 0.93 → ~0.4 s
+    * at sf0.1. Overflow headroom (ANSI long sums throw, never wrap):
+    * charge units ≤ ~1.2e11/row → safe past 7·10⁷ rows per group;
+    * beyond that swap back to the dsum spelling.
     */
   def aggGroup(s: SparkSession, dir: String): DataFrame = {
     val li = Sources.table(s, dir, "lineitem")
       .filter(col("l_shipdate") <= lit("1998-09-01").cast(TimestampType))
-    val discPrice = col("l_extendedprice") * (lit(1) - col("l_discount"))
-    val charge = discPrice * (lit(1) + col("l_tax"))
+    val qtyU = units(col("l_quantity"), 0)
+    val priceU = units(col("l_extendedprice"), 2)
+    val discU = units(col("l_discount"), 2)
+    val discPriceU = priceU * (lit(100L) - discU)           // scale 4
+    val chargeU = discPriceU * (lit(100L) + units(col("l_tax"), 2)) // scale 6
     li.groupBy("l_returnflag", "l_linestatus")
       .agg(
-        dsum(col("l_quantity")).as("sum_qty"),
-        dsum(col("l_extendedprice")).as("sum_base_price"),
-        dsum(discPrice, 6).as("sum_disc_price"),
-        dsum(charge, 6).as("sum_charge"),
-        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
-        (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
-        (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+        fromUnits(sum(qtyU), 0).as("sum_qty"),
+        fromUnits(sum(priceU), 2).as("sum_base_price"),
+        fromUnits(sum(discPriceU), 4).as("sum_disc_price"),
+        fromUnits(sum(chargeU), 6).as("sum_charge"),
+        (fromUnits(sum(qtyU), 0) / count(lit(1))).as("avg_qty"),
+        (fromUnits(sum(priceU), 2) / count(lit(1))).as("avg_price"),
+        (fromUnits(sum(discU), 2) / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -318,11 +344,18 @@ object Aggregates {
       lit(2.0) * mu * mu * mu
     val m4 = col("sxxxx") / n - lit(4.0) * mu * (col("sxxx") / n) +
       lit(6.0) * mu * mu * (col("sxx") / n) - lit(3.0) * mu * mu * mu * mu
+    // r13: quantity is integer-valued, so all four power sums are
+    // plain LONG sums of exact integer units (x⁴ ≤ 6.25e6/row —
+    // headroom past 10¹² rows/group); bit-identical to the old
+    // DECIMAL(18,6) spelling, primitive codegen instead of BigDecimal.
+    val xu = units(x, 0)
     Sources.table(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
-        dsum(x, 6).as("sx"), dsum(x * x, 6).as("sxx"),
-        dsum(x * x * x, 6).as("sxxx"), dsum(x * x * x * x, 6).as("sxxxx"))
+        fromUnits(sum(xu), 0).as("sx"),
+        fromUnits(sum(xu * xu), 0).as("sxx"),
+        fromUnits(sum(xu * xu * xu), 0).as("sxxx"),
+        fromUnits(sum(xu * xu * xu * xu), 0).as("sxxxx"))
       .select(col("l_returnflag"), col("n"),
         round(mu, 4).as("mean_qty"),
         round(m3 / pow(m2, 1.5), 4).as("skew_pop"),
@@ -545,15 +578,27 @@ object Aggregates {
     * projection.
     */
   def aggCorr(s: SparkSession, dir: String): DataFrame = {
-    val x = col("l_quantity")
-    val y = col("l_extendedprice")
+    // r13: power sums as LONG unit sums (quantity is integer, price
+    // exactly 2 dp — [[Num.units]] exactness contract), products in
+    // integer unit space so x·y, x², y² are exact by construction;
+    // the oracle mirrors the same integer-cents arithmetic (the old
+    // double-product-then-DECIMAL(18,6) spelling rounds fl(y·y) whose
+    // error ~1.2e-6 can cross a 6-dp boundary, so exact and rounded
+    // sums genuinely differ pre-round). Σ(y²) units (~10¹⁴/row)
+    // overflow a long already at ~10⁵ rows/group, so that one sum runs
+    // as the [[Num.unitsHi]]/[[Num.unitsLo]] split accumulator — two
+    // primitive long sums recombined exactly per group.
+    val xu = units(col("l_quantity"), 0)
+    val yc = units(col("l_extendedprice"), 2)
+    val yy = yc * yc // scale 4, ≥ 0
     val n = col("n").cast(DoubleType)
     Sources.table(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
-        dsum(x, 6).as("sx"), dsum(y, 6).as("sy"),
-        dsum(x * y, 6).as("sxy"),
-        dsum(x * x, 6).as("sxx"), dsum(y * y, 6).as("syy"))
+        fromUnits(sum(xu), 0).as("sx"), fromUnits(sum(yc), 2).as("sy"),
+        fromUnits(sum(xu * yc), 2).as("sxy"),
+        fromUnits(sum(xu * xu), 0).as("sxx"),
+        fromUnitsHiLo(sum(unitsHi(yy)), sum(unitsLo(yy)), 4).as("syy"))
       .select(col("l_returnflag"), col("n"),
         round((col("sxy") - col("sx") * col("sy") / n) / (n - 1), 2)
           .as("qp_covar"),
@@ -575,17 +620,23 @@ object Aggregates {
     * exactly, so the final double division is bit-identical in both
     * engines. One map-side-combined hash aggregate.
     */
-  def aggWeighted(s: SparkSession, dir: String): DataFrame =
+  def aggWeighted(s: SparkSession, dir: String): DataFrame = {
+    // r13: long unit sums (see [[aggGroup]]) — price·qty multiplies in
+    // integer unit space (cents × integer quantity, ≤ 5.25e8/row →
+    // safe past 10¹⁰ rows/group), exact by construction.
+    val xu = units(col("l_quantity"), 0)
+    val yc = units(col("l_extendedprice"), 2)
     Sources.table(s, dir, "lineitem")
       .groupBy("l_returnflag")
-      .agg(dsum(col("l_extendedprice") * col("l_quantity")).as("swx"),
-        dsum(col("l_quantity")).as("sw"),
-        dsum(col("l_extendedprice")).as("sx"),
+      .agg(fromUnits(sum(yc * xu), 2).as("swx"),
+        fromUnits(sum(xu), 0).as("sw"),
+        fromUnits(sum(yc), 2).as("sx"),
         count(lit(1)).as("n"))
       .select(col("l_returnflag"),
         round(col("swx") / col("sw"), 4).as("wavg_price"),
         round(col("sx") / col("n").cast(DoubleType), 4).as("avg_price"))
       .orderBy("l_returnflag")
+  }
 
   /** `agg_listagg` — ordered string aggregation (LISTAGG / string_agg
     * with ORDER BY): the distinct order priorities per status as one

@@ -62,10 +62,20 @@ object Num {
     * DataFrame spelling that avoids a one-partition window).
     */
   def exactPercentiles(df: org.apache.spark.sql.DataFrame, c: String,
-                       ps: Seq[Double]): Seq[Double] = {
+                       ps: Seq[Double]): Seq[Double] =
+    exactPercentiles(df, c, ps, knownCount = -1L)
+
+  /** [[exactPercentiles]] with the non-null count already known (a
+    * caller that just ran a fused aggregate over the same relation has
+    * it for free — passing it skips this function's count job, one of
+    * the eager per-profile jobs the bench's fixed cost decomposed
+    * into). Pass -1 to count here.
+    */
+  def exactPercentiles(df: org.apache.spark.sql.DataFrame, c: String,
+                       ps: Seq[Double], knownCount: Long): Seq[Double] = {
     val vals = df.select(col(c).cast(DoubleType).as("v"))
       .filter(col("v").isNotNull)
-    val n = vals.count()
+    val n = if (knownCount >= 0) knownCount else vals.count()
     require(n > 0, s"exactPercentiles($c): no non-null rows")
     val wanted = ps.flatMap { p =>
       val pos = p * (n - 1)
@@ -89,6 +99,92 @@ object Num {
       else picked(lo) * (1 - frac) + picked(hi) * frac
     }
   }
+
+  // --- Long-units exact sums (r13) ---------------------------------------
+  //
+  // dsum's aggregation buffer is DECIMAL(28,s) — above the compact-long
+  // threshold (precision 18), so EVERY row's add goes through
+  // java.math.BigDecimal inside the hash aggregate. For columns whose
+  // values are EXACTLY representable at `scale` decimal digits (the
+  // fixture's lineitem/events numerics carry ≤2 dp; quantities are
+  // integers), the same exact sum is computable as a primitive LONG sum
+  // of "units" (value·10^scale), which codegens to one `+` per row.
+  // The final units→double conversion goes through DECIMAL
+  // multiplication by 10^-scale — NOT division and NOT
+  // `long→double / pow10`: Spark's decimal division is exact here but
+  // DuckDB's decimal division silently returns DOUBLE (measured: 25% of
+  // random 63-bit unit sums differ in the last bit from the correctly
+  // rounded value under `CAST(dec/10000 AS DOUBLE)`), while decimal
+  // multiplication stays DECIMAL and exact in both engines. The decimal
+  // value equals the exact rational sum, so the closing double cast is
+  // bit-identical to dsum's.
+  //
+  // Exactness contract (callers must hold BOTH):
+  //  1. every non-null input value is exactly n/10^scale for integer n
+  //     (then `v·10^scale` in double arithmetic is within ~1e-4 of n —
+  //      far from the .5 rounding boundary — and `units` recovers n
+  //      exactly; verified against the fixture columns);
+  //  2. the true sum of |units| stays under 2⁶³ (ANSI long-sum overflow
+  //     THROWS, so a violation is loud, never silent). At 100 TB:
+  //     price-scale cents (≤ ~10⁷ units/row) overflow past ~9·10¹¹ rows
+  //     per GROUP — beyond that, fall back to [[dsum]] (exact at any
+  //     count) or split the units with [[unitsHi]]/[[unitsLo]], which
+  //     buys 2³² more rows. Σ(price²) in 10⁻⁴ units (~10¹⁴/row) needs
+  //     the hi/lo split already at ~10⁵ rows/group — agg_corr uses it.
+
+  /** Per-row long units `round(c·10^scale)` (HALF_UP, sign-symmetric —
+    * matches BigDecimal HALF_UP away-from-zero for the values the
+    * exactness contract admits, where the product never lands near a
+    * .5 boundary). Null-preserving.
+    */
+  def units(c: Column, scale: Int): Column = {
+    require(scale >= 0 && scale <= 6, s"units scale out of range: $scale")
+    val p = lit(math.pow(10, scale))
+    when(c < 0, -((-c * p + lit(0.5)).cast(org.apache.spark.sql.types.LongType)))
+      .otherwise((c * p + lit(0.5)).cast(org.apache.spark.sql.types.LongType))
+  }
+
+  /** 10^-scale as an exact decimal literal (DECIMAL(scale,scale)). */
+  private def pow10Inv(scale: Int): Column =
+    lit(new java.math.BigDecimal(java.math.BigInteger.ONE, scale))
+
+  /** Close a long unit-sum back to the dsum-identical double:
+    * `CAST(CAST(s AS DECIMAL(38,0)) · 10^-scale AS DOUBLE)`. The
+    * multiply result is DECIMAL(38,scale) and exact (≤ 19+scale
+    * digits), so the double cast is the correctly rounded conversion
+    * of the exact rational sum — the same value dsum produces.
+    */
+  def fromUnits(sumUnits: Column, scale: Int): Column =
+    (sumUnits.cast(DecimalType(38, 0)) * pow10Inv(scale)).cast(DoubleType)
+
+  /** Order-independent exact sum via long units: bit-identical to
+    * `dsum(c, scale')` for any sufficient scale', ~codegen-primitive
+    * instead of per-row BigDecimal. See the exactness contract above.
+    */
+  def lsum(c: Column, scale: Int): Column =
+    fromUnits(sum(units(c, scale)), scale)
+
+  /** Exact mean via long units — bit-identical to [[davg]]. */
+  def lavg(c: Column, scale: Int): Column =
+    lsum(c, scale) / count(c)
+
+  /** Split accumulator for unit values too large for a plain long sum
+    * (e.g. squared price cents ~10¹⁴/row): sum `unitsHi` and `unitsLo`
+    * separately (each a primitive long sum with 2³² more headroom) and
+    * recombine exactly with [[fromUnitsHiLo]]. `u` must be ≥ 0.
+    */
+  def unitsHi(u: Column): Column = shiftright(u, 32)
+
+  /** Low 32 bits of a non-negative unit value — see [[unitsHi]]. */
+  def unitsLo(u: Column): Column = u.bitwiseAND(lit(0xFFFFFFFFL))
+
+  /** Recombine hi/lo unit sums: `(Σhi·2³² + Σlo)·10^-scale` as the
+    * correctly rounded double — all decimal arithmetic exact
+    * (≤ 19+10+scale digits inside DECIMAL(38,scale)).
+    */
+  def fromUnitsHiLo(sumHi: Column, sumLo: Column, scale: Int): Column =
+    ((sumHi.cast(DecimalType(38, 0)) * lit(4294967296L) +
+      sumLo.cast(DecimalType(38, 0))) * pow10Inv(scale)).cast(DoubleType)
 
   // --- Packed lexicographic argmax/argmin -------------------------------
   //
