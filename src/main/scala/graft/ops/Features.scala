@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
-import graft.ops.Num.dsum
+import graft.ops.Num.{dsum, fromUnits, lsum, units}
 
 /** ML feature preparation — the column transforms a training-data
   * pipeline applies just before model ingest: numeric scaling,
@@ -37,8 +37,10 @@ object Features {
     val stats = ev.agg(
       count(lit(1)).as("n"),
       min(col("value")).as("mn"), max(col("value")).as("mx"),
-      dsum(col("value"), 6).as("sx"),
-      dsum(col("value") * col("value"), 6).as("sxx"))
+      // long unit sums (value exactly 2 dp; v² exact at scale 4) — Num r13
+      fromUnits(sum(units(col("value"), 2)), 2).as("sx"),
+      fromUnits(sum(units(col("value"), 2) * units(col("value"), 2)), 4)
+        .as("sxx"))
       .select(col("mn"), col("mx"), (col("sx") / n).as("mu"),
         sqrt((col("sxx") - col("sx") * col("sx") / n) / (n - 1)).as("sd"))
     ev.crossJoin(broadcast(stats))
@@ -100,9 +102,9 @@ object Features {
     val ev = Sources.table(s, dir, "events")
       .filter(col("event_type").isNotNull && col("value").isNotNull)
     val global = ev.agg(
-      (dsum(col("value")) / count(lit(1))).as("mu"))
+      (lsum(col("value"), 2) / count(lit(1))).as("mu"))
     val enc = ev.groupBy("event_type")
-      .agg(dsum(col("value")).as("sv"), count(lit(1)).as("n"))
+      .agg(lsum(col("value"), 2).as("sv"), count(lit(1)).as("n"))
       .crossJoin(broadcast(global))
       .select(col("event_type"),
         round((col("sv") + lit(m) * col("mu")) /

@@ -30,7 +30,10 @@ object Relational {
         col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
       .agg(count(lit(1)).as("n_customers"),
-        dsum(col("c_acctbal")).as("total_acctbal"))
+        // acctbal is exactly 2 dp (negatives included — units() rounds
+        // sign-symmetrically), so the exact sum runs as a primitive
+        // long unit sum (Num r13) instead of a Decimal128 buffer
+        lsum(col("c_acctbal"), 2).as("total_acctbal"))
       .orderBy("r_name", "n_name")
 
   /** `join_fact` — J2, lineitem⋈orders equi-join; revenue per order.
@@ -45,11 +48,16 @@ object Relational {
     * already-reduced relations — still the minimal movement.
     */
   def joinFact(s: SparkSession, dir: String): DataFrame = {
+    // disc price in integer unit space (cents × (100−disc¢), scale 4 —
+    // exact by construction, see Num's r13 long-units notes): the
+    // revenue sum is a primitive long add per row instead of a
+    // BigDecimal add; fromUnits closes to the dsum-identical double
     val rev = Sources.table(s, dir, "lineitem")
       .select(col("l_orderkey"),
-        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("disc_price"))
+        (units(col("l_extendedprice"), 2) *
+          (lit(100L) - units(col("l_discount"), 2))).as("disc_price_u"))
       .groupBy("l_orderkey")
-      .agg(dsum(col("disc_price"), 6).as("revenue"),
+      .agg(fromUnits(sum(col("disc_price_u")), 4).as("revenue"),
         count(lit(1)).as("n_items"))
     Sources.table(s, dir, "orders")
       .select("o_orderkey", "o_orderpriority")
@@ -240,8 +248,9 @@ object Relational {
                    region: String = "ASIA"): DataFrame = {
     val li = Sources.table(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"),
-        (col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .as("disc_price"))
+        // integer-unit disc price (see joinFact) — scale 4, exact
+        (units(col("l_extendedprice"), 2) *
+          (lit(100L) - units(col("l_discount"), 2))).as("disc_price_u"))
     val o = Sources.table(s, dir, "orders").select("o_orderkey", "o_custkey")
     val c = Sources.table(s, dir, "customer")
       .select("c_custkey", "c_nationkey")
@@ -257,7 +266,7 @@ object Relational {
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
-      .agg(dsum(col("disc_price"), 6).as("revenue"),
+      .agg(fromUnits(sum(col("disc_price_u")), 4).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("n_name")
   }
@@ -362,7 +371,7 @@ object Relational {
     saltedJoin(li, ord, "okey")
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_lines"),
-        round(dsum(col("l_quantity")), 4).as("sum_qty"))
+        round(lsum(col("l_quantity"), 0), 4).as("sum_qty"))
       .orderBy("o_orderstatus")
   }
 
@@ -383,7 +392,7 @@ object Relational {
       .join(broadcast(tiers),
         col("value") >= col("lo") && col("value") < col("hi"))
       .groupBy("tier")
-      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), lsum(col("value"), 2).as("sum_value"))
       .orderBy("tier")
   }
 
@@ -616,7 +625,8 @@ object Relational {
       .groupBy(col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
         col("o_orderpriority"))
-      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+      .agg(fromUnits(sum(units(col("l_extendedprice"), 2) *
+        (lit(100L) - units(col("l_discount"), 2))), 4)
         .as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)

@@ -90,8 +90,11 @@ object TextSim {
                     nSigma: Double = 3.0): DataFrame = {
     require(nSigma > 0, s"nSigma must be positive, got $nSigma")
     val ev = Sources.table(s, dir, "events")
-    val p = ev.agg(dsum(col("value")).as("sx"),
-        dsum(col("value") * col("value"), 6).as("sxx"),
+    // exact power sums as long unit sums (value exactly 2 dp → cents;
+    // v² exact in integer unit space at scale 4) — Num r13
+    val vc = units(col("value"), 2)
+    val p = ev.agg(fromUnits(sum(vc), 2).as("sx"),
+        fromUnits(sum(vc * vc), 4).as("sxx"),
         count(col("value")).cast(DoubleType).as("n"))
       .select((col("sx") / col("n")).as("mu"),
         sqrt((col("sxx") - col("sx") * col("sx") / col("n")) /

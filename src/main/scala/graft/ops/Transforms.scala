@@ -195,7 +195,7 @@ object Transforms {
     */
   def fillnaMean(s: SparkSession, dir: String): DataFrame = {
     val ev = Sources.table(s, dir, "events")
-    val m = ev.agg(davg(col("value")).as("mean_value"))
+    val m = ev.agg(lavg(col("value"), 2).as("mean_value"))
     ev.crossJoin(broadcast(m))
       .select(col("event_id"),
         coalesce(col("value"), col("mean_value")).as("value_filled"))
