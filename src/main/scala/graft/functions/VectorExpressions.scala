@@ -223,6 +223,84 @@ case class ShingleHash(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** Multiplicity of the most frequent word-BIGRAM in a token array —
+  * the Gopher top-2-gram repetition signal's kernel
+  * ([[graft.ops.TextSim.textRepetition]]).
+  *
+  * Replaces the declarative spelling (build `concat(w[i-1],' ',w[i])`
+  * strings → `array_sort` → interpreted `aggregate()` fold counting
+  * the longest equal-adjacent run), which allocated one UTF8String
+  * per bigram and dispatched two lambdas per element. Here the pair
+  * array is never materialized: indices 0..m-1 are sorted by the
+  * (w[i], w[i+1]) componentwise comparator and the longest equal run
+  * counted in one pass — O(n log n) per row, zero string allocation.
+  * Componentwise equality equals concat-with-space equality because
+  * tokens come from a whitespace split (no token contains a space),
+  * so the count is identical to the old form's.
+  *
+  * Returns 0 for arrays with fewer than 2 elements (no bigrams);
+  * callers filter those out. Array elements are assumed non-null
+  * (whitespace split never produces null tokens) — same density
+  * assumption as [[DotProduct]].
+  */
+case class BigramTopCount(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_bigram_top requires array<string>, got $t")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_bigram_top"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BigramTopCount.topCount(input.asInstanceOf[ArrayData])
+
+  override protected def withNewChildInternal(c: Expression): BigramTopCount =
+    copy(child = c)
+}
+
+object BigramTopCount {
+  /** Longest run of equal adjacent (w[i], w[i+1]) pairs after sorting
+    * pair indices — i.e. the top bigram's multiplicity. Only EQUALITY
+    * grouping matters, so any total order works; binary UTF8String
+    * order is the cheapest.
+    */
+  def topCount(words: ArrayData): Long = {
+    val m = words.numElements() - 1
+    if (m <= 0) return 0L
+    val w = new Array[org.apache.spark.unsafe.types.UTF8String](m + 1)
+    var i = 0
+    while (i <= m) { w(i) = words.getUTF8String(i); i += 1 }
+    val idx = new Array[Integer](m)
+    i = 0
+    while (i < m) { idx(i) = Integer.valueOf(i); i += 1 }
+    java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
+      override def compare(x: Integer, y: Integer): Int = {
+        val xi = x.intValue(); val yi = y.intValue()
+        val c = w(xi).compareTo(w(yi))
+        if (c != 0) c else w(xi + 1).compareTo(w(yi + 1))
+      }
+    })
+    var best = 1L
+    var run = 1L
+    i = 1
+    while (i < m) {
+      val a = idx(i - 1).intValue(); val b = idx(i).intValue()
+      if (w(a).equals(w(b)) && w(a + 1).equals(w(b + 1))) {
+        run += 1
+        if (run > best) best = run
+      } else run = 1L
+      i += 1
+    }
+    best
+  }
+}
+
 /** n-token shingles of `child` (an `array<string>`) as the joined
   * STRINGS themselves (`"tok tok tok"`), for paths that must keep the
   * shingle text — the portable-oracle MinHash
@@ -621,6 +699,25 @@ object VectorFunctions {
     registerShingleStrings(spark)
     call_function("graft_shingle_str", toks,
       org.apache.spark.sql.functions.lit(n))
+  }
+
+  /** Idempotently register `graft_bigram_top(toks)` — the top-bigram
+    * multiplicity kernel ([[BigramTopCount]]).
+    */
+  def registerBigramTop(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bigram_top",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 1,
+          s"graft_bigram_top expects (toks), got ${exprs.length} args")
+        BigramTopCount(exprs.head)
+      },
+      "built-in")
+
+  /** Top-bigram multiplicity as a Column. */
+  def bigramTop(spark: SparkSession, toks: Column): Column = {
+    registerBigramTop(spark)
+    call_function("graft_bigram_top", toks)
   }
 
   /** Idempotently register `graft_shingle2(toks, n)` — the 128-bit

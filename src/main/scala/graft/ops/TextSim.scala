@@ -626,80 +626,56 @@ object TextSim {
     * Shape at scale (r8): the statistic is PER-DOCUMENT, so no row
     * ever needs to meet another — the whole computation is a pure
     * projection with ZERO exchanges (only the presentation sort
-    * remains). The top-bigram count is the longest run of equal
-    * adjacent elements in the SORTED bigram array: `array_sort` +
-    * one `aggregate()` fold per row, O(n log n) in doc length — NOT
-    * the O(n²) count-each-bigram-against-the-array form (a 100k-token
-    * document would pay 1e10 comparisons), and not the
-    * explode + two-level hash-aggregate form shipped in r6/r7 either:
-    * that one shuffled the distinct (doc, bigram) stream and, on the
-    * driver's own per-sample evidence (BENCH_LOCAL.json r8: 18/18
-    * samples at 1.6–2.6 s across three JVMs), paid ~6× DuckDB on
-    * explode volume + aggregation machinery for values that never
-    * leave their row. The HOF fold runs interpreted, but per-row
-    * interpreted O(n log n) beats shuffling n rows per doc through
-    * two codegen'd aggregates at every scale — and it parallelizes
-    * embarrassingly: a 1000-executor cluster scans, projects, and
-    * writes with no data movement at all. Docs with fewer than 2
-    * words have no bigrams and are excluded (both here and in the
-    * oracle).
+    * remains). NOT the O(n²) count-each-bigram-against-the-array
+    * form (a 100k-token document would pay 1e10 comparisons), and
+    * not the explode + two-level hash-aggregate form shipped in
+    * r6/r7 either: that one shuffled the distinct (doc, bigram)
+    * stream and, on the driver's own per-sample evidence
+    * (BENCH_LOCAL.json r8: 18/18 samples at 1.6–2.6 s across three
+    * JVMs), paid ~6× DuckDB on explode volume + aggregation
+    * machinery for values that never leave their row. It
+    * parallelizes embarrassingly: a 1000-executor cluster scans,
+    * projects, and writes with no data movement at all. Docs with
+    * fewer than 2 words have no bigrams and are excluded (both here
+    * and in the oracle).
     *
-    * SUBSTITUTION-SAFETY (r11): the `words` and `bg` arrays are bound
-    * as LAMBDA VARIABLES (`transform(array(x), v -> …)[0]`), never
-    * referenced as free projection columns from inside a HOF body.
-    * The r8–r10 form kept them as projection columns, and composing
-    * it under a filter (`textRepetition(docs).filter(!repetitive)`,
-    * the curation pipeline's quality gate) let Catalyst's
-    * PushPredicateThroughProject substitute the FULL defining
-    * expression for every reference — including `bg[i]`/`bg[i-1]`
-    * inside the fold, where interpreted eval re-ran
-    * split+transform+array_sort PER FOLD STEP: O(n²·log n) per doc.
-    * At 1M generated docs that turned the 1-node capstone's quality
-    * gate into 20+ CPU-minutes per task (observed via jstack: every
-    * worker inside StringSplit.nullSafeEval under Concat). A lambda
-    * variable is bound ONCE per enclosing evaluation no matter how
-    * many times the body reads it, and the binding survives any
-    * rule's expression substitution, so the operator now stays
-    * O(n log n) per row under ANY composition. A pushed-down filter
-    * may still duplicate the whole per-row expression a bounded
-    * number of times (once per referenced output column) — linear,
-    * not quadratic. RepetitionSubstitutionSpec pins both properties.
+    * The top-bigram kernel is the native
+    * [[graft.functions.BigramTopCount]] expression (r13): one
+    * comparator sort over pair INDICES + one equal-run pass,
+    * O(n log n) per row with zero bigram-string allocation. It
+    * replaces the r8–r12 declarative spelling (bigram `concat` →
+    * `array_sort` → interpreted `aggregate()` fold), which dispatched
+    * two lambdas per element and allocated one UTF8String per bigram
+    * — measured 0.90 → 0.56 s at sf0.1. Identical counts: pair
+    * equality equals concat-with-space equality because whitespace
+    * split leaves no space inside a token.
+    *
+    * SUBSTITUTION-SAFETY (r11, re-proved for the r13 form): composing
+    * the operator under a filter (`textRepetition(docs)
+    * .filter(!repetitive)`, the curation pipeline's quality gate)
+    * lets PushPredicateThroughProject substitute defining expressions
+    * into the filter. The r8–r10 HOF form re-expanded
+    * split+transform+array_sort INSIDE the fold lambda — re-run per
+    * fold step by interpreted eval, O(n²·log n) per doc. The kernel
+    * is now a single opaque expression over `words`: substitution can
+    * copy it (and the split) at most once per referenced output
+    * column — linear, never inside a per-element loop.
+    * RepetitionSubstitutionSpec pins the bounded-copies property and
+    * behavioral equality under composition.
     */
   def textRepetition(s: SparkSession, dir: String): DataFrame =
     textRepetition(docs(s, dir))
 
   /** [[textRepetition]] over any `(doc_id, text)` relation. */
-  def textRepetition(docs: DataFrame): DataFrame =
+  def textRepetition(docs: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.registerBigramTop(docs.sparkSession)
     docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
       .filter(size(col("words")) >= 2)
-      // `words` is re-bound as the lambda variable `w` before any
-      // per-element access: only references inside a HOF lambda BODY
-      // re-evaluate per element after rule substitution, so those are
-      // the ones that must never point at a free (substitutable)
-      // column — see SUBSTITUTION-SAFETY in the Scaladoc. References
-      // outside lambda bodies (size(words), array_distinct(words),
-      // size(bg)) evaluate once per row even if substituted: linear,
-      // left as ordinary codegen-able column arithmetic.
       .select(col("doc_id"), size(col("words")).cast(LongType).as("n_words"),
         size(array_distinct(col("words"))).cast(LongType).as("distinct_words"),
-        array_sort(expr(
-          "transform(array(words), w -> transform(sequence(1, size(w) - 1)," +
-            " i -> concat(w[i - 1], ' ', w[i])))[0]")).as("bg"))
-      // longest equal-adjacent run in the sorted array == the top
-      // bigram's multiplicity; single-element arrays short-circuit
-      // (sequence(1, 0) would count DOWN, not produce an empty range).
-      // Same re-binding for `bg` (as `b`) around the fold.
-      .select(col("doc_id"), col("n_words"), col("distinct_words"),
-        size(col("bg")).cast(LongType).as("n_bigrams"),
-        when(size(col("bg")) === 1, lit(1L)).otherwise(expr(
-          "transform(array(bg), b -> aggregate(sequence(1, size(b) - 1)," +
-            " named_struct('run', 1, 'best', 1)," +
-            " (acc, i) -> IF(b[i] = b[i - 1]," +
-            "   named_struct('run', acc.run + 1," +
-            "     'best', GREATEST(acc.best, acc.run + 1))," +
-            "   named_struct('run', 1, 'best', acc.best))," +
-            " acc -> acc.best))[0]").cast(LongType)).as("top_bigram_n"))
+        (size(col("words")) - 1).cast(LongType).as("n_bigrams"),
+        call_function("graft_bigram_top", col("words")).as("top_bigram_n"))
       .select(col("doc_id"), col("n_words"), col("top_bigram_n"),
         round(col("top_bigram_n") / col("n_bigrams"), 4).as("top_bigram_frac"),
         col("distinct_words"),
@@ -708,6 +684,7 @@ object TextSim {
       .withColumn("repetitive",
         col("top_bigram_frac") > 0.18 || col("dup_word_frac") > 0.9)
       .orderBy("doc_id")
+  }
 
   /** `text_normalize` — canonical text normalization, the step every
     * dedup/quality stage assumes upstream: lowercase, trim, strip
