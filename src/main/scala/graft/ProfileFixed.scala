@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Fixed-cost decomposition for the bench composite (r12 VERDICT #3):
+  * ~24 s of the 51.4 s sf0.1 composite was per-query FIXED cost
+  * (doesn't scale with data). This main splits each query's wall time
+  * into
+  *   - `planMs`: Catalyst analysis + optimization + physical planning
+  *     (driver CPU, from `QueryExecution.tracker` — forced BEFORE the
+  *     write so the write phase times only execution),
+  *   - `execMs`: the noop write (job scheduling + task run),
+  * and counts jobs/tasks during the write — the three candidate
+  * explanations for 0.165 s/query (heavy plans, many eager jobs, many
+  * tiny tasks). Run on sf0.001 where data cost is negligible, the
+  * numbers are ~pure fixed cost; the breakdown goes to BASELINE.md.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.ProfileFixed"
+  * (optional SPARK_GRAFT_ONLY=a,b; same bench session config).
+  */
+object ProfileFixed {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_PARTS", "8"))
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.ops.Sources.assertFixtureSchemas(spark, sfDir)
+    Seq("lineitem", "events", "documents", "embeddings", "orders",
+      "customer", "nation", "region", "part", "supplier").foreach { t =>
+      try { graft.ops.Sources.table(spark, sfDir, t).count(): Unit }
+      catch { case _: Throwable => () }
+    }
+    // job/task counters; volatile is enough — listener events arrive on
+    // one listener-bus thread, reads happen after waitUntilEmpty
+    @volatile var jobs = 0
+    @volatile var tasks = 0
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = tasks += 1
+    })
+    // listenerBus.waitUntilEmpty is private[spark]; a short sleep after
+    // each phase lets the async bus drain — counts are diagnostics, a
+    // ±1 race on a 100-job run is immaterial
+    // listenerBus.waitUntilEmpty is private[spark]; a short sleep after
+    // each phase lets the async bus drain — counts are diagnostics, a
+    // ±1 race on a 100-job run is immaterial. The sleeps sit OUTSIDE
+    // the timed window so they never pollute the ms numbers.
+    def counted[A](f: => A): (A, Int, Int, Double) = {
+      Thread.sleep(60)
+      val (j0, t0) = (jobs, tasks)
+      val t = System.nanoTime()
+      val r = f
+      val ms = (System.nanoTime() - t) / 1e6
+      Thread.sleep(60)
+      (r, jobs - j0, tasks - t0, ms)
+    }
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val qlist = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    // warm pass first (codegen + JIT), matching Bench's pair rule:
+    // the SECOND pass's numbers are the steady-state fixed cost
+    case class Rec(name: String, buildPlanMs: Double, execMs: Double,
+                   buildJobs: Int, execJobs: Int, execTasks: Int)
+    def one(name: String,
+            fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Rec = {
+      // build + force full planning; eager helper jobs (collects inside
+      // the builder, e.g. exactPercentiles) are charged here
+      val (df, bj, _, buildMs) = counted {
+        val d = fn(spark, sfDir)
+        d.queryExecution.executedPlan // force analyze/optimize/plan
+        d
+      }
+      val (_, ej, et, execMs) = counted {
+        df.write.format("noop").mode("overwrite").save()
+      }
+      Rec(name, buildMs, execMs, bj, ej, et)
+    }
+    val recs = qlist.flatMap { case (n, f) =>
+      try { one(n, f); Some(one(n, f)) } // warm, then measure
+      catch { case e: Throwable =>
+        println(s"profile: $n FAILED: ${e.getMessage}"); None }
+    }
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    println(f"${"query"}%-28s${"buildMs"}%9s${"execMs"}%9s${"bJobs"}%7s${"eJobs"}%7s${"tasks"}%7s")
+    recs.sortBy(r => -(r.buildPlanMs + r.execMs)).foreach { r =>
+      println(f"${r.name}%-28s${num(r.buildPlanMs)}%9s${num(r.execMs)}%9s${r.buildJobs}%7d${r.execJobs}%7d${r.execTasks}%7d")
+    }
+    val n = recs.size.max(1)
+    println(s"summary: n=$n buildMs total=${num(recs.map(_.buildPlanMs).sum)} " +
+      s"(avg ${num(recs.map(_.buildPlanMs).sum / n)}) " +
+      s"execMs total=${num(recs.map(_.execMs).sum)} " +
+      s"(avg ${num(recs.map(_.execMs).sum / n)}) " +
+      s"buildJobs=${recs.map(_.buildJobs).sum} execJobs=${recs.map(_.execJobs).sum} " +
+      s"tasks=${recs.map(_.execTasks).sum}")
+    spark.stop()
+  }
+}
