@@ -333,19 +333,18 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "src_scan" ->
-      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem""".stripMargin,
 
     "proj_upper" ->
-      "SELECT c_custkey, upper(c_name) AS c_name_upper FROM customer ORDER BY c_custkey",
+      "SELECT c_custkey, upper(c_name) AS c_name_upper FROM customer",
 
     "proj_cast" ->
       """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INTEGER) AS qty_int,
         |CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem""".stripMargin,
 
     "proj_datefmt" ->
-      "SELECT o_orderkey, strftime(o_orderdate, '%Y%m%d') AS batch_id FROM orders ORDER BY o_orderkey",
+      "SELECT o_orderkey, strftime(o_orderdate, '%Y%m%d') AS batch_id FROM orders",
 
     "quality_score" ->
       """SELECT event_id, CAST(1.0 AS DOUBLE) - CAST(
@@ -355,11 +354,11 @@ object SparkEntry {
         |(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) +
         |(CASE WHEN value IS NULL THEN 1 ELSE 0 END) +
         |(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(6.0 AS DOUBLE)
-        |AS quality_score FROM events ORDER BY event_id""".stripMargin,
+        |AS quality_score FROM events""".stripMargin,
 
     "filter_valid" ->
       s"""SELECT event_id, user_id, event_type, value FROM events
-         |WHERE $validSql ORDER BY event_id""".stripMargin,
+         |WHERE $validSql""".stripMargin,
 
     "filter_invalid" ->
       s"""SELECT event_id, CASE
@@ -368,16 +367,15 @@ object SparkEntry {
          |WHEN event_type IS NULL OR trim(event_type) = '' THEN 'blank_event_type'
          |WHEN value IS NULL THEN 'missing_value'
          |ELSE 'value_out_of_range' END AS reason
-         |FROM events WHERE NOT ($validSql) ORDER BY event_id""".stripMargin,
+         |FROM events WHERE NOT ($validSql)""".stripMargin,
 
     "filter_like" ->
-      "SELECT p_partkey, p_name, p_type FROM part WHERE p_type LIKE '%AR%' ORDER BY p_partkey",
+      "SELECT p_partkey, p_name, p_type FROM part WHERE p_type LIKE '%AR%'",
 
     "outlier_iqr" ->
       """WITH b AS (SELECT quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3 FROM events)
         |SELECT event_id, value FROM events, b
-        |WHERE value < q1 - (q3 - q1) * 1.5 OR value > q3 + (q3 - q1) * 1.5
-        |ORDER BY event_id""".stripMargin,
+        |WHERE value < q1 - (q3 - q1) * 1.5 OR value > q3 + (q3 - q1) * 1.5""".stripMargin,
 
     "outlier_mad" ->
       """WITH med AS (SELECT quantile_cont(value, 0.5) AS m FROM events),
@@ -385,8 +383,7 @@ object SparkEntry {
         |        FROM events, med WHERE value IS NOT NULL GROUP BY ALL),
         |p AS (SELECT m, d FROM mad)
         |SELECT event_id, value, round((value - p.m) / p.d, 4) AS mad_score
-        |FROM events, p WHERE abs(value - p.m) > 5 * p.d
-        |ORDER BY event_id""".stripMargin,
+        |FROM events, p WHERE abs(value - p.m) > 5 * p.d""".stripMargin,
 
     "window_ewma" ->
       """WITH e AS (SELECT user_id, value, epoch_us(ts) AS us, event_id FROM events
@@ -395,11 +392,10 @@ object SparkEntry {
         |      FROM e GROUP BY user_id)
         |SELECT user_id,
         |round(list_reduce(vs, (acc, x) -> 0.3 * x + 0.7 * acc), 4) AS ewma
-        |FROM l ORDER BY user_id""".stripMargin,
+        |FROM l""".stripMargin,
 
     "dedup_rows" ->
-      """SELECT DISTINCT user_id, event_type FROM events
-        |ORDER BY user_id NULLS FIRST, event_type NULLS FIRST""".stripMargin,
+      """SELECT DISTINCT user_id, event_type FROM events""".stripMargin,
 
     "agg_dup_count" ->
       """SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS dup_count FROM
@@ -407,22 +403,20 @@ object SparkEntry {
 
     "fillna_const" ->
       """SELECT event_id, COALESCE(event_type, 'UNKNOWN') AS event_type_filled,
-        |COALESCE(props, '{}') AS props_filled FROM events ORDER BY event_id""".stripMargin,
+        |COALESCE(props, '{}') AS props_filled FROM events""".stripMargin,
 
     "fillna_mean" ->
       """SELECT event_id, COALESCE(value, m.mean_value) AS value_filled FROM events,
-        |(SELECT CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(value) AS mean_value FROM events) m
-        |ORDER BY event_id""".stripMargin,
+        |(SELECT CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(value) AS mean_value FROM events) m""".stripMargin,
 
     "union_all" ->
       s"""SELECT o_orderstatus, count(*) AS n_orders, ${dsumSql("o_totalprice")} AS total_price
          |FROM (SELECT * FROM orders WHERE o_orderkey % 2 = 0
          |      UNION ALL SELECT * FROM orders WHERE o_orderkey % 2 = 1) t
-         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+         |GROUP BY o_orderstatus""".stripMargin,
 
     "set_except" ->
-      """SELECT * FROM (SELECT o_orderkey FROM orders EXCEPT SELECT l_orderkey FROM lineitem)
-        |ORDER BY o_orderkey""".stripMargin,
+      """SELECT * FROM (SELECT o_orderkey FROM orders EXCEPT SELECT l_orderkey FROM lineitem)""".stripMargin,
 
     "agg_null_counts" ->
       """SELECT count(*) - count(event_id) AS nulls_event_id,
@@ -445,7 +439,7 @@ object SparkEntry {
            |round(stddev_samp($c), 4) AS std,
            |min($c) AS min_val, max($c) AS max_val FROM lineitem""".stripMargin
       s"""SELECT * FROM (${p("l_quantity")} UNION ALL ${p("l_extendedprice")}
-         |UNION ALL ${p("l_discount")}) t ORDER BY col_name""".stripMargin
+         |UNION ALL ${p("l_discount")}) t""".stripMargin
     },
 
     "agg_rates" ->
@@ -458,7 +452,7 @@ object SparkEntry {
 
     "agg_having" ->
       """SELECT event_type, count(*) AS n_events FROM events
-        |GROUP BY event_type HAVING count(*) > 1900 ORDER BY event_type""".stripMargin,
+        |GROUP BY event_type HAVING count(*) > 1900""".stripMargin,
 
     "agg_group" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -471,8 +465,7 @@ object SparkEntry {
          |${dsumSql("l_discount")} / count(*) AS avg_disc,
          |count(*) AS count_order
          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
-         |GROUP BY l_returnflag, l_linestatus
-         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "agg_rollup" ->
       s"""SELECT r_name, n_name, ${dsumSql("o_totalprice")} AS revenue, count(*) AS n_orders
@@ -480,21 +473,18 @@ object SparkEntry {
          |JOIN customer ON o_custkey = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
-         |GROUP BY ROLLUP (r_name, n_name)
-         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
 
     "agg_cube" ->
       s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
          |${dsumSql("o_totalprice")} AS total_price
-         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
-         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
 
     "agg_gsets" ->
       s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
          |${dsumSql("o_totalprice")} AS total_price
          |FROM orders
-         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
 
     "agg_corr" -> {
       // integer-cents power sums mirroring the engine (r13): xu/yc are
@@ -525,8 +515,7 @@ object SparkEntry {
          |  FROM (SELECT l_returnflag,
          |    CAST(round(l_quantity) AS BIGINT) AS xu,
          |    CAST(round(l_extendedprice * 100) AS BIGINT) AS yc
-         |    FROM lineitem) u GROUP BY l_returnflag) t
-         |ORDER BY l_returnflag""".stripMargin
+         |    FROM lineitem) u GROUP BY l_returnflag) t""".stripMargin
     },
 
     "pivot_wide" ->
@@ -534,7 +523,7 @@ object SparkEntry {
         |count(CASE WHEN l_returnflag = 'A' THEN 1 END) AS "A",
         |count(CASE WHEN l_returnflag = 'N' THEN 1 END) AS "N",
         |count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS "R"
-        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
 
     "unpivot_long" ->
       """SELECT * FROM (
@@ -542,8 +531,7 @@ object SparkEntry {
         |UNION ALL
         |SELECT l_orderkey, l_linenumber, 'l_discount' AS metric, l_discount AS value FROM lineitem
         |UNION ALL
-        |SELECT l_orderkey, l_linenumber, 'l_tax' AS metric, l_tax AS value FROM lineitem) t
-        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+        |SELECT l_orderkey, l_linenumber, 'l_tax' AS metric, l_tax AS value FROM lineitem) t""".stripMargin,
 
     "window_dist" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
@@ -552,8 +540,7 @@ object SparkEntry {
         |round(cume_dist() OVER w, 6) AS cum_dist
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority
-        |             ORDER BY o_totalprice DESC, o_orderkey)
-        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+        |             ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
 
     "merge_upsert" ->
       """WITH snap AS (SELECT o_orderkey AS key, o_orderstatus AS status,
@@ -569,8 +556,7 @@ object SparkEntry {
         |CASE WHEN u.u_status IS NOT NULL AND s.status IS NOT NULL THEN 'update'
         |     WHEN u.u_status IS NOT NULL THEN 'insert'
         |     ELSE 'passthrough' END AS action
-        |FROM snap s FULL OUTER JOIN upd u ON s.key = u.key
-        |ORDER BY key""".stripMargin,
+        |FROM snap s FULL OUTER JOIN upd u ON s.key = u.key""".stripMargin,
 
     "scd2_snapshot" ->
       """WITH base AS (SELECT o_orderkey AS key, o_orderstatus AS status,
@@ -587,8 +573,7 @@ object SparkEntry {
         |  TRUE AS is_current FROM base WHERE key % 2 = 0
         |UNION ALL
         |SELECT key, status, price, '2026-01-01' AS valid_from,
-        |  '9999-12-31' AS valid_to, TRUE AS is_current FROM upd
-        |ORDER BY key, valid_from, is_current""".stripMargin,
+        |  '9999-12-31' AS valid_to, TRUE AS is_current FROM upd""".stripMargin,
 
     "window_frames" ->
       """SELECT o_custkey, o_orderkey,
@@ -602,7 +587,7 @@ object SparkEntry {
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) /
         |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS avg3_price
-        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+        |FROM orders""".stripMargin,
 
     "filter_exists" ->
       """SELECT c.c_custkey, c.c_name FROM customer c
@@ -610,15 +595,14 @@ object SparkEntry {
         |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
         |AND c.c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
         |                          / count(*)
-        |                   FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
-        |ORDER BY c.c_custkey""".stripMargin,
+        |                   FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin,
 
     "str_regex" ->
       """SELECT doc_id,
         |CAST(len(regexp_extract_all(text, '[A-Z][a-z]+')) AS BIGINT) AS n_capitalized,
         |regexp_extract(text, '[0-9]+') AS first_number,
         |text ~ '.*data.*' AS mentions_data
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM documents""".stripMargin,
 
     "array_funcs" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
@@ -626,7 +610,7 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
         |array_to_string(list_sort(list_distinct(toks))[1:5], ' ') AS first5,
         |list_contains(toks, 'the') AS has_the
-        |FROM t ORDER BY doc_id""".stripMargin,
+        |FROM t""".stripMargin,
 
     "window_range" ->
       """SELECT user_id, event_id,
@@ -635,8 +619,7 @@ object SparkEntry {
         |FROM events
         |WHERE user_id IS NOT NULL AND ts IS NOT NULL
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
-        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-        |ORDER BY user_id, event_id""".stripMargin,
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "funnel_steps" ->
       """WITH s AS (SELECT user_id,
@@ -660,7 +643,7 @@ object SparkEntry {
         |GROUP BY n_name)
         |SELECT n_name, revenue,
         |round(100.0 * revenue / sum(revenue) OVER (), 4) AS pct_of_total
-        |FROM n ORDER BY n_name""".stripMargin,
+        |FROM n""".stripMargin,
 
     "dedup_time_window" ->
       """WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
@@ -671,8 +654,7 @@ object SparkEntry {
         | row_number() OVER (PARTITION BY user_id, event_type, hr
         |   ORDER BY us, event_id) AS rn FROM e)
         |SELECT user_id, event_type, hr AS hour_start, event_id
-        |FROM r WHERE rn = 1
-        |ORDER BY user_id, event_type, hour_start""".stripMargin,
+        |FROM r WHERE rn = 1""".stripMargin,
 
     "cohort_retention" ->
       """WITH o AS (SELECT o_custkey,
@@ -680,14 +662,14 @@ object SparkEntry {
         |c AS (SELECT o_custkey, min(ym) AS cohort FROM o GROUP BY 1)
         |SELECT c.cohort, o.ym, count(DISTINCT o.o_custkey) AS n_active
         |FROM o JOIN c USING (o_custkey)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |GROUP BY 1, 2""".stripMargin,
 
     "window_sliding" ->
       """WITH ev AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h
         |FROM events WHERE ts IS NOT NULL),
         |w AS (SELECT unnest([h, h - INTERVAL 1 HOUR]) AS window_start FROM ev)
         |SELECT window_start, count(*) AS n FROM w
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+        |GROUP BY 1""".stripMargin,
 
     "dedup_incremental" ->
       """SELECT n.doc_id,
@@ -695,8 +677,7 @@ object SparkEntry {
         |  WHERE substring(md5(CAST(o.doc_id AS VARCHAR)), 1, 1) < '8'
         |    AND trim(lower(o.text)) = trim(lower(n.text))) AS dup_of_corpus
         |FROM documents n
-        |WHERE substring(md5(CAST(n.doc_id AS VARCHAR)), 1, 1) >= '8'
-        |ORDER BY doc_id""".stripMargin,
+        |WHERE substring(md5(CAST(n.doc_id AS VARCHAR)), 1, 1) >= '8'""".stripMargin,
 
     "dedup_chunk" ->
       """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS words
@@ -706,38 +687,36 @@ object SparkEntry {
         |    i -> array_to_string(words[i * 20 + 1 : i * 20 + 20], ' '))) AS chunk
         |  FROM w)
         |SELECT chunk, count(DISTINCT doc_id) AS n_docs FROM c
-        |GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2
-        |ORDER BY chunk""".stripMargin,
+        |GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
 
     "join_dim" ->
       s"""SELECT r_name, n_name, count(*) AS n_customers, ${dsumSql("c_acctbal")} AS total_acctbal
          |FROM customer
          |JOIN nation ON c_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
-         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+         |GROUP BY r_name, n_name""".stripMargin,
 
     "join_fact" ->
       s"""SELECT o_orderkey, o_orderpriority,
          |${dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS revenue,
          |count(*) AS n_items
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         |GROUP BY o_orderkey, o_orderpriority ORDER BY o_orderkey""".stripMargin,
+         |GROUP BY o_orderkey, o_orderpriority""".stripMargin,
 
     "join_semi" ->
       """SELECT o_orderkey FROM orders
-        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem) ORDER BY o_orderkey""".stripMargin,
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)""".stripMargin,
 
     "join_anti" ->
       """SELECT o_orderkey FROM orders
-        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
-        |ORDER BY o_orderkey""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)""".stripMargin,
 
     "join_outer" ->
       """SELECT o_orderkey, COALESCE(c_custkey, -1) AS matched_custkey,
         |COALESCE(c_name, 'NONE') AS matched_name
         |FROM orders LEFT JOIN
         |(SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING') c
-        |ON o_custkey = c_custkey ORDER BY o_orderkey""".stripMargin,
+        |ON o_custkey = c_custkey""".stripMargin,
 
     "join_multiway" ->
       s"""SELECT n_name, ${dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS revenue,
@@ -749,7 +728,7 @@ object SparkEntry {
          |JOIN nation ON s_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
          |WHERE r_name = 'ASIA'
-         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+         |GROUP BY n_name""".stripMargin,
 
     "sort_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
@@ -759,14 +738,14 @@ object SparkEntry {
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
         |SELECT o_custkey, o_orderkey, o_totalprice,
         |row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
-        |FROM orders) t WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+        |FROM orders) t WHERE rn = 1""".stripMargin,
 
     "window_running" ->
       """SELECT o_custkey, o_orderkey,
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
         |PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
-        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+        |FROM orders""".stripMargin,
 
     "str_funcs" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len,
@@ -774,7 +753,7 @@ object SparkEntry {
         |substring(text, 1, 10) AS text_prefix,
         |concat(lang, ':', source) AS lang_source,
         |split_part(text, ' ', 1) AS first_word
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM documents""".stripMargin,
 
     "date_funcs" ->
       """SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS yr,
@@ -783,17 +762,17 @@ object SparkEntry {
         |strftime(o_orderdate, '%Y-%m') AS ym,
         |CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
         |CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_date
-        |FROM orders ORDER BY o_orderkey""".stripMargin,
+        |FROM orders""".stripMargin,
 
     "json_extract" ->
       """SELECT k_value, count(*) AS n FROM
         |(SELECT json_extract_string(props, '$.k') AS k_value FROM events) t
-        |GROUP BY k_value ORDER BY k_value NULLS FIRST""".stripMargin,
+        |GROUP BY k_value""".stripMargin,
 
     "stream_tumbling" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
         |event_type, count(*) AS n FROM events
-        |GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+        |GROUP BY 1, 2""".stripMargin,
 
     "sessionize" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
@@ -804,7 +783,7 @@ object SparkEntry {
         |SELECT user_id, event_id, CAST(SUM(new_sess) OVER (
         |PARTITION BY user_id ORDER BY ts, event_id
         |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-        |FROM g ORDER BY user_id, event_id""".stripMargin,
+        |FROM g""".stripMargin,
 
     "session_native" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events
@@ -818,16 +797,14 @@ object SparkEntry {
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM g)
         |SELECT user_id, min(us) AS session_start_us, count(*) AS n
-        |FROM sid GROUP BY user_id, session_id
-        |ORDER BY user_id, session_start_us""".stripMargin,
+        |FROM sid GROUP BY user_id, session_id""".stripMargin,
 
     "window_fill" ->
       """SELECT user_id, event_id,
         |last_value(value IGNORE NULLS) OVER (
         |  PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
-        |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
-        |ORDER BY user_id, event_id""".stripMargin,
+        |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL""".stripMargin,
 
     "session_stats" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
@@ -842,8 +819,7 @@ object SparkEntry {
         |SELECT user_id, session_id, count(*) AS n_events,
         |min(event_id) AS first_event,
         |max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
-        |FROM sid GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin,
+        |FROM sid GROUP BY user_id, session_id""".stripMargin,
 
     "text_tokens" ->
       """SELECT token, count(*) AS n FROM
@@ -855,7 +831,7 @@ object SparkEntry {
         |CAST(SUM(n_chars) AS DOUBLE) / count(*) AS avg_chars,
         |min(n_chars) AS min_chars, max(n_chars) AS max_chars,
         |CAST(SUM(CAST(length(text) AS BIGINT)) AS DOUBLE) / count(*) AS avg_len
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+        |FROM documents GROUP BY lang""".stripMargin,
 
     "text_bigrams" ->
       """WITH w AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS words
@@ -872,8 +848,7 @@ object SparkEntry {
         |  CAST(count(value) AS DOUBLE) AS n FROM events),
         |p AS (SELECT sx / n AS mu, sqrt((sxx - sx * sx / n) / (n - 1)) AS sd FROM s)
         |SELECT event_id, value, round((value - mu) / sd, 4) AS z
-        |FROM events, p WHERE abs(value - mu) > 3 * sd
-        |ORDER BY event_id""".stripMargin,
+        |FROM events, p WHERE abs(value - mu) > 3 * sd""".stripMargin,
 
     "source_stats" ->
       """WITH d AS (SELECT doc_id, source, trim(lower(text)) AS norm,
@@ -886,12 +861,12 @@ object SparkEntry {
         |round(1.0 - CAST(n_unique AS DOUBLE) / n_docs, 4) AS dup_rate,
         |total_tokens,
         |CAST(total_tokens AS DOUBLE) / n_docs AS avg_tokens
-        |FROM h ORDER BY source""".stripMargin,
+        |FROM h""".stripMargin,
 
     "dedup_text" ->
       """SELECT text_hash, count(*) AS n_docs, min(doc_id) AS first_doc FROM
         |(SELECT doc_id, sha256(trim(lower(text))) AS text_hash FROM documents) t
-        |GROUP BY text_hash ORDER BY n_docs DESC, text_hash""".stripMargin,
+        |GROUP BY text_hash""".stripMargin,
 
     "sim_search" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -906,7 +881,7 @@ object SparkEntry {
         |CAST(SUM(n_chars) AS DOUBLE) / count(*) AS avg_chars,
         |round(SUM(CAST(embedding[1] AS DOUBLE)) / count(*), 4) AS avg_e0
         |FROM documents JOIN embeddings ON doc_id = vec_id
-        |GROUP BY label ORDER BY label""".stripMargin,
+        |GROUP BY label""".stripMargin,
 
     "lang_id" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents),
@@ -917,7 +892,7 @@ object SparkEntry {
         |CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
         |CASE WHEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.05
         |THEN 'en' ELSE 'und' END AS predicted_lang
-        |FROM agg ORDER BY doc_id""".stripMargin,
+        |FROM agg""".stripMargin,
 
     "text_quality" ->
       """SELECT doc_id, n_tokens, avg_token_len, punct_ratio,
@@ -929,7 +904,7 @@ object SparkEntry {
         |CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS avg_token_len,
         |round(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) /
         |greatest(CAST(length(text) AS DOUBLE), 1.0), 4) AS punct_ratio
-        |FROM documents) t ORDER BY doc_id""".stripMargin,
+        |FROM documents) t""".stripMargin,
 
     "text_repetition" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
@@ -951,18 +926,18 @@ object SparkEntry {
         |round(1.0 - u.distinct_words / a.n_words, 4) AS dup_word_frac,
         |round(a.top_bigram_n / a.n_bigrams, 4) > 0.18 OR
         |round(1.0 - u.distinct_words / a.n_words, 4) > 0.9 AS repetitive
-        |FROM ag a JOIN un u USING (doc_id) ORDER BY a.doc_id""".stripMargin,
+        |FROM ag a JOIN un u USING (doc_id)""".stripMargin,
 
     "tok_count" ->
       """SELECT doc_id,
         |CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
         |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_ish_tokens
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM documents""".stripMargin,
 
     "agg_hist" ->
       """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket, count(*) AS n
         |FROM events WHERE value IS NOT NULL
-        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+        |GROUP BY bucket""".stripMargin,
 
     "agg_skew" -> {
       def ds(c: String) = s"CAST(SUM(CAST($c AS DECIMAL(18,6))) AS DOUBLE)"
@@ -982,7 +957,7 @@ object SparkEntry {
          |    - 3 * (sx / nd) * (sx / nd) * (sx / nd) * (sx / nd))
          |  / ((sxx / nd - (sx / nd) * (sx / nd)) * (sxx / nd - (sx / nd) * (sx / nd))) - 3, 4)
          |  AS kurt_excess
-         |FROM t ORDER BY l_returnflag""".stripMargin
+         |FROM t""".stripMargin
     },
 
     "agg_mode" ->
@@ -991,8 +966,7 @@ object SparkEntry {
         |WHERE value IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2),
         |r AS (SELECT event_type, bucket, n, row_number() OVER (
         |PARTITION BY event_type ORDER BY n DESC, bucket) AS rn FROM b)
-        |SELECT event_type, bucket AS mode_bucket, n FROM r WHERE rn = 1
-        |ORDER BY event_type""".stripMargin,
+        |SELECT event_type, bucket AS mode_bucket, n FROM r WHERE rn = 1""".stripMargin,
 
     "agg_minmax_by" ->
       """WITH a AS (SELECT event_type,
@@ -1002,7 +976,7 @@ object SparkEntry {
         |AND event_id IS NOT NULL GROUP BY event_type)
         |SELECT event_type, mx.id AS max_value_event, round(mx.v, 4) AS max_value,
         |mn.id AS min_value_event, round(mn.v, 4) AS min_value
-        |FROM a ORDER BY event_type""".stripMargin,
+        |FROM a""".stripMargin,
 
     "agg_pctl_group" ->
       """WITH q AS (SELECT event_type, quantile_cont(value, [0.25, 0.5, 0.75]) AS qs
@@ -1010,16 +984,14 @@ object SparkEntry {
         |u AS (SELECT event_type, generate_subscripts(qs, 1) AS idx, unnest(qs) AS v FROM q)
         |SELECT event_type, CAST(idx AS BIGINT) * 25 / 100.0 AS p,
         |round(v, 4) AS value_at_p
-        |FROM u ORDER BY event_type, p""".stripMargin,
+        |FROM u""".stripMargin,
 
     "agg_grouping_id" ->
       """SELECT o_orderstatus, o_orderpriority,
         |CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
         |CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
         |count(*) AS n
-        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-        |ORDER BY g_status, g_priority, o_orderstatus NULLS FIRST,
-        |o_orderpriority NULLS FIRST""".stripMargin,
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
 
     "trend_mom" ->
       """WITH m AS (SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS ym,
@@ -1028,14 +1000,14 @@ object SparkEntry {
         |SELECT ym, revenue,
         |round(100.0 * (revenue - lag(revenue) OVER (ORDER BY ym)) /
         |  lag(revenue) OVER (ORDER BY ym), 4) AS pct_change
-        |FROM m ORDER BY ym""".stripMargin,
+        |FROM m""".stripMargin,
 
     "agg_deciles" ->
       """WITH q AS (SELECT quantile_cont(value,
         |  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs FROM events),
         |u AS (SELECT generate_subscripts(qs, 1) AS idx, unnest(qs) AS v FROM q)
         |SELECT (idx) / 10.0 AS p, round(v, 4) AS value_at_p
-        |FROM u ORDER BY p""".stripMargin,
+        |FROM u""".stripMargin,
 
     "time_resample" ->
       """WITH ev AS (SELECT date_trunc('hour', ts) AS hour_start FROM events
@@ -1045,8 +1017,7 @@ object SparkEntry {
         |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
         |          AS hour_start FROM b)
         |SELECT s.hour_start, COALESCE(c.n_raw, 0) AS n
-        |FROM spine s LEFT JOIN c USING (hour_start)
-        |ORDER BY hour_start""".stripMargin,
+        |FROM spine s LEFT JOIN c USING (hour_start)""".stripMargin,
 
     "window_lag" ->
       """SELECT user_id, event_id,
@@ -1055,8 +1026,7 @@ object SparkEntry {
         |round(value - lag(value, 1)
         |  OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id), 4)
         |  AS value_delta
-        |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
-        |ORDER BY user_id, event_id""".stripMargin,
+        |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL""".stripMargin,
 
     "sim_knn" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -1067,8 +1037,7 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id <> b.vec_id),
         |r AS (SELECT qid, nid, cos_sim,
         |row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rn FROM p)
-        |SELECT qid, nid, cos_sim FROM r WHERE rn <= 5
-        |ORDER BY qid, cos_sim DESC, nid""".stripMargin,
+        |SELECT qid, nid, cos_sim FROM r WHERE rn <= 5""".stripMargin,
 
     "text_entropy" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
@@ -1082,8 +1051,7 @@ object SparkEntry {
         |  CAST(SUM(CAST(round(ln(t.tf), 8) AS DECIMAL(18,8)) * t.tf) AS DOUBLE) /
         |  CAST(n.n_tokens AS DOUBLE), 4) AS entropy
         |FROM tf t JOIN n USING (doc_id)
-        |GROUP BY t.doc_id, n.n_tokens, n.n_distinct
-        |ORDER BY t.doc_id""".stripMargin,
+        |GROUP BY t.doc_id, n.n_tokens, n.n_distinct""".stripMargin,
 
     "dedup_embed" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -1092,16 +1060,14 @@ object SparkEntry {
         |round(list_dot_product(a.v, b.v) /
         |(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
         |FROM e a JOIN e b ON a.vec_id < b.vec_id)
-        |SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= 0.4
-        |ORDER BY vec_a, vec_b""".stripMargin,
+        |SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= 0.4""".stripMargin,
 
     "asof_join" ->
       """WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
         |FROM orders GROUP BY 1, 2)
         |SELECT e.event_id, e.user_id, COALESCE(o.o_orderkey, -1) AS last_orderkey
         |FROM events e ASOF LEFT JOIN o
-        |ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
-        |ORDER BY e.event_id""".stripMargin,
+        |ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
 
     "asof_tolerance" ->
       """WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
@@ -1110,8 +1076,7 @@ object SparkEntry {
         |CASE WHEN o.o_orderdate >= e.ts - INTERVAL 30 DAY
         |THEN o.o_orderkey ELSE -1 END AS last_orderkey
         |FROM events e ASOF LEFT JOIN o
-        |ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
-        |ORDER BY e.event_id""".stripMargin,
+        |ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
 
     "join_topk" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
@@ -1129,29 +1094,28 @@ object SparkEntry {
 
     "join_cross" ->
       """SELECT a.r_name AS region_a, b.r_name AS region_b
-        |FROM region a CROSS JOIN region b
-        |ORDER BY region_a, region_b""".stripMargin,
+        |FROM region a CROSS JOIN region b""".stripMargin,
 
     "map_funcs" ->
       """WITH kv AS (SELECT unnest(json_keys(props)) AS k, props
         |FROM events WHERE props IS NOT NULL)
         |SELECT k, count(*) AS n,
         |count(DISTINCT json_extract_string(props, '$.' || k)) AS n_values
-        |FROM kv GROUP BY k ORDER BY k""".stripMargin,
+        |FROM kv GROUP BY k""".stripMargin,
 
     "agg_collect" ->
       """SELECT event_type,
         |array_to_string(list_sort(list(DISTINCT CAST(floor(value / 100.0) AS BIGINT))), ',')
         |  AS buckets
         |FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
-        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |GROUP BY event_type""".stripMargin,
 
     "join_range" ->
       s"""SELECT tier, count(*) AS n, ${dsumSql("value")} AS sum_value
          |FROM events JOIN (VALUES (0.0, 100.0, 'low'), (100.0, 250.0, 'mid'),
          |(250.0, 500.0, 'high')) t(lo, hi, tier)
          |ON value >= lo AND value < hi
-         |GROUP BY tier ORDER BY tier""".stripMargin,
+         |GROUP BY tier""".stripMargin,
 
     "pii_mask" ->
       """SELECT c_custkey,
@@ -1159,33 +1123,31 @@ object SparkEntry {
         |'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
         |'[0-9]{4,}', '<ID>', 'g') AS masked_name,
         |CAST(len(regexp_extract_all(c_name, '[0-9]{4,}')) AS BIGINT) AS n_redactions
-        |FROM customer ORDER BY c_custkey""".stripMargin,
+        |FROM customer""".stripMargin,
 
     "sample_hash" ->
       """SELECT event_id, user_id, event_type FROM events
-        |WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 1) IN ('0', '1')
-        |ORDER BY event_id""".stripMargin,
+        |WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 1) IN ('0', '1')""".stripMargin,
 
     "sample_split" ->
       """SELECT CASE WHEN h < 'c' THEN 'train' WHEN h < 'e' THEN 'val'
         |ELSE 'test' END AS split, count(*) AS n
         |FROM (SELECT substring(md5(CAST(event_id AS VARCHAR)), 1, 1) AS h
         |FROM events) t
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+        |GROUP BY 1""".stripMargin,
 
     "sample_stratified" ->
       """SELECT event_type, event_id FROM (
         |SELECT event_type, event_id, row_number() OVER (
         |PARTITION BY event_type
         |ORDER BY md5(CAST(event_id AS VARCHAR)) NULLS FIRST, event_id NULLS FIRST) AS rn
-        |FROM events) t WHERE rn <= 50
-        |ORDER BY event_type, event_id""".stripMargin,
+        |FROM events) t WHERE rn <= 50""".stripMargin,
 
     "sample_weighted" ->
       """SELECT source, count(*) AS n_kept FROM documents
         |WHERE TRY_CAST(substring(source, 4) AS INT) < 10
         |OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
-        |GROUP BY source ORDER BY source""".stripMargin,
+        |GROUP BY source""".stripMargin,
 
     "pack_bins" ->
       """WITH d AS (SELECT doc_id, source,
@@ -1196,7 +1158,7 @@ object SparkEntry {
         |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d)
         |SELECT doc_id, source, n_tokens,
         |CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS bin_id
-        |FROM c ORDER BY source, doc_id""".stripMargin,
+        |FROM c""".stripMargin,
 
     "decontaminate" ->
       raw"""WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
@@ -1207,7 +1169,7 @@ object SparkEntry {
         |bad AS (SELECT gram FROM gl GROUP BY gram
         |HAVING count(*) <= ${NearDup.DefaultMaxDf} AND bool_or(is_test))
         |SELECT doc_id, count(*) AS n_shared FROM gl JOIN bad USING (gram)
-        |WHERE NOT is_test GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |WHERE NOT is_test GROUP BY doc_id""".stripMargin,
 
     "text_logprob" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents),
@@ -1218,7 +1180,7 @@ object SparkEntry {
         |FROM tok2 JOIN freq USING (token), tot)
         |SELECT doc_id, count(*) AS n_tokens,
         |round(CAST(SUM(nll) AS DOUBLE) / count(*), 4) AS avg_nll
-        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |FROM lp GROUP BY doc_id""".stripMargin,
 
     "text_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents),
@@ -1230,13 +1192,12 @@ object SparkEntry {
         |FROM tf JOIN df USING (token), n),
         |r AS (SELECT doc_id, token, tfidf,
         |row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn FROM sc)
-        |SELECT doc_id, token, tfidf FROM r WHERE rn <= 3
-        |ORDER BY doc_id, tfidf DESC, token""".stripMargin,
+        |SELECT doc_id, token, tfidf FROM r WHERE rn <= 3""".stripMargin,
 
     "dedup_cluster" ->
       s"""$clusterReachSql
         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach
-        |GROUP BY a ORDER BY doc_id""".stripMargin,
+        |GROUP BY a""".stripMargin,
 
     "dedup_survivor" ->
       s"""$clusterReachSql,
@@ -1247,7 +1208,7 @@ object SparkEntry {
         |count(*) OVER (PARTITION BY cluster_id) AS n_docs,
         |max(n_chars) OVER (PARTITION BY cluster_id) AS survivor_chars FROM j)
         |SELECT cluster_id, n_docs, doc_id AS survivor_id, survivor_chars,
-        |n_docs - 1 AS n_dropped FROM r2 WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+        |n_docs - 1 AS n_dropped FROM r2 WHERE rn = 1""".stripMargin,
 
     "dedup_ngram" ->
       raw"""WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
@@ -1261,7 +1222,7 @@ object SparkEntry {
         |SELECT * FROM (SELECT doc_a, doc_b,
         |round(CAST(shared AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - shared AS DOUBLE), 4) AS jaccard
         |FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b) p
-        |WHERE jaccard >= ${NearDup.DefaultMinJaccard} ORDER BY doc_a, doc_b""".stripMargin,
+        |WHERE jaccard >= ${NearDup.DefaultMinJaccard}""".stripMargin,
 
     // portable SimHash: same tokenization as text_tokens, 60-bit
     // md5-nibble hash (hex60Sql), votes per bit, positive votes pack
@@ -1274,7 +1235,7 @@ object SparkEntry {
         |CAST((simhash // 1073741824) % 32768 AS BIGINT) AS band1,
         |CAST((simhash // 32768) % 32768 AS BIGINT) AS band2,
         |CAST(simhash % 32768 AS BIGINT) AS band3
-        |FROM sh ORDER BY doc_id""".stripMargin,
+        |FROM sh""".stripMargin,
 
     // portable SimHash PAIRS over SHINGLE features: band-blocked
     // candidates (never all pairs), exact Hamming via bit_count(xor)
@@ -1301,8 +1262,7 @@ object SparkEntry {
         |a.simhash AS sh_a, b.simhash AS sh_b
         |FROM bands a JOIN bands b USING (band, band_idx) WHERE a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
-        |FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= ${NearDup.PortableMaxHamming}
-        |ORDER BY doc_a, doc_b""".stripMargin
+        |FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= ${NearDup.PortableMaxHamming}""".stripMargin
     },
 
     // portable MinHash+LSH: clusterReachSql's shingling, ONE md5-60
@@ -1334,7 +1294,7 @@ object SparkEntry {
       raw"""$portableShingleCtes
         |SELECT doc_id, min(${NearDup.affineHashSql("th", a, b, "//")}) AS fingerprint,
         |CAST(count(*) AS BIGINT) AS n_shingles
-        |FROM gx GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM gx GROUP BY doc_id""".stripMargin
     },
 
     // incremental probe-vs-corpus variant: same signature relation,
@@ -1352,21 +1312,20 @@ object SparkEntry {
         |FROM cand c JOIN hvw wa ON wa.doc_id = c.probe_doc
         |JOIN hvw wb ON wb.doc_id = c.corpus_doc)
         |SELECT probe_doc, corpus_doc, CAST(matches AS BIGINT) AS matches
-        |FROM pm WHERE $portableCutSql
-        |ORDER BY probe_doc, corpus_doc""".stripMargin,
+        |FROM pm WHERE $portableCutSql""".stripMargin,
 
     "agg_weighted" ->
       s"""SELECT l_returnflag,
          |round(${dsumSql("l_extendedprice * l_quantity")} /
          |  ${dsumSql("l_quantity")}, 4) AS wavg_price,
          |round(${dsumSql("l_extendedprice")} / count(*), 4) AS avg_price
-         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "agg_listagg" ->
       """SELECT o_orderstatus,
         |array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
         |CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "scale_features" ->
       s"""WITH s AS (SELECT count(*) AS n, min(value) AS mn, max(value) AS mx,
@@ -1375,14 +1334,14 @@ object SparkEntry {
          |SELECT event_id,
          |round((value - mn) / (mx - mn), 6) AS value_minmax,
          |round((value - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS value_z
-         |FROM events, s WHERE value IS NOT NULL ORDER BY event_id""".stripMargin,
+         |FROM events, s WHERE value IS NOT NULL""".stripMargin,
 
     "encode_onehot" ->
       """SELECT o_orderkey,
         |CAST(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS BIGINT) AS is_o,
         |CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS BIGINT) AS is_f,
         |CAST(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END AS BIGINT) AS is_p
-        |FROM orders ORDER BY o_orderkey""".stripMargin,
+        |FROM orders""".stripMargin,
 
     "encode_freq" ->
       """WITH f AS (SELECT event_type, count(*) AS cnt FROM events
@@ -1390,8 +1349,7 @@ object SparkEntry {
         |t AS (SELECT count(*) AS total FROM events WHERE event_type IS NOT NULL)
         |SELECT e.event_id, e.event_type,
         |round(CAST(f.cnt AS DOUBLE) / CAST(t.total AS DOUBLE), 6) AS et_freq
-        |FROM events e, f, t WHERE e.event_type = f.event_type
-        |ORDER BY e.event_id""".stripMargin,
+        |FROM events e, f, t WHERE e.event_type = f.event_type""".stripMargin,
 
     "dedup_fuzzy" ->
       """WITH v AS (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL),
@@ -1402,8 +1360,7 @@ object SparkEntry {
         |      FROM b a JOIN b bb ON a.block = bb.block AND a.name < bb.name)
         |SELECT name_a, name_b,
         |CAST(levenshtein(name_a, name_b) AS BIGINT) AS edit_dist
-        |FROM p WHERE levenshtein(name_a, name_b) <= 3
-        |ORDER BY name_a, name_b""".stripMargin,
+        |FROM p WHERE levenshtein(name_a, name_b) <= 3""".stripMargin,
 
     "snapshot_diff" ->
       """WITH old AS (SELECT o_orderkey AS key, o_totalprice AS old_price
@@ -1419,7 +1376,7 @@ object SparkEntry {
         |       WHEN old_price <> new_price THEN 'changed' END AS verdict,
         |  old_price, new_price
         |  FROM old FULL OUTER JOIN nw ON old.key = nw.key) d
-        |WHERE verdict IS NOT NULL ORDER BY o_orderkey""".stripMargin,
+        |WHERE verdict IS NOT NULL""".stripMargin,
 
     "window_median" ->
       """SELECT user_id, event_id,
@@ -1427,8 +1384,7 @@ object SparkEntry {
         |  ORDER BY epoch_us(ts), event_id
         |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS roll_median
         |FROM events
-        |WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
-        |ORDER BY user_id, event_id""".stripMargin,
+        |WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL""".stripMargin,
 
     "pack_concat" ->
       """WITH d AS (SELECT doc_id, source, text,
@@ -1441,7 +1397,7 @@ object SparkEntry {
         |CAST(count(*) AS BIGINT) AS n_docs,
         |CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
         |string_agg(text, chr(10) ORDER BY doc_id) AS packed
-        |FROM c GROUP BY source, bin_id ORDER BY source, bin_id""".stripMargin,
+        |FROM c GROUP BY source, bin_id""".stripMargin,
 
     "sample_quality" ->
       """WITH q AS (SELECT doc_id,
@@ -1454,8 +1410,7 @@ object SparkEntry {
         |SELECT doc_id, quality_ok FROM q
         |WHERE instr('0123456789abcdef',
         |  substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) <=
-        |  CASE WHEN quality_ok THEN 14 ELSE 4 END
-        |ORDER BY doc_id""".stripMargin,
+        |  CASE WHEN quality_ok THEN 14 ELSE 4 END""".stripMargin,
 
     "mix_rates" ->
       """WITH s AS (SELECT source,
@@ -1466,7 +1421,7 @@ object SparkEntry {
         |round(least(1.0, (20000.0 / n_src) / n_tokens), 6) AS keep_rate,
         |CAST(floor(least(1.0, (20000.0 / n_src) / n_tokens) * n_tokens) AS BIGINT)
         |  AS projected_tokens
-        |FROM s, t ORDER BY source""".stripMargin,
+        |FROM s, t""".stripMargin,
 
     "text_bigram_lm" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
@@ -1484,7 +1439,7 @@ object SparkEntry {
         |SELECT doc_id, n_bigrams,
         |CAST((2 * s6 + n_bigrams * 100) // (2 * n_bigrams * 100) AS DOUBLE)
         |  / 10000.0 AS avg_nll
-        |FROM p ORDER BY doc_id""".stripMargin,
+        |FROM p""".stripMargin,
 
     "window_anomaly" ->
       """WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events
@@ -1502,35 +1457,31 @@ object SparkEntry {
         |  round((value - sx / CAST(n AS DOUBLE)) / sqrt(v), 4) AS roll_z
         |  FROM g WHERE n >= 5 AND v > 0)
         |SELECT user_id, event_id, value, roll_z FROM z
-        |WHERE abs(roll_z) > 2 ORDER BY user_id, event_id""".stripMargin,
+        |WHERE abs(roll_z) > 2""".stripMargin,
 
     "set_intersect" ->
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |INTERSECT
-        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-        |ORDER BY o_custkey""".stripMargin,
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
 
     "union_distinct" ->
       """SELECT user_id, event_type FROM events
         |WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND value >= 50.0
         |UNION
         |SELECT user_id, event_type FROM events
-        |WHERE user_id IS NOT NULL AND event_type = 'click'
-        |ORDER BY user_id, event_type""".stripMargin,
+        |WHERE user_id IS NOT NULL AND event_type = 'click'""".stripMargin,
 
     "set_except_all" ->
       """SELECT o_custkey FROM orders
         |EXCEPT ALL
-        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-        |ORDER BY o_custkey""".stripMargin,
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
 
     "join_nullsafe" ->
       """WITH a AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id),
         |c AS (SELECT user_id, count(*) AS n_clicks FROM events
         |      WHERE event_type = 'click' GROUP BY user_id)
         |SELECT a.user_id, a.n_events, c.n_clicks
-        |FROM a JOIN c ON a.user_id IS NOT DISTINCT FROM c.user_id
-        |ORDER BY a.user_id NULLS FIRST""".stripMargin,
+        |FROM a JOIN c ON a.user_id IS NOT DISTINCT FROM c.user_id""".stripMargin,
 
     "encode_target" ->
       s"""WITH ev AS (SELECT event_id, event_type, value FROM events
@@ -1540,8 +1491,7 @@ object SparkEntry {
          |      FROM ev GROUP BY event_type)
          |SELECT ev.event_id, ev.event_type,
          |round((e.sv + 50.0 * g.mu) / (CAST(e.n AS DOUBLE) + 50.0), 6) AS et_target
-         |FROM ev, e, g WHERE ev.event_type = e.event_type
-         |ORDER BY ev.event_id""".stripMargin,
+         |FROM ev, e, g WHERE ev.event_type = e.event_type""".stripMargin,
 
     "encode_bucket" ->
       """WITH c AS (SELECT quantile_cont(l_extendedprice,
@@ -1549,14 +1499,14 @@ object SparkEntry {
         |SELECT l_orderkey, l_linenumber,
         |CAST(1 + list_sum(list_transform(cuts,
         |  c -> CASE WHEN l_extendedprice > c THEN 1 ELSE 0 END)) AS BIGINT) AS bucket
-        |FROM lineitem, c ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem, c""".stripMargin,
 
     "scale_robust" ->
       """WITH s AS (SELECT quantile_cont(value, 0.5) AS med,
         |  quantile_cont(value, 0.75) - quantile_cont(value, 0.25) AS iqr
         |  FROM events WHERE value IS NOT NULL)
         |SELECT event_id, round((value - med) / iqr, 6) AS value_robust
-        |FROM events, s WHERE value IS NOT NULL ORDER BY event_id""".stripMargin,
+        |FROM events, s WHERE value IS NOT NULL""".stripMargin,
 
     "text_normalize" ->
       """SELECT doc_id,
@@ -1564,7 +1514,7 @@ object SparkEntry {
         |  '[^a-z0-9 .,!?'']', '', 'g'), '\s+', ' ', 'g')) AS norm_text,
         |sha256(trim(regexp_replace(regexp_replace(lower(text),
         |  '[^a-z0-9 .,!?'']', '', 'g'), '\s+', ' ', 'g'))) AS norm_hash
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM documents""".stripMargin,
 
     "corpus_stats" ->
       """WITH t AS (SELECT doc_id,
@@ -1585,14 +1535,13 @@ object SparkEntry {
       """WITH b AS (SELECT lang, quantile_cont(n_chars, 0.05) AS p05,
         |  quantile_cont(n_chars, 0.95) AS p95 FROM documents GROUP BY lang)
         |SELECT doc_id, d.lang, n_chars FROM documents d JOIN b ON d.lang = b.lang
-        |WHERE n_chars >= p05 AND n_chars <= p95
-        |ORDER BY doc_id""".stripMargin,
+        |WHERE n_chars >= p05 AND n_chars <= p95""".stripMargin,
 
     "embed_norms" ->
       """SELECT vec_id, label,
         |round(sqrt(list_sum(list_transform(embedding,
         |  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
-        |FROM embeddings ORDER BY vec_id""".stripMargin,
+        |FROM embeddings""".stripMargin,
 
     "embed_label_stats" ->
       """WITH n AS (SELECT label,
@@ -1602,7 +1551,7 @@ object SparkEntry {
         |SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
         |round(CAST(SUM(CAST(l2 AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4)
         |  AS avg_l2_norm
-        |FROM n GROUP BY label ORDER BY label""".stripMargin,
+        |FROM n GROUP BY label""".stripMargin,
 
     "gap_stats" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events
@@ -1613,8 +1562,7 @@ object SparkEntry {
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |min(gap) AS min_gap_us, max(gap) AS max_gap_us,
         |CAST(SUM(gap) // count(gap) AS BIGINT) AS avg_gap_us
-        |FROM l GROUP BY user_id HAVING count(*) >= 2
-        |ORDER BY user_id""".stripMargin,
+        |FROM l GROUP BY user_id HAVING count(*) >= 2""".stripMargin,
 
     "bpe_pairs" ->
       """WITH t AS (SELECT unnest(list_filter(
@@ -1638,8 +1586,7 @@ object SparkEntry {
         |round(CAST(shared AS DOUBLE) / CAST(sa.n_grams AS DOUBLE), 4) AS contain_a_in_b,
         |round(CAST(shared AS DOUBLE) / CAST(sb.n_grams AS DOUBLE), 4) AS contain_b_in_a
         |FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b) p
-        |WHERE greatest(contain_a_in_b, contain_b_in_a) >= ${NearDup.DefaultMinContain}
-        |ORDER BY doc_a, doc_b""".stripMargin,
+        |WHERE greatest(contain_a_in_b, contain_b_in_a) >= ${NearDup.DefaultMinContain}""".stripMargin,
 
     "profile_drift" -> {
       def p(c: String, pred: String) =
@@ -1661,7 +1608,7 @@ object SparkEntry {
          |(round(abs(pa.mean - pb.mean) / greatest(abs(pb.mean), 1e-12), 4) > 0.1
          | OR round(abs(pa.median - pb.median) / greatest(abs(pb.median), 1e-12), 4) > 0.1
          | OR round(abs(pa.std - pb.std) / greatest(abs(pb.std), 1e-12), 4) > 0.1) AS drifted
-         |FROM pb JOIN pa USING (col_name) ORDER BY col_name""".stripMargin
+         |FROM pb JOIN pa USING (col_name)""".stripMargin
     },
 
     "chunk_docs" -> {
@@ -1675,7 +1622,7 @@ object SparkEntry {
         |SELECT doc_id, CAST(st // $stride AS BIGINT) AS chunk_id,
         |CAST(len(toks[st + 1 : st + $size]) AS BIGINT) AS n_chunk_tokens,
         |array_to_string(toks[st + 1 : st + $size], ' ') AS chunk_text
-        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+        |FROM c""".stripMargin
     },
 
     "quality_gopher" ->
@@ -1695,7 +1642,7 @@ object SparkEntry {
         |SELECT doc_id, n_words, mean_word_len, dup_word_frac, n_stop_distinct,
         |(n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
         |AND dup_word_frac <= 0.6 AND n_stop_distinct >= 2 AS keep
-        |FROM g ORDER BY doc_id""".stripMargin,
+        |FROM g""".stripMargin,
 
     "vocab_growth" ->
       raw"""WITH tok AS (SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS token
@@ -1706,7 +1653,7 @@ object SparkEntry {
         |count(*) AS n_types,
         |CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
         |round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS ttr
-        |FROM tc GROUP BY source ORDER BY source""".stripMargin,
+        |FROM tc GROUP BY source""".stripMargin,
 
     "zipf_slope" ->
       raw"""WITH freq AS (SELECT token, count(*) AS freq FROM
@@ -1733,7 +1680,7 @@ object SparkEntry {
     "agg_salted" ->
       s"""SELECT event_type, count(*) AS n_events,
          |round(${dsumSql("value")}, 4) AS sum_value
-         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+         |FROM events GROUP BY event_type""".stripMargin,
 
     "embed_quantize" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1750,7 +1697,7 @@ object SparkEntry {
         |        FROM e, r)
         |SELECT vec_id, round(list_aggregate(errs, 'max'), 6) AS max_abs_err,
         |round(list_aggregate(errs, 'sum') / len(errs), 6) AS mean_abs_err
-        |FROM err ORDER BY vec_id""".stripMargin,
+        |FROM err""".stripMargin,
 
     // p is 0-based on both sides; rn >= 2 keeps the globally-first
     // occurrence (ORDER BY doc_id, p == the engine's struct-min)
@@ -1770,14 +1717,14 @@ object SparkEntry {
         |tot AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY doc_id)
         |SELECT tot.doc_id, n_tokens, n_tokens - coalesce(n_kept, 0) AS n_removed,
         |sha256(coalesce(scrubbed_text, '')) AS scrubbed_hash
-        |FROM tot LEFT JOIN re USING (doc_id) ORDER BY doc_id""".stripMargin,
+        |FROM tot LEFT JOIN re USING (doc_id)""".stripMargin,
 
     // the salted join must be indistinguishable from the plain join
     "join_salted" ->
       s"""SELECT o_orderstatus, count(*) AS n_lines,
          |round(${dsumSql("l_quantity")}, 4) AS sum_qty
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+         |GROUP BY o_orderstatus""".stripMargin,
 
     // per-power round(·,6)+DECIMAL before the exact sum: the zipf_slope
     // transcendental-determinism recipe, applied to pow
@@ -1791,6 +1738,6 @@ object SparkEntry {
         |round(CAST(pw AS DOUBLE) / CAST(tot_pw AS DOUBLE), 6) AS temp_share,
         |round((CAST(pw AS DOUBLE) / CAST(tot_pw AS DOUBLE)) /
         |(CAST(n_docs AS DOUBLE) / CAST(tot_docs AS DOUBLE)), 4) AS boost
-        |FROM s, t ORDER BY lang""".stripMargin,
+        |FROM s, t""".stripMargin,
   )
 }

@@ -73,7 +73,6 @@ object Aggregates {
     profile("l_quantity")
       .unionByName(profile("l_extendedprice"))
       .unionByName(profile("l_discount"))
-      .orderBy("col_name")
   }
 
   /** `agg_profile` — A1/A4/A5, per-column profile (etl_2022.py:98-105):
@@ -134,7 +133,6 @@ object Aggregates {
         else dOf(s"median_$c"),
         dOf(s"std_$c"), dOf(s"min_$c"), dOf(s"max_$c"))
     }.toDF("col_name", "n", "mean", "median", "std", "min_val", "max_val")
-      .orderBy("col_name")
   }
 
   /** `profile_drift` — the declared-query form of [[profileDrift]]:
@@ -172,7 +170,6 @@ object Aggregates {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"))
       .filter(col("n_events") > 1900)
-      .orderBy("event_type")
 
   /** `agg_group` — A8, the flagship TPC-H-Q1-shaped grouped aggregate:
     * scan → pushed filter on l_shipdate → partial+final hash agg on
@@ -210,7 +207,6 @@ object Aggregates {
         (fromUnits(sum(priceU), 2) / count(lit(1))).as("avg_price"),
         (fromUnits(sum(discU), 2) / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
-      .orderBy("l_returnflag", "l_linestatus")
   }
 
   /** `agg_cube` — A9's other grouping-set shape: order counts by
@@ -225,8 +221,6 @@ object Aggregates {
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
         dsum(col("o_totalprice")).as("total_price"))
-      .orderBy(col("o_orderstatus").asc_nulls_first,
-        col("o_orderpriority").asc_nulls_first)
 
   /** `agg_rollup` — A9, revenue by (region, nation) with ROLLUP
     * subtotals. nation/region are true dims (bounded size at any SF) →
@@ -253,7 +247,6 @@ object Aggregates {
       .rollup(col("r_name"), col("n_name"))
       .agg(dsum(col("o_totalprice")).as("revenue"),
         count(lit(1)).as("n_orders"))
-      .orderBy("r_name", "n_name")
   }
 
   /** `agg_gsets` — explicit GROUPING SETS (the general form rollup and
@@ -271,8 +264,6 @@ object Aggregates {
         col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
         dsum(col("o_totalprice")).as("total_price"))
-      .orderBy(col("o_orderstatus").asc_nulls_first,
-        col("o_orderpriority").asc_nulls_first)
 
   /** `agg_hist` — fixed-width value histogram over `events.value`
     * (width-50 buckets): the profiling primitive behind distribution
@@ -290,7 +281,6 @@ object Aggregates {
       .select(floor(col("value") / width).cast(LongType).as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"))
-      .orderBy("bucket")
   }
 
   /** Profile drift between two snapshots: join two [[aggProfile]]-shaped
@@ -321,7 +311,6 @@ object Aggregates {
         col("mean_drift") > relThreshold ||
           col("median_drift") > relThreshold ||
           col("std_drift") > relThreshold)
-      .orderBy("col_name")
   }
 
   /** `agg_skew` — distribution-shape statistics per return flag:
@@ -360,7 +349,6 @@ object Aggregates {
         round(mu, 4).as("mean_qty"),
         round(m3 / pow(m2, 1.5), 4).as("skew_pop"),
         round(m4 / (m2 * m2) - lit(3.0), 4).as("kurt_excess"))
-      .orderBy("l_returnflag")
   }
 
   /** `agg_deciles` — the exact decile grid of `events.value`: one
@@ -379,7 +367,6 @@ object Aggregates {
       .select(posexplode(col("qs")).as(Seq("idx", "q")))
       .select(((col("idx") + 1) / lit(10.0)).as("p"),
         round(col("q"), 4).as("value_at_p"))
-      .orderBy("p")
   }
 
   /** `agg_mode` — per-group modal value bucket: the most frequent
@@ -406,7 +393,6 @@ object Aggregates {
       .withColumn("rn", row_number().over(top1))
       .filter(col("rn") === 1)
       .select(col("event_type"), col("bucket").as("mode_bucket"), col("n"))
-      .orderBy("event_type")
   }
 
   /** `agg_minmax_by` — deterministic arg-max/arg-min per group: the
@@ -460,7 +446,6 @@ object Aggregates {
         round(col("vmx"), 4).as("max_value"),
         graft.ops.Num.unpackIdAsc(col("pmn")).as("min_value_event"),
         round(col("vmn"), 4).as("min_value"))
-      .orderBy("event_type")
   }
 
   /** `agg_pctl_group` — exact quartiles per group (the per-segment
@@ -481,7 +466,6 @@ object Aggregates {
       .select(col("event_type"),
         ((col("idx") + 1) * lit(25) / lit(100.0)).as("p"),
         round(col("q"), 4).as("value_at_p"))
-      .orderBy("event_type", "p")
   }
 
   /** `freq_items` — approximate heavy hitters over `event_type` and
@@ -522,9 +506,6 @@ object Aggregates {
       .agg(grouping(col("o_orderstatus")).cast(LongType).as("g_status"),
         grouping(col("o_orderpriority")).cast(LongType).as("g_priority"),
         count(lit(1)).as("n"))
-      .orderBy(col("g_status"), col("g_priority"),
-        col("o_orderstatus").asc_nulls_first,
-        col("o_orderpriority").asc_nulls_first)
 
   /** `trend_mom` — month-over-month revenue trend: monthly decimal-
     * exact revenue plus the percent change against the previous month.
@@ -541,7 +522,6 @@ object Aggregates {
       .select(col("ym"), col("revenue"),
         round(lit(100.0) * (col("revenue") - lag(col("revenue"), 1).over(w)) /
           lag(col("revenue"), 1).over(w), 4).as("pct_change"))
-      .orderBy("ym")
   }
 
   /** `agg_collect` — grouped collection aggregate: the distinct
@@ -563,7 +543,6 @@ object Aggregates {
       .agg(concat_ws(",",
         sort_array(collect_set(col("bucket"))).cast(ArrayType(StringType)))
         .as("buckets"))
-      .orderBy("event_type")
 
   /** `agg_corr` — bivariate statistics per return flag: sample
     * covariance, Pearson correlation, and the OLS slope of price on
@@ -609,7 +588,6 @@ object Aggregates {
         round((n * col("sxy") - col("sx") * col("sy")) /
           (n * col("sxx") - col("sx") * col("sx")), 4)
           .as("price_per_qty"))
-      .orderBy("l_returnflag")
   }
 
   /** `agg_weighted` — quantity-weighted mean price per return flag,
@@ -635,7 +613,6 @@ object Aggregates {
       .select(col("l_returnflag"),
         round(col("swx") / col("sw"), 4).as("wavg_price"),
         round(col("sx") / col("n").cast(DoubleType), 4).as("avg_price"))
-      .orderBy("l_returnflag")
   }
 
   /** `agg_listagg` — ordered string aggregation (LISTAGG / string_agg
@@ -654,7 +631,6 @@ object Aggregates {
       .agg(concat_ws(",", sort_array(collect_set(col("o_orderpriority"))))
         .as("priorities"),
         countDistinct(col("o_orderpriority")).as("n_priorities"))
-      .orderBy("o_orderstatus")
 
   /** `agg_salted` — explicit two-phase salted aggregation over the
     * skew-prone low-cardinality key `event_type`: phase 1 groups on
@@ -685,5 +661,4 @@ object Aggregates {
       .groupBy("event_type")
       .agg(sum(col("pn")).as("n_events"),
         round(sum(col("pv")).cast(DoubleType), 4).as("sum_value"))
-      .orderBy("event_type")
 }

@@ -118,7 +118,6 @@ object AsOf {
     asofJoin(events, "user_id", "ts", latestPerDay, "o_custkey", "o_orderdate")
       .select(col("event_id"), col("user_id"),
         coalesce(col("o_orderkey"), lit(-1L)).as("last_orderkey"))
-      .orderBy("event_id")
   }
 
   /** `asof_tolerance` — the bounded variant: same event→order match, but
@@ -136,6 +135,5 @@ object AsOf {
         tolerance = Some("30 DAYS"))
       .select(col("event_id"), col("user_id"),
         coalesce(col("o_orderkey"), lit(-1L)).as("last_orderkey"))
-      .orderBy("event_id")
   }
 }

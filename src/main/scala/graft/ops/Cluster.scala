@@ -138,5 +138,4 @@ object Cluster {
       .groupBy("cluster_id")
       .agg(count(lit(1)).as("n"),
         round(sum(col("dist2")), 2).as("inertia"))
-      .orderBy("cluster_id")
 }

@@ -48,7 +48,6 @@ object Features {
         round((col("value") - col("mn")) / (col("mx") - col("mn")), 6)
           .as("value_minmax"),
         round((col("value") - col("mu")) / col("sd"), 6).as("value_z"))
-      .orderBy("event_id")
   }
 
   /** `encode_onehot` — one-hot encoding of `o_orderstatus` over its
@@ -64,7 +63,6 @@ object Features {
         Seq("O", "F", "P").map(c =>
           when(col("o_orderstatus") === c, 1L).otherwise(0L)
             .as(s"is_${c.toLowerCase}")): _*)
-      .orderBy("o_orderkey")
 
   /** `encode_freq` — frequency encoding of `events.event_type`: each
     * row carries its category's corpus relative frequency, the
@@ -85,7 +83,6 @@ object Features {
           6).as("et_freq"))
     ev.join(broadcast(freqs), "event_type")
       .select(col("event_id"), col("event_type"), col("et_freq"))
-      .orderBy("event_id")
   }
 
   /** `encode_target` — smoothed target (mean) encoding of
@@ -111,7 +108,6 @@ object Features {
           (col("n").cast(DoubleType) + lit(m)), 6).as("et_target"))
     ev.join(broadcast(enc), "event_type")
       .select(col("event_id"), col("event_type"), col("et_target"))
-      .orderBy("event_id")
   }
 
   /** `encode_bucket` — exact-decile binning of `lineitem
@@ -143,7 +139,6 @@ object Features {
           when(col("l_extendedprice") > lit(c), 1L).otherwise(0L))
           .reduce(_ + _))
           .as("bucket"))
-      .orderBy("l_orderkey", "l_linenumber")
   }
 
   /** `scale_robust` — robust scaling of `events.value`:
@@ -165,6 +160,5 @@ object Features {
     ev.crossJoin(broadcast(stats))
       .select(col("event_id"),
         round((col("value") - col("med")) / col("iqr"), 6).as("value_robust"))
-      .orderBy("event_id")
   }
 }

@@ -294,6 +294,5 @@ object Multimodal {
       .agg(count(lit(1)).as("n_media"),
         round(avg(col("feat_norm")), 4).as("avg_feat_norm"),
         round(avg(element_at(col("feat"), 1)), 4).as("avg_f0"))
-      .orderBy("format")
   }
 }

@@ -422,7 +422,7 @@ object NearDup {
       .filter(col("hamming") <= maxHamming)
       .localCheckpoint()
     sh.unpersist(blocking = false)
-    out.orderBy("doc_a", "doc_b")
+    out
   }
 
   /** `doc_fingerprint_portable` — ORACLE-CHECKABLE min-shingle doc
@@ -441,7 +441,6 @@ object NearDup {
       .groupBy("doc_id")
       .agg(min(expr(affineHashSql("th", a, b, "div"))).as("fingerprint"),
         count(lit(1)).cast(LongType).as("n_shingles"))
-      .orderBy("doc_id")
   }
 
   /** `dedup_minhash_incr` — ORACLE-CHECKABLE incremental near-dup:
@@ -481,7 +480,7 @@ object NearDup {
       .localCheckpoint()
     sigsP.unpersist(blocking = false)
     sigsC.unpersist(blocking = false)
-    out.orderBy("probe_doc", "corpus_doc")
+    out
   }
 
   /** One-time banded MinHash index over a corpus — the materialized
@@ -578,7 +577,7 @@ object NearDup {
       .filter(col("est_jaccard") >= minSim)
     val out = est.localCheckpoint()
     newSigs.unpersist(blocking = false)
-    out.orderBy("probe_doc", "corpus_doc")
+    out
   }
 
   /** Per-document SimHash from a precomputed non-null hash column
@@ -637,7 +636,6 @@ object NearDup {
         expr("(simhash >> 32) & 65535").as("band1"),
         expr("(simhash >> 16) & 65535").as("band2"),
         expr("simhash & 65535").as("band3"))
-      .orderBy("doc_id")
   }
 
   /** `dedup_simhash` — the declared-query wrapper around [[simhash]]. */
@@ -682,7 +680,6 @@ object NearDup {
         expr("(simhash >> 30) & 32767").as("band1"),
         expr("(simhash >> 15) & 32767").as("band2"),
         expr("simhash & 32767").as("band3"))
-      .orderBy("doc_id")
   }
 
   /** Near-dup candidate pairs from simhash band collisions, with exact
@@ -707,7 +704,6 @@ object NearDup {
       .select(col("doc_a"), col("doc_b"),
         bit_count(expr("sh_a ^ sh_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .orderBy("doc_a", "doc_b")
   }
 
   /** `dedup_ngram` — exact Jaccard over *distinctive* 3-token shingles
@@ -835,7 +831,6 @@ object NearDup {
                        maxDf: Int, minContain: Double): DataFrame =
     containmentPairsPlan(s, docs, n, maxDf, minContain)
       .localCheckpoint()
-      .orderBy("doc_a", "doc_b")
 
   /** The un-materialized candidate-pair plan behind
     * [[dedupContainment]] — exposed (like [[dedupNgramPlan]]) so the
@@ -907,7 +902,7 @@ object NearDup {
         (Sampling.hexNibble(col("doc_id")) >= "e").as("is_test"),
         explode(array_distinct(graft.functions.VectorFunctions
           .shingle(s, split(lower(col("text")), "\\s+"), 3))).as("th"))
-    decontaminateLabeled(gl, maxDf, dfPrePass).orderBy("doc_id")
+    decontaminateLabeled(gl, maxDf, dfPrePass)
   }
 
   /** Decontamination against a caller-provided eval set: flag every
@@ -931,7 +926,7 @@ object NearDup {
       .select(col("doc_id"), col("is_test"),
         explode(array_distinct(graft.functions.VectorFunctions
           .shingle(s, split(lower(col("text")), "\\s+"), n))).as("th"))
-    decontaminateLabeled(gl, maxDf, dfPrePass).orderBy("doc_id")
+    decontaminateLabeled(gl, maxDf, dfPrePass)
   }
 
   /** Shared decontamination core over a labeled, per-doc-distinct
@@ -1008,7 +1003,6 @@ object NearDup {
       .join(corpus, Seq("h"), "left")
       .select(col("doc_id"),
         coalesce(col("in_corpus"), lit(false)).as("dup_of_corpus"))
-      .orderBy("doc_id")
   }
 
   /** `dedup_bloom` — the sketch-side scale path for [[dedupIncremental]]:
@@ -1085,7 +1079,6 @@ object NearDup {
       .groupBy("chunk")
       .agg(countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
-      .orderBy("chunk")
   }
 
   /** `dedup_cluster` — connected components over the n-gram near-dup
@@ -1106,7 +1099,7 @@ object NearDup {
       3, DefaultMaxDf, DefaultMinJaccard)
     val (edges, edgeCount) = symmetrizeCheckpoint(pairs.select("doc_a", "doc_b"))
     posts.unpersist(blocking = false)
-    ccOnEdges(edges, edgeCount, maxIters).orderBy("doc_id")
+    ccOnEdges(edges, edgeCount, maxIters)
   }
 
   /** Connected components over an arbitrary undirected edge list
@@ -1440,7 +1433,6 @@ object NearDup {
         levenshtein(col("name_a"), col("name_b"), maxDist).cast(LongType)
           .as("edit_dist"))
       .filter(col("edit_dist") =!= -1L)
-      .orderBy("name_a", "name_b")
 
   /** `dedup_survivor` — quality-priority survivor selection over the
     * near-dup clusters of [[dedupCluster]]: instead of the
@@ -1481,7 +1473,6 @@ object NearDup {
           col("survivor_chars").cast(DecimalType(18, 0)), col("pmx"))
           .as("survivor_id"),
         col("survivor_chars"), (col("n_docs") - lit(1L)).as("n_dropped"))
-      .orderBy("cluster_id")
   }
 
   /** `scrub_spans` — corpus-level exact-substring scrub: every
@@ -1545,7 +1536,6 @@ object NearDup {
     scrubSpansText(s, docs, n)
       .select(col("doc_id"), col("n_tokens"), col("n_removed"),
         sha2(col("scrubbed_text"), 256).as("scrubbed_hash"))
-      .orderBy("doc_id")
 
   /** The scrub with the surviving TEXT in the clear —
     * `(doc_id, n_tokens, n_removed, scrubbed_text)` — for pipeline
@@ -1725,6 +1715,5 @@ object NearDup {
         .withColumn("dup", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster_id").cast(LongType),
         coalesce(!col("dup"), lit(true)).as("kept"))
-      .orderBy("vec_id")
   }
 }

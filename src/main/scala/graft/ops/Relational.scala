@@ -34,7 +34,6 @@ object Relational {
         // sign-symmetrically), so the exact sum runs as a primitive
         // long unit sum (Num r13) instead of a Decimal128 buffer
         lsum(col("c_acctbal"), 2).as("total_acctbal"))
-      .orderBy("r_name", "n_name")
 
   /** `join_fact` — J2, lineitem⋈orders equi-join; revenue per order.
     * The aggregate runs BELOW the join: revenue groups only on the
@@ -64,7 +63,6 @@ object Relational {
       .join(rev, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_orderkey"), col("o_orderpriority"), col("revenue"),
         col("n_items"))
-      .orderBy("o_orderkey")
   }
 
   /** `join_semi` — J3, orders that have lineitems. Semi joins ship no
@@ -76,7 +74,6 @@ object Relational {
       .join(Sources.table(s, dir, "lineitem"),
         col("o_orderkey") === col("l_orderkey"), "left_semi")
       .select("o_orderkey")
-      .orderBy("o_orderkey")
 
   /** `join_anti` — J3, orders with no lineitems. */
   def joinAnti(s: SparkSession, dir: String): DataFrame =
@@ -84,7 +81,6 @@ object Relational {
       .join(Sources.table(s, dir, "lineitem"),
         col("o_orderkey") === col("l_orderkey"), "left_anti")
       .select("o_orderkey")
-      .orderBy("o_orderkey")
 
   /** `join_outer` — J4, orders LEFT JOIN a filtered customer slice so
     * the null-extended side is actually exercised; nulls are coalesced
@@ -99,7 +95,6 @@ object Relational {
       .select(col("o_orderkey"),
         coalesce(col("c_custkey"), lit(-1L)).as("matched_custkey"),
         coalesce(col("c_name"), lit("NONE")).as("matched_name"))
-      .orderBy("o_orderkey")
   }
 
   /** `sort_topk` — O1, top-20 orders by price; plans as
@@ -120,7 +115,6 @@ object Relational {
         row_number().over(w).as("rn"))
       .filter(col("rn") === 1)
       .select("o_custkey", "o_orderkey", "o_totalprice")
-      .orderBy("o_custkey")
   }
 
   /** `window_running` — W2, running revenue per customer by date.
@@ -134,7 +128,6 @@ object Relational {
       .select(col("o_custkey"), col("o_orderkey"),
         sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w)
           .cast(DoubleType).as("running_total"))
-      .orderBy("o_custkey", "o_orderkey")
   }
 
   /** `set_except` — U2, order keys that never shipped a lineitem.
@@ -154,7 +147,6 @@ object Relational {
           .select(col("l_orderkey").as("o_orderkey")).distinct(),
         Seq("o_orderkey"), "left_anti")
       .distinct()
-      .orderBy("o_orderkey")
 
   /** `set_intersect` — U2's complement: customers holding BOTH a
     * finished and an open order. Plans as distinct + left-semi hash
@@ -166,7 +158,6 @@ object Relational {
     val o = Sources.table(s, dir, "orders")
     o.filter(col("o_orderstatus") === "F").select("o_custkey")
       .intersect(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
-      .orderBy("o_custkey")
   }
 
   /** `set_except_all` — bag-semantics EXCEPT ALL: each customer's order
@@ -181,7 +172,6 @@ object Relational {
     val o = Sources.table(s, dir, "orders")
     o.select("o_custkey")
       .exceptAll(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
-      .orderBy("o_custkey")
   }
 
   /** `join_nullsafe` — null-safe equality join (`<=>` / SQL
@@ -204,7 +194,6 @@ object Relational {
       .agg(count(lit(1)).as("n_clicks"))
     all.join(clicks, col("user_id") <=> col("click_user"))
       .select(col("user_id"), col("n_events"), col("n_clicks"))
-      .orderBy(asc_nulls_first("user_id"))
   }
 
   /** `str_funcs` — X1, string function surface over `documents`
@@ -220,7 +209,6 @@ object Relational {
         substring(col("text"), 1, 10).as("text_prefix"),
         concat(col("lang"), lit(":"), col("source")).as("lang_source"),
         expr("split_part(text, ' ', 1)").as("first_word"))
-      .orderBy("doc_id")
 
   /** `date_funcs` — X2, date/time function surface over `orders`. */
   def dateFuncs(s: SparkSession, dir: String): DataFrame =
@@ -233,7 +221,6 @@ object Relational {
         date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
         date_trunc("month", col("o_orderdate")).as("month_start"),
         (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("due_date"))
-      .orderBy("o_orderkey")
 
   /** `join_multiway` — TPC-H-Q5-shaped local-supplier revenue: six
     * tables, mixed join strategies chosen by size. The two facts
@@ -268,7 +255,6 @@ object Relational {
       .groupBy("n_name")
       .agg(fromUnits(sum(col("disc_price_u")), 4).as("revenue"),
         count(lit(1)).as("n_items"))
-      .orderBy("n_name")
   }
 
   /** Skew-safe equi-join for a hot-keyed fact table, hot-key-aware:
@@ -372,7 +358,6 @@ object Relational {
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_lines"),
         round(lsum(col("l_quantity"), 0), 4).as("sum_qty"))
-      .orderBy("o_orderstatus")
   }
 
   /** `join_range` — J5 as a declared query: band each event's value
@@ -393,7 +378,6 @@ object Relational {
         col("value") >= col("lo") && col("value") < col("hi"))
       .groupBy("tier")
       .agg(count(lit(1)).as("n"), lsum(col("value"), 2).as("sum_value"))
-      .orderBy("tier")
   }
 
   /** `json_extract` — X4, key extraction from the JSON `props` column,
@@ -404,7 +388,6 @@ object Relational {
       .select(get_json_object(col("props"), "$.k").as("k_value"))
       .groupBy("k_value")
       .agg(count(lit(1)).as("n"))
-      .orderBy("k_value")
 
   /** `merge_upsert` — MERGE/upsert semantics as one full-outer join:
     * apply a batch of updates to a snapshot, keeping updated rows where
@@ -451,7 +434,6 @@ object Relational {
         when(col("u_status").isNotNull && col("status").isNotNull, "update")
           .when(col("u_status").isNotNull, "insert")
           .otherwise("passthrough").as("action"))
-      .orderBy("key")
   }
 
   /** `pivot_wide` — long→wide reshaping: lineitem counts by line status
@@ -469,7 +451,6 @@ object Relational {
       .pivot("l_returnflag", Seq("A", "N", "R"))
       .agg(count(lit(1)))
       .na.fill(0L, Seq("A", "N", "R"))
-      .orderBy("l_linestatus")
 
   /** `unpivot_long` — wide→long reshaping (melt): one row per
     * (order line, metric) from three numeric columns. Unpivot is a
@@ -483,7 +464,6 @@ object Relational {
         Array(col("l_orderkey"), col("l_linenumber")),
         Array(col("l_quantity"), col("l_discount"), col("l_tax")),
         "metric", "value")
-      .orderBy("l_orderkey", "l_linenumber", "metric")
 
   /** `window_dist` — distribution window functions over orders per
     * priority class: quartile (`ntile`), `percent_rank`, `cume_dist`.
@@ -502,7 +482,6 @@ object Relational {
         ntile(4).over(w).as("quartile"),
         round(percent_rank().over(w), 6).as("pct_rank"),
         round(cume_dist().over(w), 6).as("cum_dist"))
-      .orderBy("o_orderpriority", "o_orderkey")
   }
 
   /** `window_frames` — explicit window frames over each customer's
@@ -523,7 +502,6 @@ object Relational {
         nth_value(col("o_totalprice"), 2).over(full).as("second_price"),
         round(sum(col("o_totalprice").cast(DecimalType(18, 4))).over(sliding)
           .cast(DoubleType) / count(lit(1)).over(sliding), 4).as("avg3_price"))
-      .orderBy("o_custkey", "o_orderkey")
   }
 
   /** `filter_exists` — the SQL subquery surface: correlated EXISTS
@@ -597,7 +575,6 @@ object Relational {
           .cast(DoubleType).as("price"),
         col("valid_from"))
     scd2Apply(base, updates, "key", batchDate)
-      .orderBy("key", "valid_from", "is_current")
   }
 
   /** `join_topk` — the TPC-H-Q3-shaped composite: segment-filtered
@@ -647,7 +624,6 @@ object Relational {
         MapType(StringType, StringType))).as(Seq("k", "v")))
       .groupBy("k")
       .agg(count(lit(1)).as("n"), countDistinct(col("v")).as("n_values"))
-      .orderBy("k")
 
   /** `join_cross` — explicit cartesian product of two BOUNDED dims
     * (all region pairs). `crossJoin` is the one join the engine only
@@ -660,7 +636,7 @@ object Relational {
   def joinCross(s: SparkSession, dir: String): DataFrame = {
     val a = Sources.table(s, dir, "region").select(col("r_name").as("region_a"))
     val b = Sources.table(s, dir, "region").select(col("r_name").as("region_b"))
-    a.crossJoin(broadcast(b)).orderBy("region_a", "region_b")
+    a.crossJoin(broadcast(b))
   }
 
   /** `share_of_total` — percent-of-total contribution: revenue per
@@ -685,7 +661,6 @@ object Relational {
         round(lit(100.0) * col("revenue") /
           sum(col("revenue")).over(Window.partitionBy()), 4)
           .as("pct_of_total"))
-      .orderBy("n_name")
   }
 
   /** `cohort_retention` — customer cohort analysis: each customer's
@@ -715,7 +690,6 @@ object Relational {
         explode(col("months")).as("ym"))
       .groupBy("cohort", "ym")
       .agg(count(lit(1)).as("n_active"))
-      .orderBy("cohort", "ym")
 
   /** `str_regex` — the regex function surface over documents:
     * match-count (`regexp_extract_all`), first-match extraction
@@ -732,7 +706,6 @@ object Relational {
           .cast(LongType).as("n_capitalized"),
         regexp_extract(col("text"), "[0-9]+", 0).as("first_number"),
         col("text").rlike("data").as("mentions_data"))
-      .orderBy("doc_id")
 
   /** `array_funcs` — the array-function surface over tokenized text:
     * distinct-size, sorted-slice (first five distinct tokens), and
@@ -750,7 +723,6 @@ object Relational {
         concat_ws(" ",
           slice(sort_array(array_distinct(col("toks"))), 1, 5)).as("first5"),
         array_contains(col("toks"), "the").as("has_the"))
-      .orderBy("doc_id")
 
   /** `snapshot_diff` — row-level change-data-capture between two table
     * snapshots: which keys were added, removed, or changed, with both
@@ -795,6 +767,5 @@ object Relational {
       .filter(col("verdict").isNotNull)
       .select(col("key").as("o_orderkey"), col("verdict"),
         col("old_price"), col("new_price"))
-      .orderBy("o_orderkey")
   }
 }

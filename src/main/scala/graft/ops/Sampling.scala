@@ -39,7 +39,6 @@ object Sampling {
     Sources.table(s, dir, "events")
       .filter(hexNibble(col("event_id")).isin("0", "1"))
       .select("event_id", "user_id", "event_type")
-      .orderBy("event_id")
 
   /** `sample_split` — disjoint, exhaustive train/val/test assignment by
     * hash range (12/2/2 nibbles ≈ 75/12.5/12.5%). Every row lands in
@@ -53,7 +52,6 @@ object Sampling {
         .as("split"))
       .groupBy("split")
       .agg(count(lit(1)).as("n"))
-      .orderBy("split")
   }
 
   /** `sample_stratified` — deterministic stratified sample: at most `n`
@@ -73,7 +71,6 @@ object Sampling {
         row_number().over(w).as("rn"))
       .filter(col("rn") <= n)
       .select("event_type", "event_id")
-      .orderBy("event_type", "event_id")
   }
 
   /** `pack_bins` — greedy sequence packing: assign each document to a
@@ -97,7 +94,6 @@ object Sampling {
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         floor((col("cum") - col("n_tokens")) / budget.toDouble).as("bin_id"))
-      .orderBy("source", "doc_id")
   }
 
   /** `pack_concat` — materialized sequence packing: the documents of
@@ -131,7 +127,6 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"),
         expr("array_join(transform(sort_array(collect_list(" +
           "struct(doc_id, text))), x -> x.text), '\n')").as("packed"))
-      .orderBy("source", "bin_id")
   }
 
   /** `sample_quality` — quality-tiered deterministic sampling: docs
@@ -150,7 +145,6 @@ object Sampling {
         hexNibble(col("doc_id")).as("h"))
       .filter(rank <= when(col("quality_ok"), 14).otherwise(4))
       .select("doc_id", "quality_ok")
-      .orderBy("doc_id")
   }
 
   /** `mix_rates` — source-mixture balancing: given each source's token
@@ -176,7 +170,6 @@ object Sampling {
         round(rate, 6).as("keep_rate"),
         floor(rate * col("n_tokens")).cast(LongType)
           .as("projected_tokens"))
-      .orderBy("source")
   }
 
   /** `sample_weighted` — per-source mixture construction over
@@ -193,7 +186,6 @@ object Sampling {
         hexNibble(col("doc_id")) < "4")
       .groupBy("source")
       .agg(count(lit(1)).as("n_kept"))
-      .orderBy("source")
 
   /** `mix_temperature` — temperature-scaled language mixing: sampling
     * share `p_i ∝ n_i^alpha` (alpha < 1 flattens the distribution —
@@ -233,6 +225,5 @@ object Sampling {
         round(rawShare, 6).as("raw_share"),
         round(tempShare, 6).as("temp_share"),
         round(tempShare / rawShare, 4).as("boost"))
-      .orderBy("lang")
   }
 }

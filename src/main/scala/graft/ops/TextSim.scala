@@ -53,7 +53,6 @@ object TextSim {
         max(col("n_chars")).as("max_chars"),
         (sum(length(col("text")).cast(LongType)).cast(DoubleType) /
           count(lit(1))).as("avg_len"))
-      .orderBy("lang")
 
   /** `text_bigrams` — corpus-level top bigrams: the n-gram
     * generalization of [[textTokens]] (the same explode → hash-agg
@@ -103,7 +102,6 @@ object TextSim {
       .filter(abs(col("value") - col("mu")) > lit(nSigma) * col("sd"))
       .select(col("event_id"), col("value"),
         round((col("value") - col("mu")) / col("sd"), 4).as("z"))
-      .orderBy("event_id")
   }
 
   /** `source_stats` — the per-source curation dashboard: document
@@ -130,7 +128,6 @@ object TextSim {
         col("total_tokens"),
         (col("total_tokens").cast(DoubleType) /
           col("n_docs").cast(DoubleType)).as("avg_tokens"))
-      .orderBy("source")
 
   /** `dedup_text` — L3, exact near-dup detection: normalize → sha256 →
     * group. The 100 TB-safe shape: the shuffle key is the 32-byte
@@ -147,7 +144,6 @@ object TextSim {
         sha2(trim(lower(col("text"))), 256).as("text_hash"))
       .groupBy("text_hash")
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
-      .orderBy(col("n_docs").desc, col("text_hash"))
 
   /** Dot product over two double arrays via higher-order functions.
     * Portable but INTERPRETED (Spark evaluates HOF lambdas per
@@ -252,7 +248,6 @@ object TextSim {
         round(nd(col("va"), col("vb")) / (col("na") * col("nb")), 4)
           .as("cos_sim"))
       .filter(col("cos_sim") >= minSim)
-      .orderBy("vec_a", "vec_b")
   }
 
   /** `sim_knn` — exact k-nearest-neighbor JOIN: top-k cosine neighbors
@@ -294,7 +289,6 @@ object TextSim {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select("qid", "nid", "cos_sim")
-      .orderBy(col("qid"), col("cos_sim").desc, col("nid"))
   }
 
   /** `text_entropy` — per-document token Shannon entropy (nats): the
@@ -340,7 +334,6 @@ object TextSim {
         round(lnd(col("n_tokens")) -
           col("term_sum").cast(DoubleType) /
             col("n_tokens").cast(DoubleType), 4).as("entropy"))
-      .orderBy("doc_id")
   }
 
   /** `multimodal_join` — L6, text ⋈ vectors in one relation: join
@@ -359,7 +352,6 @@ object TextSim {
           .as("avg_chars"),
         round(sum(element_at(col("embedding"), 1).cast(DoubleType)) /
           count(lit(1)), 4).as("avg_e0"))
-      .orderBy("label")
 
   // ---- text heuristics (north-star extensions, oracle-checked) --------
 
@@ -398,7 +390,6 @@ object TextSim {
         when(col("n_stop").cast(DoubleType) /
           col("n_tokens").cast(DoubleType) >= 0.05, "en")
           .otherwise("und").as("predicted_lang"))
-      .orderBy("doc_id")
   }
 
   /** `text_quality` — length/punct/token-shape quality scoring, the
@@ -423,7 +414,6 @@ object TextSim {
       .withColumn("quality_ok",
         col("n_tokens").between(10L, 500L) && col("avg_token_len") < 8.0 &&
           col("punct_ratio") < 0.2)
-      .orderBy("doc_id")
   }
 
   /** `tok_count` — token counting two ways: whitespace words and a
@@ -441,7 +431,6 @@ object TextSim {
           .as("ws_tokens"),
         expr("regexp_count(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]')")
           .cast(LongType).as("bpe_ish_tokens"))
-      .orderBy("doc_id")
 
   /** `text_tfidf` — top-k terms per document by TF-IDF, the classic
     * relevance weighting (and the first non-trivial *multi-stage* text
@@ -484,7 +473,6 @@ object TextSim {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select("doc_id", "token", "tfidf")
-      .orderBy(col("doc_id"), col("tfidf").desc, col("token"))
   }
 
   /** `text_logprob` — per-document mean negative log-probability under
@@ -516,7 +504,6 @@ object TextSim {
       .agg(count(lit(1)).as("n_tokens"),
         round(sum(col("nll")).cast(DoubleType) / count(lit(1)), 4)
           .as("avg_nll"))
-      .orderBy("doc_id")
   }
 
   /** `text_bigram_lm` — bigram language-model quality score: per doc,
@@ -575,7 +562,6 @@ object TextSim {
       .select(col("doc_id"), col("n_bigrams"),
         (expr("(2 * s6 + d) DIV (2 * d)").cast(DoubleType) / 10000.0)
           .as("avg_nll"))
-      .orderBy("doc_id")
   }
 
   /** `doc_winnow` — full winnowing fingerprints (rolling-hash k-byte
@@ -593,7 +579,6 @@ object TextSim {
       .select(col("doc_id"),
         size(col("fps")).cast(LongType).as("n_fingerprints"),
         xxhash64(col("fps")).as("fingerprint_digest"))
-      .orderBy("doc_id")
 
   /** `doc_fingerprint` — winnowing-style document fingerprint: the
     * minimum 64-bit hash over the document's 3-token shingles (the
@@ -614,7 +599,6 @@ object TextSim {
       .select(col("doc_id"),
         array_min(graft.functions.VectorFunctions
           .shingle(s, tokens(col("text")), 3)).as("fingerprint"))
-      .orderBy("doc_id")
 
   /** `text_repetition` — Gopher-rule repetition signals (Rae et al.
     * 2021 §A1.1): the fraction of all word-bigrams taken by the single
@@ -683,7 +667,6 @@ object TextSim {
           .as("dup_word_frac"))
       .withColumn("repetitive",
         col("top_bigram_frac") > 0.18 || col("dup_word_frac") > 0.9)
-      .orderBy("doc_id")
   }
 
   /** `text_normalize` — canonical text normalization, the step every
@@ -710,7 +693,6 @@ object TextSim {
           regexp_replace(lower(col("text")), "[^a-z0-9 .,!?']", ""),
           "\\s+", " ")).as("norm_text"))
       .withColumn("norm_hash", sha2(col("norm_text"), 256))
-      .orderBy("doc_id")
 
   /** `corpus_stats` — the one-row corpus summary a curation run logs
     * per snapshot: document count, token volume, distinct vocabulary,
@@ -758,7 +740,6 @@ object TextSim {
     d.join(broadcast(bands), "lang")
       .filter(col("n_chars") >= col("p05") && col("n_chars") <= col("p95"))
       .select("doc_id", "lang", "n_chars")
-      .orderBy("doc_id")
   }
 
   /** `chunk_docs` — overlapping token-window chunking: split each
@@ -800,7 +781,6 @@ object TextSim {
         org.apache.spark.sql.functions.size(col("chunk")).cast(LongType)
           .as("n_chunk_tokens"),
         array_join(col("chunk"), " ").as("chunk_text"))
-      .orderBy("doc_id", "chunk_id")
   }
 
   /** Streaming exact-text dedup: the [[dedupText]] semantics applied to
@@ -859,7 +839,7 @@ object TextSim {
     * norms agree bit-for-bit. Pure projection: zero shuffles.
     */
   def embedNorms(s: SparkSession, dir: String): DataFrame =
-    embedNormsUnordered(s, dir).orderBy("vec_id")
+    embedNormsUnordered(s, dir)
 
   // norm projection without the presentation sort, for re-aggregation
   private def embedNormsUnordered(s: SparkSession, dir: String): DataFrame =
@@ -908,7 +888,6 @@ object TextSim {
         round(expr(
           "aggregate(errs, CAST(0.0 AS DOUBLE), (a, x) -> a + x)" +
             " / size(errs)"), 6).as("mean_abs_err"))
-      .orderBy("vec_id")
   }
 
   /** `embed_label_stats` — per-label vector profile: count and mean L2
@@ -923,7 +902,6 @@ object TextSim {
       .groupBy("label")
       .agg(count(lit(1)).as("n_vectors"),
         round(dsum(col("l2_norm")) / count(lit(1)), 4).as("avg_l2_norm"))
-      .orderBy("label")
 
   /** `quality_gopher` — the Gopher quality-rule subset (Rae et al.
     * 2021, "Scaling Language Models", appendix A1.1) that is
@@ -968,7 +946,6 @@ object TextSim {
           col("mean_word_len").between(3.0, 10.0) &&
           col("dup_word_frac") <= 0.6 &&
           col("n_stop_distinct") >= 2L)
-      .orderBy("doc_id")
 
   /** `vocab_growth` — per-source vocabulary statistics: token count,
     * type (distinct-token) count, hapax-legomena count (types seen
@@ -995,7 +972,6 @@ object TextSim {
         col("n_hapax"),
         round(col("n_types").cast(DoubleType) /
           col("n_tokens").cast(DoubleType), 6).as("ttr"))
-      .orderBy("source")
 
   /** `zipf_slope` — least-squares slope of log(frequency) over
     * log(rank) for the corpus's top-100 tokens: the Zipf-law fit.

@@ -34,7 +34,6 @@ object TimeOps {
         col("event_type"))
       .groupBy("hour_start", "event_type")
       .agg(count(lit(1)).as("n"))
-      .orderBy("hour_start", "event_type")
 
   /** `window_sliding` — T4 batch equivalent: 2-hour windows sliding
     * every hour, so each event lands in exactly two windows. Uses the
@@ -50,7 +49,6 @@ object TimeOps {
       .groupBy(window(col("ts"), "2 hours", "1 hour"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("n"))
-      .orderBy("window_start")
 
   /** `window_range` — time-based RANGE frame: per-user trailing-hour
     * event count and value sum. Unlike a ROWS frame (fixed row count),
@@ -72,7 +70,6 @@ object TimeOps {
         count(lit(1)).over(w).as("n_last_hour"),
         sum(col("value").cast(DecimalType(18, 4))).over(w)
           .cast(DoubleType).as("sum_last_hour"))
-      .orderBy("user_id", "event_id")
   }
 
   /** `funnel_steps` — ordered-step conversion funnel: of the users who
@@ -119,7 +116,6 @@ object TimeOps {
         newSession.as("new_sess"))
       .select(col("user_id"), col("event_id"),
         sum(col("new_sess")).over(runningSum).as("session_id"))
-      .orderBy("user_id", "event_id")
   }
 
   /** `window_ewma` — exponentially weighted moving average per user:
@@ -150,7 +146,6 @@ object TimeOps {
           s"aggregate(vs, CAST(NULL AS DOUBLE), (acc, x) -> " +
             s"CASE WHEN acc IS NULL THEN x.v ELSE $alpha * x.v + ${1 - alpha} * acc END)"),
           4).as("ewma"))
-      .orderBy("user_id")
   }
 
   /** `window_median` — rolling exact median of `value` per user over
@@ -175,7 +170,6 @@ object TimeOps {
       .select(col("user_id"), col("event_id"),
         round(percentile(col("value"), lit(0.5)).over(w), 4)
           .as("roll_median"))
-      .orderBy("user_id", "event_id")
   }
 
   /** `window_anomaly` — rolling z-score anomaly detection: events more
@@ -247,7 +241,6 @@ object TimeOps {
         round((col("value") - col("sx") / n) / sqrt(col("v")), 4))
       .filter(abs(col("roll_z")) > nSigma)
       .select("user_id", "event_id", "value", "roll_z")
-      .orderBy("user_id", "event_id")
   }
 
   /** `dedup_time_window` — time-bounded deduplication: keep the FIRST
@@ -288,7 +281,6 @@ object TimeOps {
       .agg(min(col("ev")).as("first_ev"))
       .select(col("user_id"), col("event_type"), col("hour_start"),
         graft.ops.Num.unpackIdAsc(col("first_ev")).as("event_id"))
-      .orderBy("user_id", "event_type", "hour_start")
   }
 
   /** `session_native` — the NATIVE `session_window` operator in batch
@@ -310,7 +302,6 @@ object TimeOps {
       .select(col("user_id"),
         unix_micros(col("session_window.start")).as("session_start_us"),
         col("n"))
-      .orderBy("user_id", "session_start_us")
 
   /** `window_fill` — forward-fill imputation: each null `value` takes
     * the most recent non-null value of the same user (`last` with
@@ -327,7 +318,6 @@ object TimeOps {
       .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id"), col("event_id"),
         last(col("value"), ignoreNulls = true).over(run).as("value_filled"))
-      .orderBy("user_id", "event_id")
   }
 
   /** `session_stats` — per-session rollup on top of the [[sessionize]]
@@ -355,7 +345,6 @@ object TimeOps {
         min(col("event_id")).as("first_event"),
         (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
           .as("duration_us"))
-      .orderBy("user_id", "session_id")
   }
 
   /** `time_resample` — regularize an event stream onto a fixed hourly
@@ -381,7 +370,6 @@ object TimeOps {
     spine.join(counts, Seq("hour_start"), "left")
       .select(col("hour_start"),
         coalesce(col("n_raw"), lit(0L)).as("n"))
-      .orderBy("hour_start")
   }
 
   /** `window_lag` — consecutive-event deltas per user: `lag`/`lead`
@@ -407,7 +395,6 @@ object TimeOps {
       .select(col("user_id"), col("event_id"),
         (col("ts_us") - col("prev_us")).as("gap_us"),
         round(col("value") - col("prev_value"), 4).as("value_delta"))
-      .orderBy("user_id", "event_id")
   }
 
   /** `gap_stats` — per-user inter-event-gap profile: the grouped
@@ -436,7 +423,6 @@ object TimeOps {
         max(col("gap_us")).as("max_gap_us"),
         expr("sum(gap_us) div count(gap_us)").as("avg_gap_us"))
       .filter(col("n_events") >= 2)
-      .orderBy("user_id")
   }
 
   // ---- streaming builders (T1–T6, unit-tested via MemoryStream) -------

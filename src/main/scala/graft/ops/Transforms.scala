@@ -34,7 +34,6 @@ object Transforms {
   def srcScan(s: SparkSession, dir: String): DataFrame =
     Sources.table(s, dir, "lineitem")
       .select("l_orderkey", "l_linenumber", "l_quantity")
-      .orderBy("l_orderkey", "l_linenumber")
 
   // ---- P1/P2/P4: projections -----------------------------------------
 
@@ -42,7 +41,6 @@ object Transforms {
   def projUpper(s: SparkSession, dir: String): DataFrame =
     Sources.table(s, dir, "customer")
       .select(col("c_custkey"), upper(col("c_name")).as("c_name_upper"))
-      .orderBy("c_custkey")
 
   /** `proj_cast` — P2, int/decimal casts (etl_2016.py:33,
     * etl_2022.py:187). The decimal cast round-trips to double for the
@@ -55,7 +53,6 @@ object Transforms {
         col("l_quantity").cast(IntegerType).as("qty_int"),
         col("l_extendedprice").cast(DecimalType(12, 2)).cast(DoubleType)
           .as("price_dec"))
-      .orderBy("l_orderkey", "l_linenumber")
 
   /** `proj_datefmt` — P4, batch-id string from a timestamp
     * (etl_2022.py:217), derived from a data column for determinism.
@@ -64,7 +61,6 @@ object Transforms {
     Sources.table(s, dir, "orders")
       .select(col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyyMMdd").as("batch_id"))
-      .orderBy("o_orderkey")
 
   /** `quality_score` — P5, per-row 1 − nulls/ncols (etl_2022.py:216). */
   def qualityScore(s: SparkSession, dir: String): DataFrame = {
@@ -74,7 +70,6 @@ object Transforms {
     Sources.table(s, dir, "events")
       .select(col("event_id"),
         (lit(1.0) - nullCnt.cast(DoubleType) / lit(6.0)).as("quality_score"))
-      .orderBy("event_id")
   }
 
   // ---- F1–F5: validation split ---------------------------------------
@@ -104,21 +99,18 @@ object Transforms {
     Sources.table(s, dir, "events")
       .filter(validEvent)
       .select("event_id", "user_id", "event_type", "value")
-      .orderBy("event_id")
 
   /** `filter_invalid` — F5, the rejected branch with reasons. */
   def filterInvalid(s: SparkSession, dir: String): DataFrame =
     Sources.table(s, dir, "events")
       .filter(!validEvent)
       .select(col("event_id"), rejectReason.as("reason"))
-      .orderBy("event_id")
 
   /** `filter_like` — F4-style pattern predicate; pushed to the scan. */
   def filterLike(s: SparkSession, dir: String): DataFrame =
     Sources.table(s, dir, "part")
       .filter(col("p_type").like("%AR%"))
       .select("p_partkey", "p_name", "p_type")
-      .orderBy("p_partkey")
 
   /** `outlier_mad` — median-absolute-deviation outliers: flag events
     * more than `k` MADs from the median. The most robust of the
@@ -142,7 +134,6 @@ object Transforms {
       .filter(abs(col("value") - col("m")) > lit(k) * col("d"))
       .select(col("event_id"), col("value"),
         round((col("value") - col("m")) / col("d"), 4).as("mad_score"))
-      .orderBy("event_id")
   }
 
   /** `outlier_iqr` — F6, exact Q1/Q3 (etl_2022.py:60-72). The bounds
@@ -158,7 +149,6 @@ object Transforms {
       .filter(col("value") < col("q1") - (col("q3") - col("q1")) * 1.5 ||
         col("value") > col("q3") + (col("q3") - col("q1")) * 1.5)
       .select("event_id", "value")
-      .orderBy("event_id")
   }
 
   // ---- D1–D4: dedup + imputation ---------------------------------------
@@ -170,7 +160,6 @@ object Transforms {
     Sources.table(s, dir, "events")
       .select("user_id", "event_type")
       .dropDuplicates()
-      .orderBy("user_id", "event_type")
 
   /** `agg_dup_count` — D2, how many rows are duplicates
     * (etl_2022.py:56-58): Σ(group count − 1) over groups with >1 row.
@@ -187,7 +176,6 @@ object Transforms {
       .select(col("event_id"),
         coalesce(col("event_type"), lit("UNKNOWN")).as("event_type_filled"),
         coalesce(col("props"), lit("{}")).as("props_filled"))
-      .orderBy("event_id")
 
   /** `fillna_mean` — D4, mean imputation (etl_2022.py:182). The mean is
     * an exact decimal-sum mean (bit-identical across engines, see Num)
@@ -199,7 +187,6 @@ object Transforms {
     ev.crossJoin(broadcast(m))
       .select(col("event_id"),
         coalesce(col("value"), col("mean_value")).as("value_filled"))
-      .orderBy("event_id")
   }
 
   /** `pii_mask` — rule-chain PII redaction: emails then long digit
@@ -220,7 +207,6 @@ object Transforms {
           idRe, "<ID>").as("masked_name"),
         expr(s"regexp_count(c_name, '$idRe')").cast(LongType)
           .as("n_redactions"))
-      .orderBy("c_custkey")
   }
 
   /** `union_all` — U1, pd.concat analog (etl_2020.py:156-158):
@@ -235,7 +221,6 @@ object Transforms {
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_orders"),
         dsum(col("o_totalprice")).as("total_price"))
-      .orderBy("o_orderstatus")
   }
 
   /** `union_distinct` — U1's distinct-semantics counterpart (SQL
@@ -253,6 +238,5 @@ object Transforms {
     val clicks = ev.filter(col("event_type") === "click")
       .select("user_id", "event_type")
     hi.union(clicks).distinct()
-      .orderBy("user_id", "event_type")
   }
 }

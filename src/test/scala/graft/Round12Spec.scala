@@ -79,7 +79,7 @@ class Round12Spec extends SparkSpec {
   }
 
   test("agg_salted equals the plain one-phase GROUP BY exactly") {
-    val salted = Aggregates.aggSalted(spark, sf).collect()
+    val salted = Aggregates.aggSalted(spark, sf).orderBy("event_type").collect()
     val plain = Sources.table(spark, sf, "events")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),

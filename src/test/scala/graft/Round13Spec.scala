@@ -173,7 +173,7 @@ class Round13Spec extends SparkSpec {
         round(col("mn.v"), 4).as("min_value"))
       .orderBy("event_type").collect().toSeq
     val viaPacked = Aggregates.aggMinmaxBy(spark, sf)
-      .collect().toSeq
+      .orderBy("event_type").collect().toSeq
     assert(viaPacked == viaStruct)
     // the whole point: the packed form must hash-aggregate
     val p = Aggregates.aggMinmaxBy(spark, sf)

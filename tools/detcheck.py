@@ -3,8 +3,15 @@
 
 `diff -r` cannot do this: parquet part files carry random UUID names, so
 recursive diff reports every file as "only in" one side and compares
-nothing. This reads each query's parquet CONTENT and requires exact
-frame equality (values AND row order).
+nothing. This reads each query's parquet CONTENT, canonicalizes row
+order, and requires exact value equality.
+
+Row order is canonicalized (every cell stringified, rows sorted) because
+result order is NOT part of the engine contract: the correctness gate
+(compare.py and the driver's replica) sorts rows before hashing, and the
+engine stopped global-sorting query outputs — a total-order shuffle of a
+full result is never the right plan at scale, and callers who want
+presentation order sort at the end themselves.
 
 Usage: python3 tools/detcheck.py <outDirA> <outDirB>
 """
@@ -13,6 +20,12 @@ import os
 import sys
 
 import pyarrow.parquet as pq
+
+def canon(df):
+    out = df.copy()
+    for c in out.columns:
+        out[c] = out[c].map(lambda x: "null" if x is None else str(x))
+    return out.sort_values(list(out.columns)).reset_index(drop=True)
 
 a_dir, b_dir = sys.argv[1], sys.argv[2]
 bad, checked = [], 0
@@ -26,7 +39,7 @@ for d in sorted(os.listdir(a_dir)):
     ta = pq.read_table(glob.glob(pa + "/*.parquet")).to_pandas()
     tb = pq.read_table(glob.glob(pb + "/*.parquet")).to_pandas()
     checked += 1
-    if not ta.equals(tb):
+    if list(ta.columns) != list(tb.columns) or not canon(ta).equals(canon(tb)):
         bad.append(d)
 if bad:
     print(f"NONDETERMINISTIC ({len(bad)}/{checked}): {bad}")
