@@ -173,21 +173,42 @@ object NearDup {
   /** [[dedupMinhash]] over any `(doc_id, text)` relation. */
   def dedupMinhash(s: SparkSession, docs: DataFrame, numHashes: Int,
                    bands: Int, minSim: Double): DataFrame = {
+    val sigs = minhashSignatures(s, docs, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val est = minhashScoredPairs(sigs, numHashes, bands, minSim)
+    val out = est.agg(
+        count(lit(1)).as("n_candidate_pairs"),
+        coalesce(round(avg(col("est_jaccard")), 4), lit(0.0))
+          .as("avg_jaccard_sim"))
+      .localCheckpoint()
+    sigs.unpersist(blocking = false)
+    out
+  }
+
+  /** Pair-level core of [[dedupMinhash]]: banded candidates from a
+    * (persisted) [[minhashSignatures]]-shaped frame, scored by
+    * signature agreement, cut at `minSim` — `(doc_a, doc_b,
+    * est_jaccard)`. Public so the xxhash64 production family can be
+    * cross-checked pair-for-pair against the oracle-verified
+    * [[portableScoredPairs]] (MinhashFamilyCrossSpec) — the 1-row
+    * [[dedupMinhash]] summary cannot expose which pairs matched.
+    *
+    * The banding shuffle carries ONLY (doc_id, band_idx, band_hash) —
+    * 3 longs per band row. Carrying the signature through instead
+    * (the earlier formulation, and what MinHashLSH-style joins ship)
+    * puts numHashes longs on every band row: ~8 KB/doc at 64 hashes ×
+    * 16 bands, 20× this shuffle's bytes, and it dominated a 200k-doc
+    * run. Signatures re-enter AFTER candidate dedup, when the pair
+    * set is collision-sized, via two joins against the passed-in
+    * signature table (callers persist it and release it once their
+    * output is materialized).
+    */
+  def minhashScoredPairs(sigs: DataFrame, numHashes: Int, bands: Int,
+                         minSim: Double): DataFrame = {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes) — trailing " +
         "signature slots would be silently excluded from banding")
     val r = numHashes / bands
-    // The banding shuffle carries ONLY (doc_id, band_idx, band_hash) —
-    // 3 longs per band row. Carrying the signature through instead
-    // (the earlier formulation, and what MinHashLSH-style joins ship)
-    // puts numHashes longs on every band row: ~8 KB/doc at 64 hashes ×
-    // 16 bands, 20× this shuffle's bytes, and it dominated a 200k-doc
-    // run. Signatures re-enter AFTER candidate dedup, when the pair
-    // set is collision-sized, via two joins against the persisted
-    // signature table (persist is released below once the 1-row
-    // summary is materialized through localCheckpoint).
-    val sigs = minhashSignatures(s, docs, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $r + 1, $r)))"))
@@ -201,7 +222,7 @@ object NearDup {
       // dedup multi-band collisions BEFORE scoring: est_jaccard is
       // per-pair, so scoring each collision would be wasted work
       .select("doc_a", "doc_b").distinct()
-    val est = cand
+    cand
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
         "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
@@ -211,13 +232,6 @@ object NearDup {
           " 0, (acc, v) -> acc + v)").cast(DoubleType) / numHashes.toDouble)
           .as("est_jaccard"))
       .filter(col("est_jaccard") >= minSim)
-    val out = est.agg(
-        count(lit(1)).as("n_candidate_pairs"),
-        coalesce(round(avg(col("est_jaccard")), 4), lit(0.0))
-          .as("avg_jaccard_sim"))
-      .localCheckpoint()
-    sigs.unpersist(blocking = false)
-    out
   }
 
   /** `dedup_minhash_portable` — the ORACLE-CHECKABLE MinHash+LSH
@@ -342,6 +356,27 @@ object NearDup {
         .as(Seq("band_idx", "band_key")))
   }
 
+  /** Pair-level core of [[dedupMinhashPortable]]: band-bucketed
+    * candidates from a (persisted) [[portableSigs]]-shaped frame,
+    * scored via [[agreementScore]], cut at `minSim` — `(doc_a, doc_b,
+    * matches)`. Public for the same reason as [[minhashScoredPairs]]:
+    * MinhashFamilyCrossSpec compares the two hash families pair for
+    * pair, which the 1-row summaries cannot expose.
+    */
+  def portableScoredPairs(sigs: DataFrame, numHashes: Int, bands: Int,
+                          minSim: Double): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    val unp = portableBandRows(sigs, numHashes, bands)
+    val cand = unp
+      .select(col("doc_id").as("doc_a"), col("band_idx"), col("band_key"))
+      .join(unp.select(col("doc_id").as("doc_b"), col("band_idx"),
+        col("band_key")), Seq("band_idx", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    agreementScore(cand, sigs, sigs, "doc_a", "doc_b", numHashes, minSim)
+  }
+
   /** [[dedupMinhashPortable]] over any `(doc_id, text)` relation. */
   def dedupMinhashPortable(s: SparkSession, docs: DataFrame,
                            numHashes: Int, bands: Int,
@@ -350,15 +385,7 @@ object NearDup {
       s"bands ($bands) must divide numHashes ($numHashes)")
     val sigs = portableSigs(s, docs, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val unp = portableBandRows(sigs, numHashes, bands)
-    val cand = unp
-      .select(col("doc_id").as("doc_a"), col("band_idx"), col("band_key"))
-      .join(unp.select(col("doc_id").as("doc_b"), col("band_idx"),
-        col("band_key")), Seq("band_idx", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    val scored = agreementScore(cand, sigs, sigs, "doc_a", "doc_b",
-      numHashes, minSim)
+    val scored = portableScoredPairs(sigs, numHashes, bands, minSim)
     val out = scored.agg(
         count(lit(1)).cast(LongType).as("n_pairs"),
         coalesce(sum(col("matches")), lit(0L)).cast(LongType)
