@@ -121,8 +121,11 @@ class ClusterTfidfSpec extends SparkSpec {
   }
 
   test("clustering is deterministic across runs") {
-    val a = clusters.collect()
-    val b = NearDup.dedupCluster(spark, sf).collect()
+    // content-level: the query surface carries no final sort (the
+    // correctness gate row-sorts before hashing), so shuffled row
+    // order may differ run to run while the row SET must not
+    val a = clusters.collect().map(_.toString).sorted
+    val b = NearDup.dedupCluster(spark, sf).collect().map(_.toString).sorted
     assert(a.sameElements(b))
   }
 
@@ -132,7 +135,9 @@ class ClusterTfidfSpec extends SparkSpec {
     assert(df.filter(col("avg_nll") <= 0).count() == 0,
       "negative log-prob is strictly positive for a finite corpus")
     // determinism: decimal-summed means are identical across runs
-    assert(df.collect().sameElements(TextSim.textLogprob(spark, sf).collect()))
+    // (row order canonicalized — no final sort on the query surface)
+    assert(df.collect().map(_.toString).sorted.sameElements(
+      TextSim.textLogprob(spark, sf).collect().map(_.toString).sorted))
   }
 
   test("text_tfidf: at most k terms per doc, positive scores, ordered") {

@@ -135,7 +135,8 @@ class MinhashIndexSpec extends SparkSpec {
     val first = NearDup.minhashIndexProbe(spark, path, batch).collect()
     NearDup.minhashIndexWrite(spark, docs, path)
     val second = NearDup.minhashIndexProbe(spark, path, batch).collect()
-    assert(first.sameElements(second))
+    assert(first.map(_.toString).sorted.sameElements(
+      second.map(_.toString).sorted))
     assert(first.exists(r => r.getLong(0) == 200L && r.getLong(1) == 2L
       && r.getDouble(2) == 1.0))
   }

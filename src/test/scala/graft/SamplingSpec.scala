@@ -46,8 +46,9 @@ class SamplingSpec extends SparkSpec {
     val df = Sampling.sampleStratified(spark, sf, n = 20)
     val perGroup = df.groupBy("event_type").count().collect()
     assert(perGroup.forall(_.getLong(1) <= 20))
-    assert(df.collect().sameElements(
-      Sampling.sampleStratified(spark, sf, n = 20).collect()))
+    assert(df.collect().map(_.toString).sorted.sameElements(
+      Sampling.sampleStratified(spark, sf, n = 20).collect()
+        .map(_.toString).sorted))
   }
 
   test("sample_weighted keeps curated sources whole, downsamples the tail") {
