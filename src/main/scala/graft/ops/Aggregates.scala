@@ -89,28 +89,29 @@ object Aggregates {
     */
   def profileOf(li: DataFrame): DataFrame = {
     // ONE codegen'd aggregation pass for the 15 map-reducible metrics
-    // + sort-based exact medians (Num.exactPercentiles): the
-    // per-column agg-and-union spelling scanned lineitem three times
-    // (six for profile_drift's two snapshots), each scan carrying a
+    // + a bracketed exact median for the price column: the per-column
+    // agg-and-union spelling scanned lineitem three times (six for
+    // profile_drift's two snapshots), each scan carrying a
     // builtin-percentile value->count map — the dominant cost on the
     // 600k-distinct price column. 2.3 s -> 0.9 s at sf0.1
     // (profile_drift 2.3 -> 1.8 for both snapshots).
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
-    // the sort-based median ONLY for the ~600k-distinct price column
-    // (where the builtin's value->count map is the 2 s cost);
+    // the exact-refined median ONLY for the ~600k-distinct price
+    // column (where the builtin's value->count map is the 2 s cost);
     // l_quantity (50 values) and l_discount (11) stay as builtin
     // percentiles INSIDE the fused agg — their maps are tiny and one
-    // agg pass beats two extra sort jobs
+    // agg pass beats extra jobs
     //
-    // r13 job-count cut: the fused 1-row agg is COLLECTED (it used to
+    // r13 job-count cuts: the fused 1-row agg is COLLECTED (it used to
     // be localCheckpoint'd and re-read by three union branches — one
-    // extra job plus three local scans), the price median's sort pass
-    // reuses its non-null count (skipping exactPercentiles' own count
-    // job), and the 3-row result is rebuilt from driver-side literals:
-    // 5 jobs per profile down to 3. Means are exact long-unit sums
-    // ([[Num.lavg]] — quantity integer, price/discount exactly 2 dp),
-    // bit-identical to the old decimal spelling without the per-row
-    // BigDecimal adds.
+    // extra job plus three local scans) and the 3-row result is
+    // rebuilt from driver-side literals; the price median rides GK
+    // bracket probes in the SAME fused pass (Num.bracketExpr) and is
+    // refined exactly in ONE more job (Num.exactPercentilesBracketed)
+    // — 5 jobs per profile down to 2, vs the sort-based median's 3.
+    // Means are exact long-unit sums ([[Num.lavg]] — quantity integer,
+    // price/discount exactly 2 dp), bit-identical to the old decimal
+    // spelling without the per-row BigDecimal adds.
     val aggs = cols.flatMap { c => Seq(
       count(col(c)).as(s"n_$c"),
       lavg(col(c), if (c == "l_quantity") 0 else 2).as(s"mean_$c"),
@@ -118,13 +119,18 @@ object Aggregates {
       min(col(c)).as(s"min_$c"),
       max(col(c)).as(s"max_$c")) } ++ Seq(
       expr("percentile(l_quantity, 0.5)").as("median_l_quantity"),
-      expr("percentile(l_discount, 0.5)").as("median_l_discount"))
+      expr("percentile(l_discount, 0.5)").as("median_l_discount"),
+      // GK bracket probes for the price median, riding the same pass
+      // (Num.bracketExpr) — the r13 refinement that retires the
+      // sort-based median's three eager jobs for ONE window-refine job
+      Num.bracketExpr(col("l_extendedprice"), Seq(0.5)).as("br_price"))
     val one = li.agg(aggs.head, aggs.tail: _*).collect()(0)
     def dOf(name: String): java.lang.Double =
       Option(one.getAs[Any](name)).map(_.asInstanceOf[Double])
         .map(java.lang.Double.valueOf).orNull
-    val priceMedian = Num.exactPercentiles(li, "l_extendedprice",
-      Seq(0.5), knownCount = one.getAs[Long]("n_l_extendedprice")).head
+    val priceMedian = Num.exactPercentilesBracketed(li, "l_extendedprice",
+      Seq(0.5), knownCount = one.getAs[Long]("n_l_extendedprice"),
+      brackets = one.getSeq[Double](one.fieldIndex("br_price"))).head
     val s = li.sparkSession
     import s.implicits._
     cols.sorted.map { c =>

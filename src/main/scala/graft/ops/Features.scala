@@ -126,11 +126,16 @@ object Features {
     // fit: sort-based exact deciles (Num.exactPercentiles — the
     // builtin percentile aggregate's boxed value->count map took
     // 2.3 s warm on this 600k-distinct column, ~6x the cost of the
-    // range-partitioned sort). transform: the cut points are plain
-    // LITERALS in statically unrolled comparisons — not the
-    // `aggregate(cuts, …)` fold it replaces, which evaluated an
-    // interpreted lambda per fact row, nor even a broadcast join.
-    // Together: 3.59 s -> 0.51 s at sf0.1.
+    // range-partitioned sort). The GK-bracket refine that won for
+    // profileOf's single median LOSES here, A/B'd at sf0.1 under noop
+    // (0.83 vs 0.58 s min-of-5, same window): nine brackets put 36
+    // aggregate updates into one ObjectHashAggregate (collect_list
+    // disables codegen for the whole operator), while ONE
+    // range-partitioned sort amortizes over all nine cuts.
+    // transform: the cut points are plain LITERALS in statically
+    // unrolled comparisons — not the `aggregate(cuts, …)` fold it
+    // replaces, which evaluated an interpreted lambda per fact row,
+    // nor even a broadcast join. Together: 3.59 s -> 0.51 s at sf0.1.
     val cuts = Num.exactPercentiles(li, "l_extendedprice",
       (1 to 9).map(_ / 10.0))
     li.select("l_orderkey", "l_linenumber", "l_extendedprice")

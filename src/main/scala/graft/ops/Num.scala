@@ -258,4 +258,104 @@ object Num {
   def unpackIdDesc(maxRank: Column, packedMax: Column): Column =
     (maxRank * packShift - packedMax)
       .cast(org.apache.spark.sql.types.LongType)
+
+  /** Rank-error bound of `percentile_approx` at the [[bracketAccuracy]]
+    * used by the bracketed exact-percentile path: ε = 1/accuracy, so a
+    * returned value's true rank is within ±ε·n of its target.
+    */
+  val bracketAccuracy: Int = 10000
+
+  /** `percentile_approx` bracket expression to EMBED IN A CALLER'S
+    * FUSED AGGREGATE: for each requested percentile p, two approximate
+    * probes at p ∓ 3ε whose returned VALUES are guaranteed (by the
+    * Greenwald–Khanna ±ε·n rank bound) to straddle the exact order
+    * statistics at `floor/ceil(p·(n−1))`. The caller hands the 2·|ps|
+    * values to [[exactPercentilesBracketed]], which recovers the EXACT
+    * percentiles in ONE more job — replacing the sort-based
+    * [[exactPercentiles]]' three eager jobs (range-sample, zipWithIndex
+    * count, collect) with one, on top of an aggregate pass the caller
+    * was running anyway. Returns `array<double>` ordered
+    * `[p₁_lo, p₁_hi, p₂_lo, …]`.
+    */
+  def bracketExpr(c: Column, ps: Seq[Double]): Column = {
+    val eps = 3.0 / bracketAccuracy
+    val probes = ps.flatMap(p => Seq(
+      math.max(0.0, p - eps), math.min(1.0, p + eps)))
+    percentile_approx(c.cast(DoubleType),
+      array(probes.map(lit): _*), lit(bracketAccuracy))
+  }
+
+  /** Exact percentiles from [[bracketExpr]] brackets in ONE job:
+    * counts the rows below / equal-to each bracket's edges and
+    * collects the (≈ 6ε·n-row) STRICT-INTERIOR value window, then
+    * reads the exact straddling order statistics out of the sorted
+    * window and applies the same interpolation (and equal-value
+    * shortcut) as [[exactPercentiles]] — bit-identical results,
+    * because only exact order statistics ever reach the arithmetic;
+    * the approximation merely bounds WHERE to look. Edge values enter
+    * as COUNTS, not rows, so a duplicate run landing exactly on a
+    * bracket edge (the common skew pathology: a half-zeros column)
+    * costs two longs, not a collected run. If a bracket misses (GK
+    * rank bound violated — cannot happen, but guarded), that
+    * percentile falls back to the sort-based path, preserving
+    * correctness unconditionally.
+    *
+    * Scale note: interior size grows as 6n/accuracy, so at much larger
+    * n raise `accuracy` in step (GK sketch memory is O(accuracy·log n))
+    * — with interior dup runs bounded by the same 6ε·n because the GK
+    * bound pins both edges' ranks around the target.
+    */
+  def exactPercentilesBracketed(df: org.apache.spark.sql.DataFrame,
+                                c: String, ps: Seq[Double],
+                                knownCount: Long,
+                                brackets: Seq[Double]): Seq[Double] = {
+    require(brackets.length == 2 * ps.length,
+      s"need 2 bracket values per percentile: got ${brackets.length} " +
+        s"for ${ps.length}")
+    val n = knownCount
+    require(n > 0, s"exactPercentilesBracketed($c): no non-null rows")
+    val vals = df.select(col(c).cast(DoubleType).as("v"))
+      .filter(col("v").isNotNull)
+    val aggs = ps.indices.flatMap { i =>
+      val (blo, bhi) = (brackets(2 * i), brackets(2 * i + 1))
+      Seq(
+        sum(when(col("v") < lit(blo), 1L).otherwise(0L)).as(s"below_$i"),
+        sum(when(col("v") === lit(blo), 1L).otherwise(0L)).as(s"eqlo_$i"),
+        sum(when(col("v") === lit(bhi) && lit(bhi) =!= lit(blo), 1L)
+          .otherwise(0L)).as(s"eqhi_$i"),
+        sort_array(collect_list(
+          when(col("v") > lit(blo) && col("v") < lit(bhi), col("v"))))
+          .as(s"win_$i"))
+    }
+    val row = vals.agg(aggs.head, aggs.tail: _*).collect()(0)
+
+    ps.zipWithIndex.map { case (p, i) =>
+      val pos = p * (n - 1)
+      val lo = math.floor(pos).toLong
+      val hi = math.ceil(pos).toLong
+      val frac = pos - lo
+      def cnt(f: String): Long = Option(row.getAs[Any](f))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      val below = cnt(s"below_$i")
+      val eqLo = cnt(s"eqlo_$i")
+      val eqHi = cnt(s"eqhi_$i")
+      val win = row.getSeq[Double](row.fieldIndex(s"win_$i"))
+      val (blo, bhi) = (brackets(2 * i), brackets(2 * i + 1))
+      // order statistic at global index idx, if inside the bracket
+      def pick(idx: Long): Option[Double] = {
+        val r = idx - below
+        if (r < 0) None
+        else if (r < eqLo) Some(blo)
+        else if (r - eqLo < win.length) Some(win((r - eqLo).toInt))
+        else if (r - eqLo - win.length < eqHi) Some(bhi)
+        else None
+      }
+      (pick(lo), pick(hi)) match {
+        case (Some(vLo), Some(vHi)) =>
+          if (vLo == vHi) vLo else vLo * (1 - frac) + vHi * frac
+        case _ => // bracket miss: exact sort-based fallback
+          exactPercentiles(df, c, Seq(p), n).head
+      }
+    }
+  }
 }
