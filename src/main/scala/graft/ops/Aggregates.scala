@@ -112,7 +112,26 @@ object Aggregates {
     // Means are exact long-unit sums ([[Num.lavg]] — quantity integer,
     // price/discount exactly 2 dp), bit-identical to the old decimal
     // spelling without the per-row BigDecimal adds.
-    val aggs = cols.flatMap { c => Seq(
+    val one = li.agg(profileFitAggs.head, profileFitAggs.tail: _*)
+      .collect()(0)
+    val priceMedian = Num.exactPercentilesBracketed(li, "l_extendedprice",
+      Seq(0.5), knownCount = one.getAs[Long]("n_l_extendedprice"),
+      brackets = one.getSeq[Double](one.fieldIndex("br_price"))).head
+    profileFrame(li.sparkSession, one, priceMedian)
+  }
+
+  private val profileCols = Seq("l_quantity", "l_extendedprice",
+    "l_discount")
+
+  /** The fused single-pass profile aggregate: 15 map-reducible
+    * metrics, the two tiny-domain builtin medians, and the GK bracket
+    * probes for the price median (Num.bracketExpr — the r13 refinement
+    * that retires the sort-based median's three eager jobs for ONE
+    * window-refine job). Shared by [[profileOf]] (ungrouped) and
+    * [[profileDriftQuery]] (grouped by snapshot half).
+    */
+  private def profileFitAggs: Seq[Column] =
+    profileCols.flatMap { c => Seq(
       count(col(c)).as(s"n_$c"),
       lavg(col(c), if (c == "l_quantity") 0 else 2).as(s"mean_$c"),
       round(stddev_samp(col(c)), 4).as(s"std_$c"),
@@ -120,20 +139,19 @@ object Aggregates {
       max(col(c)).as(s"max_$c")) } ++ Seq(
       expr("percentile(l_quantity, 0.5)").as("median_l_quantity"),
       expr("percentile(l_discount, 0.5)").as("median_l_discount"),
-      // GK bracket probes for the price median, riding the same pass
-      // (Num.bracketExpr) — the r13 refinement that retires the
-      // sort-based median's three eager jobs for ONE window-refine job
       Num.bracketExpr(col("l_extendedprice"), Seq(0.5)).as("br_price"))
-    val one = li.agg(aggs.head, aggs.tail: _*).collect()(0)
+
+  /** Rebuild the 3-row profile frame from the collected fit row plus
+    * the refined price median — driver-side literals, no further jobs.
+    */
+  private def profileFrame(s: SparkSession,
+                           one: org.apache.spark.sql.Row,
+                           priceMedian: Double): DataFrame = {
     def dOf(name: String): java.lang.Double =
       Option(one.getAs[Any](name)).map(_.asInstanceOf[Double])
         .map(java.lang.Double.valueOf).orNull
-    val priceMedian = Num.exactPercentilesBracketed(li, "l_extendedprice",
-      Seq(0.5), knownCount = one.getAs[Long]("n_l_extendedprice"),
-      brackets = one.getSeq[Double](one.fieldIndex("br_price"))).head
-    val s = li.sparkSession
     import s.implicits._
-    cols.sorted.map { c =>
+    profileCols.sorted.map { c =>
       (c, one.getAs[Long](s"n_$c"), dOf(s"mean_$c"),
         if (c == "l_extendedprice") java.lang.Double.valueOf(priceMedian)
         else dOf(s"median_$c"),
@@ -144,15 +162,60 @@ object Aggregates {
   /** `profile_drift` — the declared-query form of [[profileDrift]]:
     * profile two deterministic snapshots of `lineitem` (even vs odd
     * order keys — the stand-in for yesterday's batch vs today's) and
-    * emit per-metric relative drift + verdict. Two scans for the
-    * profiles (each a 3-row result), then the drift join broadcasts —
-    * monitoring cost is profile cost, constant output at any scale.
+    * emit per-metric relative drift + verdict.
+    *
+    * r13 fusion: BOTH snapshots profile in ONE grouped fit pass
+    * (`GROUP BY l_orderkey % 2` — identical per-group values to the
+    * filtered [[profileOf]] calls it replaces) and both price medians
+    * refine in ONE shared pass whose 8 aggregates carry each half's
+    * own bracket literals — 2 jobs total where the two-profileOf
+    * spelling ran 4 (and the r12 spelling 8). The drift join then
+    * broadcasts two 3-row literal frames — monitoring cost is profile
+    * cost, constant output at any scale.
     */
   def profileDriftQuery(s: SparkSession, dir: String): DataFrame = {
     val li = Sources.table(s, dir, "lineitem")
+    val h = (col("l_orderkey") % 2).cast(IntegerType)
+    val fit = li.groupBy(h.as("h"))
+      .agg(profileFitAggs.head, profileFitAggs.tail: _*)
+      .collect().map(r => r.getInt(r.fieldIndex("h")) -> r).toMap
+    require(fit.keySet == Set(0, 1),
+      s"profile_drift expects both snapshot halves, got ${fit.keySet}")
+    val brOf = (0 to 1).map { g =>
+      g -> fit(g).getSeq[Double](fit(g).fieldIndex("br_price"))
+    }.toMap
+    val vals = li.select(h.as("h"),
+        col("l_extendedprice").cast(DoubleType).as("v"))
+      .filter(col("v").isNotNull)
+    val aggs = (0 to 1).flatMap { g =>
+      val (blo, bhi) = (brOf(g)(0), brOf(g)(1))
+      val in = col("h") === g
+      Seq(
+        sum(when(in && col("v") < lit(blo), 1L).otherwise(0L))
+          .as(s"below_$g"),
+        sum(when(in && col("v") === lit(blo), 1L).otherwise(0L))
+          .as(s"eqlo_$g"),
+        sum(when(in && col("v") === lit(bhi) && lit(bhi) =!= lit(blo), 1L)
+          .otherwise(0L)).as(s"eqhi_$g"),
+        sort_array(collect_list(
+          when(in && col("v") > lit(blo) && col("v") < lit(bhi), col("v"))))
+          .as(s"win_$g"))
+    }
+    val refined = vals.agg(aggs.head, aggs.tail: _*).collect()(0)
+    def medianOf(g: Int): Double = {
+      def cnt(f: String): Long = Option(refined.getAs[Any](f))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      Num.percentileFromWindow(fit(g).getAs[Long]("n_l_extendedprice"),
+        0.5, cnt(s"below_$g"), cnt(s"eqlo_$g"), cnt(s"eqhi_$g"),
+        refined.getSeq[Double](refined.fieldIndex(s"win_$g")),
+        brOf(g)(0), brOf(g)(1))
+        .getOrElse(Num.exactPercentiles(
+          li.filter(h === g), "l_extendedprice", Seq(0.5),
+          fit(g).getAs[Long]("n_l_extendedprice")).head)
+    }
     profileDrift(
-      profileOf(li.filter(col("l_orderkey") % 2 === 0)),
-      profileOf(li.filter(col("l_orderkey") % 2 === 1)))
+      profileFrame(s, fit(0), medianOf(0)),
+      profileFrame(s, fit(1), medianOf(1)))
   }
 
   /** `agg_rates` — A6, valid/invalid counts + rate (etl_2020.py:20-34,

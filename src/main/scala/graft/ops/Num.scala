@@ -330,32 +330,43 @@ object Num {
     val row = vals.agg(aggs.head, aggs.tail: _*).collect()(0)
 
     ps.zipWithIndex.map { case (p, i) =>
-      val pos = p * (n - 1)
-      val lo = math.floor(pos).toLong
-      val hi = math.ceil(pos).toLong
-      val frac = pos - lo
       def cnt(f: String): Long = Option(row.getAs[Any](f))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
-      val below = cnt(s"below_$i")
-      val eqLo = cnt(s"eqlo_$i")
-      val eqHi = cnt(s"eqhi_$i")
-      val win = row.getSeq[Double](row.fieldIndex(s"win_$i"))
-      val (blo, bhi) = (brackets(2 * i), brackets(2 * i + 1))
-      // order statistic at global index idx, if inside the bracket
-      def pick(idx: Long): Option[Double] = {
-        val r = idx - below
-        if (r < 0) None
-        else if (r < eqLo) Some(blo)
-        else if (r - eqLo < win.length) Some(win((r - eqLo).toInt))
-        else if (r - eqLo - win.length < eqHi) Some(bhi)
-        else None
-      }
-      (pick(lo), pick(hi)) match {
-        case (Some(vLo), Some(vHi)) =>
-          if (vLo == vHi) vLo else vLo * (1 - frac) + vHi * frac
-        case _ => // bracket miss: exact sort-based fallback
-          exactPercentiles(df, c, Seq(p), n).head
-      }
+      percentileFromWindow(n, p, cnt(s"below_$i"), cnt(s"eqlo_$i"),
+        cnt(s"eqhi_$i"), row.getSeq[Double](row.fieldIndex(s"win_$i")),
+        brackets(2 * i), brackets(2 * i + 1))
+        .getOrElse( // bracket miss: exact sort-based fallback
+          exactPercentiles(df, c, Seq(p), n).head)
+    }
+  }
+
+  /** Driver-side reconstruction step shared by
+    * [[exactPercentilesBracketed]] and the fused profile-drift path:
+    * given the bracket's below/equal-edge counts and sorted interior,
+    * return the exact percentile (builtin interpolation + equal-value
+    * shortcut), or None if either straddling order statistic falls
+    * outside the bracket (caller falls back to the sort path).
+    */
+  def percentileFromWindow(n: Long, p: Double, below: Long, eqLo: Long,
+                           eqHi: Long, win: Seq[Double], blo: Double,
+                           bhi: Double): Option[Double] = {
+    val pos = p * (n - 1)
+    val lo = math.floor(pos).toLong
+    val hi = math.ceil(pos).toLong
+    val frac = pos - lo
+    // order statistic at global index idx, if inside the bracket
+    def pick(idx: Long): Option[Double] = {
+      val r = idx - below
+      if (r < 0) None
+      else if (r < eqLo) Some(blo)
+      else if (r - eqLo < win.length) Some(win((r - eqLo).toInt))
+      else if (r - eqLo - win.length < eqHi) Some(bhi)
+      else None
+    }
+    (pick(lo), pick(hi)) match {
+      case (Some(vLo), Some(vHi)) =>
+        Some(if (vLo == vHi) vLo else vLo * (1 - frac) + vHi * frac)
+      case _ => None
     }
   }
 }
