@@ -88,73 +88,161 @@ object Aggregates {
     * [[profileDrift]].
     */
   def profileOf(li: DataFrame): DataFrame = {
-    // ONE codegen'd aggregation pass for the 15 map-reducible metrics
-    // + a bracketed exact median for the price column: the per-column
-    // agg-and-union spelling scanned lineitem three times (six for
-    // profile_drift's two snapshots), each scan carrying a
-    // builtin-percentile value->count map — the dominant cost on the
-    // 600k-distinct price column. 2.3 s -> 0.9 s at sf0.1
-    // (profile_drift 2.3 -> 1.8 for both snapshots).
-    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
-    // the exact-refined median ONLY for the ~600k-distinct price
-    // column (where the builtin's value->count map is the 2 s cost);
-    // l_quantity (50 values) and l_discount (11) stay as builtin
-    // percentiles INSIDE the fused agg — their maps are tiny and one
-    // agg pass beats extra jobs
-    //
-    // r13 job-count cuts: the fused 1-row agg is COLLECTED (it used to
-    // be localCheckpoint'd and re-read by three union branches — one
-    // extra job plus three local scans) and the 3-row result is
-    // rebuilt from driver-side literals; the price median rides GK
-    // bracket probes in the SAME fused pass (Num.bracketExpr) and is
-    // refined exactly in ONE more job (Num.exactPercentilesBracketed)
-    // — 5 jobs per profile down to 2, vs the sort-based median's 3.
-    // Means are exact long-unit sums ([[Num.lavg]] — quantity integer,
-    // price/discount exactly 2 dp), bit-identical to the old decimal
-    // spelling without the per-row BigDecimal adds.
-    val one = li.agg(profileFitAggs.head, profileFitAggs.tail: _*)
-      .collect()(0)
-    val priceMedian = Num.exactPercentilesBracketed(li, "l_extendedprice",
-      Seq(0.5), knownCount = one.getAs[Long]("n_l_extendedprice"),
-      brackets = one.getSeq[Double](one.fieldIndex("br_price"))).head
-    profileFrame(li.sparkSession, one, priceMedian)
+    val (one, medians) = profileFit(li, None)(0)
+    profileFrame(li.sparkSession, one, medians)
   }
 
   private val profileCols = Seq("l_quantity", "l_extendedprice",
     "l_discount")
 
-  /** The fused single-pass profile aggregate: 15 map-reducible
-    * metrics, the two tiny-domain builtin medians, and the GK bracket
-    * probes for the price median (Num.bracketExpr — the r13 refinement
-    * that retires the sort-based median's three eager jobs for ONE
-    * window-refine job). Shared by [[profileOf]] (ungrouped) and
-    * [[profileDriftQuery]] (grouped by snapshot half).
+  /** The 15 map-reducible profile metrics — every one a codegen'd
+    * hash-aggregate function. Means are exact long-unit sums
+    * ([[Num.lavg]] — quantity integer, price/discount exactly 2 dp),
+    * bit-identical to the decimal spelling without per-row BigDecimal.
     */
-  private def profileFitAggs: Seq[Column] =
+  private def profileSimpleAggs: Seq[Column] =
     profileCols.flatMap { c => Seq(
       count(col(c)).as(s"n_$c"),
       lavg(col(c), if (c == "l_quantity") 0 else 2).as(s"mean_$c"),
       round(stddev_samp(col(c)), 4).as(s"std_$c"),
       min(col(c)).as(s"min_$c"),
-      max(col(c)).as(s"max_$c")) } ++ Seq(
-      expr("percentile(l_quantity, 0.5)").as("median_l_quantity"),
-      expr("percentile(l_discount, 0.5)").as("median_l_discount"),
-      Num.bracketExpr(col("l_extendedprice"), Seq(0.5)).as("br_price"))
+      max(col(c)).as(s"max_$c")) }
+
+  /** The shared profile fit engine behind [[profileOf]] (ungrouped)
+    * and [[profileDriftQuery]] (grouped by snapshot half): per group,
+    * the 15-metric fit row plus the EXACT median of every profile
+    * column. One authoritative implementation (r13 ADVICE: the two
+    * hand-copied refine spellings could drift).
+    *
+    * Plan shape (r14): three fully-codegen jobs, no
+    * TypedImperativeAggregate anywhere —
+    *   1. [[Num.sampleBracketsGrouped]]: fixed-seed 2% sample →
+    *      driver-side per-(group, column) median brackets;
+    *   2. the fused fit: 15 metrics + [[Num.refineCountAggs]]' four
+    *      conditional sums per column (grouped brackets enter as a
+    *      CASE over the group key) — ONE HashAggregateExec pass;
+    *   3. interior collect, only for (group, column)s whose `inwin`
+    *      count is non-zero and ≤ [[Num.maxInterior]] (tiny-domain
+    *      columns like quantity/discount have EMPTY interiors — their
+    *      duplicate runs land on the bracket edges as counts).
+    * The r13 spelling kept the builtin `percentile`s and a GK probe
+    * INSIDE the fit, which demoted the whole pass to
+    * ObjectHashAggregateExec: measured at sf0.1, 0.72 s for the fused
+    * fit vs 0.23 s codegen'd — the entire agg_profile/profile_drift
+    * marginal gap vs the baseline. Any bracket miss (sample bound
+    * violated, sparse column missed by the sample, interior too big)
+    * falls back per-column to the sort-based [[Num.exactPercentiles]]
+    * — exactness is unconditional, the sample only bounds where to
+    * look. At n where 5n/√m outgrows [[Num.maxInterior]], the GK
+    * bracket path ([[Num.bracketExpr]], interior 6n/accuracy) is the
+    * documented swap.
+    */
+  private def profileFit(li0: DataFrame, groupCol: Option[Column])
+      : Map[Int, (org.apache.spark.sql.Row, Map[String, Option[Double]])] = {
+    val br = Num.sampleBracketsGrouped(li0, groupCol, profileCols, 0.5)
+    // materialize the group key once as a column: every bracket CASE
+    // and the groupBy reference it, and projecting it first keeps the
+    // key expression (e.g. a modulo) from re-evaluating per aggregate
+    val li = li0.withColumn("__gk",
+      groupCol.getOrElse(lit(0)).cast(IntegerType))
+    val gExpr = col("__gk")
+
+    def boundExpr(c: String, pick: ((Double, Double)) => Double): Column = {
+      val gs = br.keys.filter(_._2 == c).map(_._1).toSeq.sorted
+      val vals = gs.map(g => pick(br((g, c)))).distinct
+      if (gs.isEmpty) lit(null).cast(DoubleType)
+      else if (vals.size == 1) lit(vals.head) // same bound in every group
+      else gs.foldLeft(lit(null).cast(DoubleType)) { (acc, g) =>
+        when(gExpr === g, lit(pick(br((g, c))))).otherwise(acc)
+      }
+    }
+    val refineAggs = profileCols.flatMap { c =>
+      Num.refineCountAggs(col(c).cast(DoubleType),
+        boundExpr(c, _._1), boundExpr(c, _._2), c)
+    }
+    val aggCols = profileSimpleAggs ++ refineAggs
+    val fitRows: Map[Int, org.apache.spark.sql.Row] = groupCol match {
+      case None =>
+        Map(0 -> li.agg(aggCols.head, aggCols.tail: _*).collect()(0))
+      case Some(_) =>
+        li.groupBy(gExpr.as("gk")).agg(aggCols.head, aggCols.tail: _*)
+          .collect().map(r => r.getInt(r.fieldIndex("gk")) -> r).toMap
+    }
+    def cnt(r: org.apache.spark.sql.Row, f: String): Long =
+      Option(r.getAs[Any](f)).map(_.asInstanceOf[Long]).getOrElse(0L)
+
+    // one combined interior-collect job for every (group, column) that
+    // needs one; most need none (inwin == 0 for discrete columns)
+    val need = fitRows.toSeq.flatMap { case (g, row) =>
+      profileCols.collect {
+        case c if br.contains((g, c)) && cnt(row, s"inwin_$c") > 0 &&
+          cnt(row, s"inwin_$c") <= Num.maxInterior => (g, c)
+      }
+    }
+    val wins: Map[(Int, String), Array[Double]] =
+      if (need.isEmpty) Map.empty
+      else {
+        val sel = gExpr.as("g") +: profileCols.map { c =>
+          val v = col(c).cast(DoubleType)
+          val conds = need.filter(_._2 == c).map { case (g, _) =>
+            val (blo, bhi) = br((g, c))
+            (gExpr === g) && v > lit(blo) && v < lit(bhi)
+          }
+          if (conds.isEmpty) lit(null).cast(DoubleType).as(s"w_$c")
+          else when(conds.reduce(_ || _), v).as(s"w_$c")
+        }
+        val keep = profileCols.map(c => col(s"w_$c").isNotNull).reduce(_ || _)
+        val rows = li.select(sel: _*).filter(keep).collect()
+        need.map { case (g, c) =>
+          val i = 1 + profileCols.indexOf(c)
+          val vs = rows.iterator
+            .filter(r => r.getInt(0) == g && !r.isNullAt(i))
+            .map(_.getDouble(i)).toArray
+          java.util.Arrays.sort(vs)
+          (g, c) -> vs
+        }.toMap
+      }
+
+    fitRows.map { case (g, row) =>
+      val medians = profileCols.map { c =>
+        val n = cnt(row, s"n_$c")
+        val m: Option[Double] =
+          if (n == 0) None // all-null column: median null, no jobs
+          else {
+            val inwin = cnt(row, s"inwin_$c")
+            val refined = br.get((g, c))
+              .filter(_ => inwin == 0 || wins.contains((g, c)))
+              .flatMap { case (blo, bhi) =>
+                Num.percentileFromWindow(n, 0.5, cnt(row, s"below_$c"),
+                  cnt(row, s"eqlo_$c"), cnt(row, s"eqhi_$c"),
+                  wins.getOrElse((g, c), Array.empty[Double]).toIndexedSeq,
+                  blo, bhi)
+              }
+            Some(refined.getOrElse {
+              val scoped =
+                if (groupCol.isEmpty) li else li.filter(gExpr === g)
+              Num.exactPercentiles(scoped, c, Seq(0.5), n).head
+            })
+          }
+        c -> m
+      }.toMap
+      g -> (row, medians)
+    }
+  }
 
   /** Rebuild the 3-row profile frame from the collected fit row plus
-    * the refined price median — driver-side literals, no further jobs.
+    * the refined medians — driver-side literals, no further jobs.
     */
   private def profileFrame(s: SparkSession,
                            one: org.apache.spark.sql.Row,
-                           priceMedian: Double): DataFrame = {
+                           medians: Map[String, Option[Double]]): DataFrame = {
     def dOf(name: String): java.lang.Double =
       Option(one.getAs[Any](name)).map(_.asInstanceOf[Double])
         .map(java.lang.Double.valueOf).orNull
     import s.implicits._
     profileCols.sorted.map { c =>
       (c, one.getAs[Long](s"n_$c"), dOf(s"mean_$c"),
-        if (c == "l_extendedprice") java.lang.Double.valueOf(priceMedian)
-        else dOf(s"median_$c"),
+        medians(c).map(java.lang.Double.valueOf).orNull,
         dOf(s"std_$c"), dOf(s"min_$c"), dOf(s"max_$c"))
     }.toDF("col_name", "n", "mean", "median", "std", "min_val", "max_val")
   }
@@ -164,58 +252,23 @@ object Aggregates {
     * order keys — the stand-in for yesterday's batch vs today's) and
     * emit per-metric relative drift + verdict.
     *
-    * r13 fusion: BOTH snapshots profile in ONE grouped fit pass
-    * (`GROUP BY l_orderkey % 2` — identical per-group values to the
-    * filtered [[profileOf]] calls it replaces) and both price medians
-    * refine in ONE shared pass whose 8 aggregates carry each half's
-    * own bracket literals — 2 jobs total where the two-profileOf
-    * spelling ran 4 (and the r12 spelling 8). The drift join then
-    * broadcasts two 3-row literal frames — monitoring cost is profile
-    * cost, constant output at any scale.
+    * Both snapshots fit in ONE grouped pass of the shared
+    * [[profileFit]] engine (`GROUP BY l_orderkey % 2` — identical
+    * per-group values to the filtered [[profileOf]] calls it replaces;
+    * ProfileFitSpec pins the equivalence), with each half's bracket
+    * literals entering the fused aggregate as a CASE over the half
+    * key. The drift join then broadcasts two 3-row literal frames —
+    * monitoring cost is profile cost, constant output at any scale.
     */
   def profileDriftQuery(s: SparkSession, dir: String): DataFrame = {
     val li = Sources.table(s, dir, "lineitem")
     val h = (col("l_orderkey") % 2).cast(IntegerType)
-    val fit = li.groupBy(h.as("h"))
-      .agg(profileFitAggs.head, profileFitAggs.tail: _*)
-      .collect().map(r => r.getInt(r.fieldIndex("h")) -> r).toMap
+    val fit = profileFit(li, Some(h))
     require(fit.keySet == Set(0, 1),
       s"profile_drift expects both snapshot halves, got ${fit.keySet}")
-    val brOf = (0 to 1).map { g =>
-      g -> fit(g).getSeq[Double](fit(g).fieldIndex("br_price"))
-    }.toMap
-    val vals = li.select(h.as("h"),
-        col("l_extendedprice").cast(DoubleType).as("v"))
-      .filter(col("v").isNotNull)
-    val aggs = (0 to 1).flatMap { g =>
-      val (blo, bhi) = (brOf(g)(0), brOf(g)(1))
-      val in = col("h") === g
-      Seq(
-        sum(when(in && col("v") < lit(blo), 1L).otherwise(0L))
-          .as(s"below_$g"),
-        sum(when(in && col("v") === lit(blo), 1L).otherwise(0L))
-          .as(s"eqlo_$g"),
-        sum(when(in && col("v") === lit(bhi) && lit(bhi) =!= lit(blo), 1L)
-          .otherwise(0L)).as(s"eqhi_$g"),
-        sort_array(collect_list(
-          when(in && col("v") > lit(blo) && col("v") < lit(bhi), col("v"))))
-          .as(s"win_$g"))
-    }
-    val refined = vals.agg(aggs.head, aggs.tail: _*).collect()(0)
-    def medianOf(g: Int): Double = {
-      def cnt(f: String): Long = Option(refined.getAs[Any](f))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
-      Num.percentileFromWindow(fit(g).getAs[Long]("n_l_extendedprice"),
-        0.5, cnt(s"below_$g"), cnt(s"eqlo_$g"), cnt(s"eqhi_$g"),
-        refined.getSeq[Double](refined.fieldIndex(s"win_$g")),
-        brOf(g)(0), brOf(g)(1))
-        .getOrElse(Num.exactPercentiles(
-          li.filter(h === g), "l_extendedprice", Seq(0.5),
-          fit(g).getAs[Long]("n_l_extendedprice")).head)
-    }
     profileDrift(
-      profileFrame(s, fit(0), medianOf(0)),
-      profileFrame(s, fit(1), medianOf(1)))
+      profileFrame(s, fit(0)._1, fit(0)._2),
+      profileFrame(s, fit(1)._1, fit(1)._2))
   }
 
   /** `agg_rates` — A6, valid/invalid counts + rate (etl_2020.py:20-34,

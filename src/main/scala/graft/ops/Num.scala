@@ -340,6 +340,97 @@ object Num {
     }
   }
 
+  // --- Sampled brackets (r14) --------------------------------------------
+  //
+  // bracketExpr's percentile_approx probes are TypedImperativeAggregates,
+  // and ONE such function in a fused aggregate demotes the whole pass to
+  // ObjectHashAggregateExec — no whole-stage codegen for any of the
+  // caller's other metrics (measured at sf0.1: the 15-metric profile fit
+  // runs 0.23 s codegen'd vs 0.72 s with the GK probe + two builtin
+  // percentiles aboard). The sampled path keeps every scan codegen'd:
+  //
+  //   job A  fixed-seed Bernoulli sample of the column(s), collected and
+  //          sorted driver-side; brackets = sample order statistics at
+  //          rank p·m ∓ 2.5·√m (≈5σ of the sample quantile's true-rank
+  //          deviation n·√(p(1−p)/m) — miss probability ~3e-7/side, and
+  //          a miss only costs a fallback job, never correctness);
+  //   job B  the caller's OWN fused aggregate (fully codegen) carrying
+  //          [[refineCountAggs]]' four conditional sums per percentile;
+  //   job C  [[percentileFromWindow]] over the strict interior, collected
+  //          only for brackets whose `inwin` count is non-zero and under
+  //          [[maxInterior]] (the count is known BEFORE collecting).
+  //
+  // Scale note: the interior grows as ~5n/√m, so a fixed driver-side
+  // sample stops being collectable around n ≈ maxInterior·√m/5; past
+  // that the caller falls back to [[exactPercentiles]] (range-partitioned
+  // sort, no driver funnel) or the GK path ([[bracketExpr]], interior
+  // 6n/accuracy with sketch memory O(accuracy·log n)) — both retained.
+
+  /** Interior-collect cap for the sampled-bracket path: past this the
+    * caller must fall back to the sort or GK path.
+    */
+  val maxInterior: Long = 2000000L
+
+  /** Sampled percentile brackets for several columns in ONE codegen'd
+    * job: returns per column the (lo, hi) values guaranteed (up to the
+    * ~5σ sample bound; violations are caught by the refine counts, not
+    * trusted) to straddle percentile p. Columns with no non-null
+    * sampled rows are absent from the result. Group-aware variant:
+    * pass `groupCol` to get brackets per (group, column).
+    */
+  def sampleBrackets(df: org.apache.spark.sql.DataFrame,
+                     cols: Seq[String], p: Double,
+                     fraction: Double = 0.02,
+                     seed: Long = 42L): Map[String, (Double, Double)] =
+    sampleBracketsGrouped(df, None, cols, p, fraction, seed)
+      .map { case ((_, c), b) => c -> b }
+
+  /** [[sampleBrackets]] keyed by an integer group column (e.g. the
+    * profile-drift snapshot half): brackets per (group, column).
+    */
+  def sampleBracketsGrouped(df: org.apache.spark.sql.DataFrame,
+                            groupCol: Option[Column], cols: Seq[String],
+                            p: Double, fraction: Double = 0.02,
+                            seed: Long = 42L)
+      : Map[(Int, String), (Double, Double)] = {
+    val sel = groupCol.getOrElse(lit(0)).cast("int").as("g") +:
+      cols.map(c => col(c).cast(DoubleType).as(c))
+    val rows = df.select(sel: _*).sample(fraction, seed).collect()
+    (for {
+      g <- rows.map(_.getInt(0)).distinct
+      (c, i) <- cols.zipWithIndex
+    } yield {
+      val vs = rows.iterator
+        .filter(r => r.getInt(0) == g && !r.isNullAt(i + 1))
+        .map(_.getDouble(i + 1)).toArray
+      java.util.Arrays.sort(vs)
+      if (vs.isEmpty) None
+      else {
+        val m = vs.length
+        val idx = (p * (m - 1)).toInt
+        val delta = math.ceil(2.5 * math.sqrt(m.toDouble)).toInt
+        Some((g, c) ->
+          (vs(math.max(0, idx - delta)), vs(math.min(m - 1, idx + delta))))
+      }
+    }).flatten.toMap
+  }
+
+  /** The four codegen'd conditional sums a caller embeds in its own
+    * fused aggregate to refine a bracket exactly: rows below / equal-lo
+    * / equal-hi / strictly-inside. `blo`/`bhi` may be any scalar
+    * expressions (literals, or a CASE over a group column for grouped
+    * fits). Nulls contribute to no bucket. The single authoritative
+    * builder — profileOf, profileDriftQuery, and
+    * exactPercentilesBracketed's spelling all reduce to this shape
+    * (r13 ADVICE: the hand-duplicated copies could drift).
+    */
+  def refineCountAggs(v: Column, blo: Column, bhi: Column,
+                      tag: String): Seq[Column] = Seq(
+    sum(when(v < blo, 1L).otherwise(0L)).as(s"below_$tag"),
+    sum(when(v === blo, 1L).otherwise(0L)).as(s"eqlo_$tag"),
+    sum(when(v === bhi && bhi =!= blo, 1L).otherwise(0L)).as(s"eqhi_$tag"),
+    sum(when(v > blo && v < bhi, 1L).otherwise(0L)).as(s"inwin_$tag"))
+
   /** Driver-side reconstruction step shared by
     * [[exactPercentilesBracketed]] and the fused profile-drift path:
     * given the bracket's below/equal-edge counts and sorted interior,

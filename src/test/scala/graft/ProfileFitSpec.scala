@@ -1,0 +1,93 @@
+package graft
+
+import graft.ops.{Aggregates, Sources}
+import org.apache.spark.sql.functions._
+
+/** The r14 sampled-bracket profile fit: exactness against the builtin
+  * percentile, the drift/twin equivalence the r13 ADVICE asked for,
+  * and the failure paths (all-null column, sample-missed sparse
+  * column) that must fall back instead of misreporting.
+  */
+class ProfileFitSpec extends SparkSpec {
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("agg_profile medians bit-match the builtin exact percentile") {
+    val li = Sources.table(spark, sf, "lineitem")
+    val prof = Aggregates.profileOf(li).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("median")).toMap
+    val builtin = li.agg(
+      expr("percentile(l_quantity, 0.5)"),
+      expr("percentile(l_extendedprice, 0.5)"),
+      expr("percentile(l_discount, 0.5)")).collect()(0)
+    assert(prof("l_quantity") == builtin.getDouble(0))
+    assert(prof("l_extendedprice") == builtin.getDouble(1))
+    assert(prof("l_discount") == builtin.getDouble(2))
+  }
+
+  test("profileDriftQuery equals profileDrift of the two profileOf halves") {
+    val li = Sources.table(spark, sf, "lineitem")
+    val fused = Aggregates.profileDriftQuery(spark, sf)
+    val twoPass = Aggregates.profileDrift(
+      Aggregates.profileOf(li.filter(col("l_orderkey") % 2 === 0)),
+      Aggregates.profileOf(li.filter(col("l_orderkey") % 2 === 1)))
+    assert(rowsOf(fused) == rowsOf(twoPass),
+      "the grouped fit must equal two independent profiles")
+  }
+
+  test("profile fit plans with codegen'd hash aggregation, no ObjectHashAggregate") {
+    val plan = Aggregates.aggProfile(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the output frame is literal-built; the assertion that matters is
+    // that building it never planned an ObjectHashAggregate — verified
+    // by spying the fit pass directly:
+    val li = Sources.table(spark, sf, "lineitem")
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      @volatile var sawObjectHash = false
+      override def onSuccess(f: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             d: Long): Unit =
+        if (qe.executedPlan.toString.contains("ObjectHashAggregate"))
+          sawObjectHash = true
+      override def onFailure(f: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Aggregates.profileOf(li)
+      // listener delivery is async; give the bus a moment to drain
+      Thread.sleep(500)
+      assert(!listener.sawObjectHash,
+        "profile fit must stay in codegen'd HashAggregate " +
+          "(a TypedImperativeAggregate aboard demotes the whole pass)")
+    } finally spark.listenerManager.unregister(listener)
+    assert(plan != null)
+  }
+
+  test("all-null column yields a null median, not an NPE") {
+    val li = Sources.table(spark, sf, "lineitem")
+      .withColumn("l_extendedprice", lit(null).cast("double"))
+    val prof = Aggregates.profileOf(li).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val price = prof("l_extendedprice")
+    assert(price.getAs[Long]("n") == 0L)
+    assert(price.isNullAt(price.fieldIndex("median")))
+    // the other columns are unaffected
+    assert(prof("l_quantity").getAs[Long]("n") > 0L)
+  }
+
+  test("sparse column the sample misses still gets its exact median via fallback") {
+    val li = Sources.table(spark, sf, "lineitem")
+      // 3 non-null discount rows: a 2% sample almost surely sees none,
+      // so no bracket exists and the sort-based fallback must fire
+      .withColumn("l_discount",
+        when(col("l_orderkey").isin(1L, 2L, 3L), col("l_discount")))
+    val expected = li.agg(expr("percentile(l_discount, 0.5)"))
+      .collect()(0).getDouble(0)
+    val got = Aggregates.profileOf(li).collect()
+      .find(_.getString(0) == "l_discount").get.getAs[Double]("median")
+    assert(got == expected)
+  }
+}
