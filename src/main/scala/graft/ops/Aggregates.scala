@@ -331,18 +331,38 @@ object Aggregates {
         count(lit(1)).as("count_order"))
   }
 
+  /** Two-level Expand-family spelling (r14): pre-aggregate the input
+    * to its DISTINCT GROUP TUPLES first, then run the
+    * rollup/cube/grouping-sets over the pre-aggregated rows. Spark
+    * plans grouping sets as Expand → hash aggregate, and Expand
+    * multiplies EVERY INPUT ROW by the number of grouping sets before
+    * any aggregation — n·|sets| hash updates. Pre-aggregating cuts
+    * that to n + g·|sets| where g is the (bounded) group-tuple count,
+    * and both levels stay codegen'd partial+final hash aggregates.
+    * Exactness: counts re-enter as sums of counts; decimal sums as
+    * sums of decimal partial sums (the exact rational total is
+    * identical, the closing double cast unchanged — the outer decimal
+    * widens 28→38 digits, GAINING overflow headroom). At 100 TB this
+    * is the difference between expanding 10¹² rows ×|sets| and
+    * expanding a few hundred group tuples.
+    */
+  private def preAggregated(input: DataFrame, keys: Seq[String],
+                            price: String): DataFrame =
+    input.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("pre_n"),
+        sum(col(price).cast(DecimalType(18, 4))).as("pre_sum"))
+
   /** `agg_cube` — A9's other grouping-set shape: order counts by
     * (orderstatus, orderpriority) with ALL subtotal combinations.
-    * Same Expand-fed partial+final hash aggregate as rollup; output
-    * rows = groups × 4 grouping sets, still bounded by key
-    * cardinalities, never row count.
+    * Pre-aggregated ([[preAggregated]]) so the ×4-sets Expand runs
+    * over the ~15 distinct (status, priority) tuples, not the rows.
     */
   def aggCube(s: SparkSession, dir: String): DataFrame =
-    Sources.table(s, dir, "orders")
-      .select("o_orderstatus", "o_orderpriority", "o_totalprice")
+    preAggregated(Sources.table(s, dir, "orders"),
+      Seq("o_orderstatus", "o_orderpriority"), "o_totalprice")
       .cube(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n_orders"),
-        dsum(col("o_totalprice")).as("total_price"))
+      .agg(sum(col("pre_n")).as("n_orders"),
+        sum(col("pre_sum")).cast(DoubleType).as("total_price"))
 
   /** `agg_rollup` — A9, revenue by (region, nation) with ROLLUP
     * subtotals. nation/region are true dims (bounded size at any SF) →
@@ -356,19 +376,22 @@ object Aggregates {
       .select("c_custkey", "c_nationkey")
     val nation = Sources.table(s, dir, "nation")
     val region = Sources.table(s, dir, "region")
-    orders.as("o")
+    val joined = orders.as("o")
       .join(customer.as("c"), col("o.o_custkey") === col("c.c_custkey"))
       .join(broadcast(nation).as("n"),
         col("c.c_nationkey") === col("n.n_nationkey"))
       .join(broadcast(region).as("r"),
         col("n.n_regionkey") === col("r.r_regionkey"))
       .select(col("r.r_name"), col("n.n_name"), col("o.o_totalprice"))
-      // Column refs, not names: string-based rollup after a multi-join
-      // trips Spark's ambiguous-self-join detection (the Expand node
-      // re-exposes the grouping attrs under the same names)
+    // Column refs, not names: string-based rollup after a multi-join
+    // trips Spark's ambiguous-self-join detection (the Expand node
+    // re-exposes the grouping attrs under the same names).
+    // Pre-aggregated ([[preAggregated]]): the ×3-sets Expand runs over
+    // the ≤25 (region, nation) tuples instead of every order row.
+    preAggregated(joined, Seq("r_name", "n_name"), "o_totalprice")
       .rollup(col("r_name"), col("n_name"))
-      .agg(dsum(col("o_totalprice")).as("revenue"),
-        count(lit(1)).as("n_orders"))
+      .agg(sum(col("pre_sum")).cast(DoubleType).as("revenue"),
+        sum(col("pre_n")).as("n_orders"))
   }
 
   /** `agg_gsets` — explicit GROUPING SETS (the general form rollup and
@@ -380,12 +403,13 @@ object Aggregates {
     * the warehouse way.
     */
   def aggGsets(s: SparkSession, dir: String): DataFrame =
-    Sources.table(s, dir, "orders")
+    preAggregated(Sources.table(s, dir, "orders"),
+      Seq("o_orderstatus", "o_orderpriority"), "o_totalprice")
       .groupingSets(
         Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
         col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n_orders"),
-        dsum(col("o_totalprice")).as("total_price"))
+      .agg(sum(col("pre_n")).as("n_orders"),
+        sum(col("pre_sum")).cast(DoubleType).as("total_price"))
 
   /** `agg_hist` — fixed-width value histogram over `events.value`
     * (width-50 buckets): the profiling primitive behind distribution
@@ -619,15 +643,16 @@ object Aggregates {
     * subtotal rows carry a marker distinguishing "NULL because this
     * level is rolled up" from "NULL in the data" — the disambiguation
     * every warehouse report needs once group columns are nullable.
-    * Same single Expand-fed hash aggregate as [[aggRollup]]; the
-    * flags are free metadata from the Expand.
+    * Pre-aggregated like [[aggRollup]] ([[preAggregated]]); the
+    * flags are free metadata from the (now tiny) Expand.
     */
   def aggGroupingId(s: SparkSession, dir: String): DataFrame =
-    Sources.table(s, dir, "orders")
+    preAggregated(Sources.table(s, dir, "orders"),
+      Seq("o_orderstatus", "o_orderpriority"), "o_totalprice")
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
       .agg(grouping(col("o_orderstatus")).cast(LongType).as("g_status"),
         grouping(col("o_orderpriority")).cast(LongType).as("g_priority"),
-        count(lit(1)).as("n"))
+        sum(col("pre_n")).as("n"))
 
   /** `trend_mom` — month-over-month revenue trend: monthly decimal-
     * exact revenue plus the percent change against the previous month.
