@@ -312,13 +312,20 @@ object Aggregates {
     * beyond that swap back to the dsum spelling.
     */
   def aggGroup(s: SparkSession, dir: String): DataFrame = {
+    // checked units projected once per column (see [[aggCorr]]);
+    // products reference the plain long attributes
     val li = Sources.table(s, dir, "lineitem")
       .filter(col("l_shipdate") <= lit("1998-09-01").cast(TimestampType))
-    val qtyU = units(col("l_quantity"), 0)
-    val priceU = units(col("l_extendedprice"), 2)
-    val discU = units(col("l_discount"), 2)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        units(col("l_quantity"), 0).as("qty_u"),
+        units(col("l_extendedprice"), 2).as("price_u"),
+        units(col("l_discount"), 2).as("disc_u"),
+        units(col("l_tax"), 2).as("tax_u"))
+    val qtyU = col("qty_u")
+    val priceU = col("price_u")
+    val discU = col("disc_u")
     val discPriceU = priceU * (lit(100L) - discU)           // scale 4
-    val chargeU = discPriceU * (lit(100L) + units(col("l_tax"), 2)) // scale 6
+    val chargeU = discPriceU * (lit(100L) + col("tax_u"))   // scale 6
     li.groupBy("l_returnflag", "l_linestatus")
       .agg(
         fromUnits(sum(qtyU), 0).as("sum_qty"),
@@ -714,11 +721,18 @@ object Aggregates {
     // overflow a long already at ~10⁵ rows/group, so that one sum runs
     // as the [[Num.unitsHi]]/[[Num.unitsLo]] split accumulator — two
     // primitive long sums recombined exactly per group.
-    val xu = units(col("l_quantity"), 0)
-    val yc = units(col("l_extendedprice"), 2)
+    // r14: the enforced units round-trip guard is paid ONCE per
+    // column by projecting the checked units first — the power-term
+    // products then reference plain long attributes (re-deriving the
+    // guarded expression per term measured +47% on this query)
+    val xu = col("xu")
+    val yc = col("yc")
     val yy = yc * yc // scale 4, ≥ 0
     val n = col("n").cast(DoubleType)
     Sources.table(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        units(col("l_quantity"), 0).as("xu"),
+        units(col("l_extendedprice"), 2).as("yc"))
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
         fromUnits(sum(xu), 0).as("sx"), fromUnits(sum(yc), 2).as("sy"),

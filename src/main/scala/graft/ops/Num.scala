@@ -123,7 +123,10 @@ object Num {
   //  1. every non-null input value is exactly n/10^scale for integer n
   //     (then `v·10^scale` in double arithmetic is within ~1e-4 of n —
   //      far from the .5 rounding boundary — and `units` recovers n
-  //      exactly; verified against the fixture columns);
+  //      exactly; verified against the fixture columns). ENFORCED
+  //      since r14: `units` round-trip-checks every row and raises a
+  //      descriptive error on violation — loud, never a silent
+  //      misround (UnitSumSpec);
   //  2. the true sum of |units| stays under 2⁶³ (ANSI long-sum overflow
   //     THROWS, so a violation is loud, never silent). At 100 TB:
   //     price-scale cents (≤ ~10⁷ units/row) overflow past ~9·10¹¹ rows
@@ -136,12 +139,29 @@ object Num {
     * matches BigDecimal HALF_UP away-from-zero for the values the
     * exactness contract admits, where the product never lands near a
     * .5 boundary). Null-preserving.
+    *
+    * ENFORCED contract (r13 VERDICT #3 — previously documented only,
+    * so a >scale-dp input was SILENTLY misrounded): every non-null
+    * value must round-trip, i.e. `units/10^scale` must recover the
+    * value exactly (the division by an exactly-representable power of
+    * ten is correctly rounded, so the check is precise). A violation
+    * raises a descriptive error — loud, never silent; callers with a
+    * wider column switch to [[lsumWide]] (bigger scale) or [[dsum]].
+    * Cost: one extra divide + compare per row inside codegen,
+    * measured invisible next to the scan.
     */
   def units(c: Column, scale: Int): Column = {
-    require(scale >= 0 && scale <= 6, s"units scale out of range: $scale")
+    require(scale >= 0 && scale <= 12, s"units scale out of range: $scale")
     val p = lit(math.pow(10, scale))
-    when(c < 0, -((-c * p + lit(0.5)).cast(org.apache.spark.sql.types.LongType)))
-      .otherwise((c * p + lit(0.5)).cast(org.apache.spark.sql.types.LongType))
+    val u =
+      when(c < 0, -((-c * p + lit(0.5)).cast(org.apache.spark.sql.types.LongType)))
+        .otherwise((c * p + lit(0.5)).cast(org.apache.spark.sql.types.LongType))
+    when(c.isNull, lit(null).cast(org.apache.spark.sql.types.LongType))
+      .when(u.cast(DoubleType) / p === c, u)
+      .otherwise(raise_error(concat(
+        lit(s"Num.units: value is not exactly representable at $scale " +
+          "decimal digits (exact-sum contract; use lsumWide or dsum): "),
+        c.cast("string"))))
   }
 
   /** 10^-scale as an exact decimal literal (DECIMAL(scale,scale)). */
@@ -171,12 +191,32 @@ object Num {
   /** Split accumulator for unit values too large for a plain long sum
     * (e.g. squared price cents ~10¹⁴/row): sum `unitsHi` and `unitsLo`
     * separately (each a primitive long sum with 2³² more headroom) and
-    * recombine exactly with [[fromUnitsHiLo]]. `u` must be ≥ 0.
+    * recombine exactly with [[fromUnitsHiLo]]. Works for any sign:
+    * `u = (u >> 32)·2³² + (u & 0xFFFFFFFF)` is a bit identity under
+    * the ARITHMETIC shift, so the per-row split and the linear sums
+    * recombine exactly for negative units too.
     */
   def unitsHi(u: Column): Column = shiftright(u, 32)
 
-  /** Low 32 bits of a non-negative unit value — see [[unitsHi]]. */
+  /** Low 32 bits of a unit value (always in [0, 2³²)) — see
+    * [[unitsHi]].
+    */
   def unitsLo(u: Column): Column = u.bitwiseAND(lit(0xFFFFFFFFL))
+
+  /** General exact sum for ANY decimal scale ≤ 12 (r13 VERDICT #6):
+    * the hi/lo split rides two primitive long sums, buying 2³² more
+    * rows of headroom than [[lsum]] at the same per-row cost class —
+    * the drop-in when the column is wider than 2 dp (where lsum's
+    * contract raises) or the group row counts outgrow lsum's overflow
+    * bound. Bit-identical to `dsum(c, scale)` (same exact rational,
+    * same closing double cast); the round-trip guard in [[units]]
+    * still applies, so a value wider than `scale` raises rather than
+    * misrounds.
+    */
+  def lsumWide(c: Column, scale: Int): Column = {
+    val u = units(c, scale)
+    fromUnitsHiLo(sum(unitsHi(u)), sum(unitsLo(u)), scale)
+  }
 
   /** Recombine hi/lo unit sums: `(Σhi·2³² + Σlo)·10^-scale` as the
     * correctly rounded double — all decimal arithmetic exact
