@@ -152,6 +152,7 @@ object SparkEntry {
     "dedup_bloom" -> ((s, d) => NearDup.dedupBloom(s, d)),
     "freq_items" -> ((s, d) => Aggregates.freqItems(s, d)),
     "cluster_kmeans" -> ((s, d) => Cluster.clusterKmeans(s, d)),
+    "cluster_assign_portable" -> ((s, d) => Cluster.clusterAssignPortable(s, d)),
     "dedup_minhash" -> ((s, d) => NearDup.dedupMinhash(s, d)),
     "agg_distinct_approx" -> (Aggregates.aggDistinctApprox _),
     "agg_profile_approx" -> (Aggregates.aggProfileApprox _),
@@ -160,6 +161,7 @@ object SparkEntry {
     "doc_winnow" -> (TextSim.docWinnow _),
     "sim_ann_lsh" -> ((s, d) => Ann.simAnnLsh(s, d)),
     "sim_ann_ivf" -> ((s, d) => Ann.simAnnIvf(s, d)),
+    "sim_knn_bucketed" -> ((s, d) => Ann.simKnnBucketed(s, d)),
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
     "dedup_semantic" -> ((s, d) => NearDup.dedupSemantic(s, d)),
     // feature preparation + CDC + fuzzy matching (round 5)
@@ -1682,6 +1684,24 @@ object SparkEntry {
          |round(${dsumSql("value")}, 4) AS sum_value
          |FROM events GROUP BY event_type""".stripMargin,
 
+    // the kmeans/SemDedup assignment twin: same deterministic init
+    // centroids (k lowest vec_ids), argmin by (d2, cid); d2 is a
+    // SEQUENTIAL fold (list_reduce) matching Spark's aggregate() HOF
+    // chain bit-for-bit — no rounding tolerance needed
+    "cluster_assign_portable" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+        |      FROM e ORDER BY vec_id LIMIT 8),
+        |d AS (SELECT e.vec_id, c.cid,
+        |        list_reduce(list_transform(range(1, len(e.v) + 1),
+        |          i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])),
+        |          (a, b) -> a + b) AS d2
+        |      FROM e, c),
+        |best AS (SELECT vec_id, cid, d2,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |         FROM d)
+        |SELECT vec_id, cid AS cluster_id, d2 AS dist2 FROM best WHERE rn = 1""".stripMargin,
     "embed_quantize" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings),

@@ -171,6 +171,70 @@ object Ann {
       .limit(k)
   }
 
+  /** `sim_knn_bucketed` — the composed IVF + exact-rerank k-NN JOIN
+    * (r13 VERDICT #9: TextSim.simKnn's scaladoc promised "per-bucket
+    * exact join at scale"; this is that promise as code). Every vector
+    * is filed into its nearest of `nLists` coarse lists once, every
+    * vector probes its `nProbe` nearest lists, and the exact
+    * cosine-top-k join runs ONLY within (probe list × candidate list)
+    * matches — the pair stream shrinks from N² to ~N²·nProbe/nLists,
+    * and the join key is `list_id`, so at 100 TB the within-list pairs
+    * co-locate under an ordinary shuffle-hash join (no broadcast of
+    * the full corpus, which is what caps [[TextSim.simKnn]]).
+    * Per-query top-k rides the same rounded-similarity rank window as
+    * simKnn (WindowGroupLimit keeps partial heaps map-side).
+    *
+    * `nProbe = nLists` makes the candidate set all pairs, so the
+    * output EQUALS the brute-force [[TextSim.simKnn]] row-for-row —
+    * AnnRecallSpec pins that equality plus a partial-probe recall
+    * floor. NO ORACLE at partial probe (list membership is
+    * engine-specific); the brute-force sim_knn is the baseline.
+    */
+  def simKnnBucketed(s: SparkSession, dir: String, k: Int = 5,
+                     nLists: Int = 8, nProbe: Int = 2): DataFrame =
+    simKnnBucketed(s, Sources.table(s, dir, "embeddings"), k, nLists, nProbe)
+
+  /** [[simKnnBucketed]] over any `(vec_id, embedding)` relation. */
+  def simKnnBucketed(s: SparkSession, emb: DataFrame, k: Int,
+                     nLists: Int, nProbe: Int): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nLists,
+      s"nProbe must be in [1, $nLists], got $nProbe")
+    val nd = (a: Column, b: Column) => graft.functions.VectorFunctions.dot(s, a, b)
+    graft.functions.VectorFunctions.register(s)
+    val e = nonZero(s, emb)
+      .withColumn("nrm", sqrt(nd(col("v"), col("v"))))
+    val centroids = e.orderBy("vec_id").limit(nLists)
+      .select(collect_list(col("v")).as("cs"))
+    // per-vector centroid cosines, computed once and reused by both
+    // the filing (argmax) and the probing (top-nProbe) sides
+    val withNorms = e.crossJoin(broadcast(centroids))
+      .withColumn("norms", expr(
+        "transform(cs, c -> graft_dot(v, c) / sqrt(graft_dot(c, c)))"))
+    val cand = withNorms
+      .withColumn("list_id", expr("array_position(norms, array_max(norms))"))
+      .select(col("vec_id").as("nid"), col("v").as("nv"),
+        col("nrm").as("nn"), col("list_id"))
+    val probes = withNorms
+      .withColumn("probe_lists", expr(
+        "transform(slice(array_sort(zip_with(norms, sequence(1, size(norms)), " +
+          s"(sim, i) -> struct(-sim AS negsim, i AS idx))), 1, $nProbe), " +
+          "p -> CAST(p.idx AS BIGINT))"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"), explode(col("probe_lists")).as("list_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
+    // a candidate lives in exactly one list and probe lists are
+    // distinct, so each (qid, nid) pair appears at most once
+    probes.join(cand, Seq("list_id"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(nd(col("qv"), col("nv")) / (col("qn") * col("nn")), 4)
+          .as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", "nid", "cos_sim")
+  }
+
   // ---- materialized IVF index (the stored-codes path) ----------------
 
   /** Build and persist an IVF index under `indexDir`: train centroids

@@ -130,7 +130,9 @@ object Cluster {
     * embeddings table and report per-cluster size and inertia. NO
     * ORACLE (iterative float arithmetic is not SQL-expressible in a
     * portable way); the unit spec proves exact recovery of crafted
-    * separable clusters and the size/inertia invariants.
+    * separable clusters and the size/inertia invariants, and
+    * [[clusterAssignPortable]] is the oracle-checked twin for the
+    * assignment core.
     */
   def clusterKmeans(s: SparkSession, dir: String, k: Int = 8,
                     iters: Int = 3): DataFrame =
@@ -138,4 +140,44 @@ object Cluster {
       .groupBy("cluster_id")
       .agg(count(lit(1)).as("n"),
         round(sum(col("dist2")), 2).as("inertia"))
+
+  /** `cluster_assign_portable` — the ORACLE TWIN for the
+    * kmeans/SemDedup assignment core (r13 VERDICT #7: the last
+    * unit-only corpus pair), mirroring the minhash/simhash twin
+    * pattern: fix the centroids to the k lowest-`vec_id` embeddings
+    * (the same deterministic init [[kmeansCentroids]] uses, no Lloyd
+    * rounds) and emit every vector's argmin cluster and squared
+    * distance. Bit-portability rests on SEQUENTIAL index-order folds:
+    * `aggregate(zip_with(v, c, (x−y)²), 0.0, +)` here and DuckDB's
+    * `list_reduce` in the oracle SQL perform the identical chain of
+    * double adds over identical doubles (float32 inputs cast exactly;
+    * (x−y)² of two float32-as-doubles carries ≤48 mantissa bits,
+    * exact), so distances — and therefore the (d2, cid)-lexicographic
+    * argmin — hash-match with NO rounding tolerance. Cross-checked
+    * against python folds bit-for-bit before wiring.
+    *
+    * Scale shape: centroids enter the plan as k·d literals (no join,
+    * no shuffle) — one codegen'd projection per vector, the same
+    * O(N·k·d) map-only shape as [[kmeansAssign]]; the oracle's
+    * e×c cross join is the SQL-side spelling only.
+    */
+  def clusterAssignPortable(s: SparkSession, dir: String,
+                            k: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val e = Sources.table(s, dir, "embeddings")
+      .select(col("vec_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+    val cents = e.orderBy("vec_id").limit(k).collect()
+      .zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](1).toArray }
+    val candidates = cents.map { case (cid, c) =>
+      val cLit = array(c.map(lit): _*)
+      struct(
+        aggregate(zip_with(col("v"), cLit, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x).as("d2"),
+        lit(cid).as("cid"))
+    }
+    e.select(col("vec_id"), array_min(array(candidates: _*)).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cluster_id"),
+        col("best.d2").as("dist2"))
+  }
 }
