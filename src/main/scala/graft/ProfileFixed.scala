@@ -7,9 +7,11 @@ import org.apache.spark.sql.SparkSession
   * ~24 s of the 51.4 s sf0.1 composite was per-query FIXED cost
   * (doesn't scale with data). This main splits each query's wall time
   * into
-  *   - `planMs`: Catalyst analysis + optimization + physical planning
-  *     (driver CPU, from `QueryExecution.tracker` — forced BEFORE the
-  *     write so the write phase times only execution),
+  *   - `planMs`: wall time of building the DataFrame and forcing
+  *     `executedPlan` — Catalyst analysis/optimization/planning PLUS
+  *     any eager helper jobs the query builder runs (collected
+  *     brackets, order statistics); forced BEFORE the write so the
+  *     write phase times only execution,
   *   - `execMs`: the noop write (job scheduling + task run),
   * and counts jobs/tasks during the write — the three candidate
   * explanations for 0.165 s/query (heavy plans, many eager jobs, many
@@ -46,9 +48,6 @@ object ProfileFixed {
       override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = tasks += 1
     })
-    // listenerBus.waitUntilEmpty is private[spark]; a short sleep after
-    // each phase lets the async bus drain — counts are diagnostics, a
-    // ±1 race on a 100-job run is immaterial
     // listenerBus.waitUntilEmpty is private[spark]; a short sleep after
     // each phase lets the async bus drain — counts are diagnostics, a
     // ±1 race on a 100-job run is immaterial. The sleeps sit OUTSIDE

@@ -349,6 +349,10 @@ object Num {
                                 c: String, ps: Seq[Double],
                                 knownCount: Long,
                                 brackets: Seq[Double]): Seq[Double] = {
+    // an all-null column yields a null bracket array upstream — fail
+    // with the same descriptive error as the n == 0 check, not an NPE
+    require(brackets != null && knownCount > 0,
+      s"exactPercentilesBracketed($c): no non-null rows")
     require(brackets.length == 2 * ps.length,
       s"need 2 bracket values per percentile: got ${brackets.length} " +
         s"for ${ps.length}")

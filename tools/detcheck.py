@@ -24,7 +24,9 @@ import pyarrow.parquet as pq
 def canon(df):
     out = df.copy()
     for c in out.columns:
-        out[c] = out[c].map(lambda x: "null" if x is None else str(x))
+        # \x00-prefixed sentinel: cannot collide with a genuine string
+        # value "null" (a NULL<->"null" flip must fail the check)
+        out[c] = out[c].map(lambda x: "\x00null" if x is None else str(x))
     return out.sort_values(list(out.columns)).reset_index(drop=True)
 
 a_dir, b_dir = sys.argv[1], sys.argv[2]
