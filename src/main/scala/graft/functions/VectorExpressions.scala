@@ -301,6 +301,118 @@ object BigramTopCount {
   }
 }
 
+/** Per-document token-entropy statistics in ONE pass over the token
+  * array — `struct<n_tokens: long, n_distinct: long, term_sum:
+  * double>`, or null when the document has no non-empty tokens (so
+  * callers' null filter reproduces the explode+groupBy row set).
+  *
+  * This kernel exists to DELETE the (doc_id, token) shuffle from
+  * `text_entropy`: every statistic it needs is a function of one
+  * document's own token multiset, which sits in a single array in a
+  * single row, so shuffling one row per (doc, token) pair (group
+  * cardinality ≈ input row count — map-side combine saves nothing)
+  * paid an exchange for locality the data already had. Same pattern
+  * as [[BigramTopCount]]: sort token INDICES with a binary
+  * `UTF8String` comparator (only equality grouping matters), then
+  * run-length the sorted order.
+  *
+  * `term_sum` reproduces the declarative spelling BIT-FOR-BIT:
+  * per distinct token, `round(ln(tf), 8)` uses the same
+  * `java.lang.Math.log` and the same HALF_UP BigDecimal rounding as
+  * Spark's `round`, the pinned 8-dp value scales to exact 1e-8 LONG
+  * units (|units| ≤ 1.4e9 even at tf = 10⁶), `units × tf` and their
+  * sum stay exact longs (loud on overflow — impossible below ~10¹²
+  * tokens/doc), and the closing units→double conversion is the same
+  * correctly-rounded decimal cast the DECIMAL(18,8)-sum spelling
+  * ends with. `ln` is memoized per distinct tf — a document has few
+  * distinct term frequencies.
+  */
+case class TokenEntropyStats(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_token_entropy requires array<string>, got $t")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq(
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_distinct",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("term_sum",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_token_entropy"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenEntropyStats.stats(input.asInstanceOf[ArrayData])
+
+  override protected def withNewChildInternal(c: Expression): TokenEntropyStats =
+    copy(child = c)
+}
+
+object TokenEntropyStats {
+  /** round(ln(tf), 8) as exact 1e-8 long units — the same value
+    * Spark's `round(log(tf), 8).cast(DECIMAL(18,8))` pins, by the
+    * same Math.log and HALF_UP rounding.
+    */
+  private def lnUnits(tf: Long): Long =
+    java.math.BigDecimal.valueOf(java.lang.Math.log(tf.toDouble))
+      .setScale(8, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+
+  def stats(toks: ArrayData): Any = {
+    val total = toks.numElements()
+    // collect non-empty tokens (split() of leading whitespace yields
+    // empty strings — the declarative path filters token <> '')
+    val w = new Array[org.apache.spark.unsafe.types.UTF8String](total)
+    var n = 0
+    var i = 0
+    while (i < total) {
+      val t = toks.getUTF8String(i)
+      if (t != null && t.numBytes() > 0) { w(n) = t; n += 1 }
+      i += 1
+    }
+    if (n == 0) return null
+    // sort the tokens THEMSELVES (no index indirection — unlike
+    // BigramTopCount, runs are all that matter here, not positions)
+    java.util.Arrays.sort(w, 0, n,
+      new java.util.Comparator[org.apache.spark.unsafe.types.UTF8String] {
+        override def compare(
+            x: org.apache.spark.unsafe.types.UTF8String,
+            y: org.apache.spark.unsafe.types.UTF8String): Int = x.compareTo(y)
+      })
+    val lnCache = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    var distinct = 0L
+    var sumUnits = 0L
+    var run = 1L
+    def close(tf: Long): Unit = {
+      distinct += 1
+      var u = lnCache.get(tf)
+      if (u == null) { u = java.lang.Long.valueOf(lnUnits(tf)); lnCache.put(tf, u) }
+      sumUnits = java.lang.Math.addExact(sumUnits,
+        java.lang.Math.multiplyExact(u.longValue(), tf))
+    }
+    i = 1
+    while (i < n) {
+      if (w(i - 1).equals(w(i))) run += 1
+      else { close(run); run = 1L }
+      i += 1
+    }
+    close(run)
+    // exact 1e-8-unit sum -> correctly rounded double, the same value
+    // as CAST(SUM(DECIMAL(18,8) * tf) AS DOUBLE)
+    val termSum = new java.math.BigDecimal(
+      java.math.BigInteger.valueOf(sumUnits), 8).doubleValue()
+    org.apache.spark.sql.catalyst.InternalRow(n.toLong, distinct, termSum)
+  }
+}
+
 /** n-token shingles of `child` (an `array<string>`) as the joined
   * STRINGS themselves (`"tok tok tok"`), for paths that must keep the
   * shingle text — the portable-oracle MinHash
@@ -718,6 +830,27 @@ object VectorFunctions {
   def bigramTop(spark: SparkSession, toks: Column): Column = {
     registerBigramTop(spark)
     call_function("graft_bigram_top", toks)
+  }
+
+  /** Idempotently register `graft_token_entropy(toks)` — the per-doc
+    * entropy-statistics kernel ([[TokenEntropyStats]]).
+    */
+  def registerTokenEntropy(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_token_entropy",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 1,
+          s"graft_token_entropy expects (toks), got ${exprs.length} args")
+        TokenEntropyStats(exprs.head)
+      },
+      "built-in")
+
+  /** Per-doc entropy statistics as a Column
+    * (`struct<n_tokens, n_distinct, term_sum>`, null when tokenless).
+    */
+  def tokenEntropy(spark: SparkSession, toks: Column): Column = {
+    registerTokenEntropy(spark)
+    call_function("graft_token_entropy", toks)
   }
 
   /** Idempotently register `graft_shingle2(toks, n)` — the 128-bit

@@ -324,9 +324,42 @@ object Relational {
     * deterministic order. Driver state is bounded twice over:
     * `maxHotKeys` caps the collect, and at most n/hotThreshold keys
     * can clear the threshold at all.
+    *
+    * r14: detection runs on a fixed-seed 2% SAMPLE when the threshold
+    * is high enough for the estimate to be reliable (a truly hot key
+    * has ≥ hotThreshold·fraction expected sampled rows; detecting at
+    * half that misses with probability e^{-threshold·fraction/8} —
+    * ~e^{-250} at the 100k default). This is safe because the hot-key
+    * SET only shapes the plan: [[saltedJoin]] is row-for-row
+    * equivalent to the plain join for ANY set, so a mis-sampled key
+    * costs performance, never correctness. The full-scan detector was
+    * the query's whole data-side marginal (a distinct-key shuffle of
+    * the fact table per call); the sample cuts that to 2% of one
+    * column scan. Small thresholds (< 5000) keep the exact scan —
+    * there the sampled estimate is noisy AND the exact scan is cheap
+    * relative to a join small enough to have such keys.
     */
   def detectHotKeys(skewed: DataFrame, key: String, hotThreshold: Long,
-                    maxHotKeys: Int = 10000): Seq[Any] =
+                    maxHotKeys: Int = 10000): Seq[Any] = {
+    val fraction = 0.02
+    if (hotThreshold * fraction < 100) exactHotKeys(
+      skewed, key, hotThreshold, maxHotKeys)
+    else {
+      val candidates = exactHotKeys(
+        skewed.select(col(key)).sample(fraction, 42L), key,
+        math.max(1L, (hotThreshold * fraction / 2).toLong), maxHotKeys)
+      // exact-verify the (bounded, usually empty) candidate set so a
+      // sampling false POSITIVE cannot salt a merely-warm key: one
+      // aggregate over only the candidates' rows
+      if (candidates.isEmpty) Seq.empty
+      else exactHotKeys(
+        skewed.filter(col(key).isInCollection(candidates)), key,
+        hotThreshold, maxHotKeys)
+    }
+  }
+
+  private def exactHotKeys(skewed: DataFrame, key: String,
+                           hotThreshold: Long, maxHotKeys: Int): Seq[Any] =
     skewed.groupBy(col(key))
       .agg(count(lit(1)).as("_cnt"))
       .filter(col("_cnt") >= hotThreshold)

@@ -65,11 +65,13 @@ object TextSim {
     docs(s, dir)
       .select(split(lower(trim(col("text"))), "\\s+").as("words"))
       .filter(size(col("words")) >= 2)
-      // `words` re-bound as `w` before per-element access — the
-      // substitution-safety rule [[textRepetition]] documents
-      .select(explode(expr(
-        "transform(array(words), w -> transform(sequence(1, size(w) - 1)," +
-          " i -> concat(w[i - 1], ' ', w[i])))[0]")).as("bigram"))
+      // r14: bigram strings come from the native ShingleStrings
+      // kernel (n = 2) — the transform-lambda spelling evaluated
+      // interpreted per element; the kernel is one loop over cached
+      // UTF8Strings with identical output (whitespace-split tokens
+      // contain no nulls, so concat_ws == concat-with-space)
+      .select(explode(graft.functions.VectorFunctions
+        .shingleStrings(s, col("words"), 2)).as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
@@ -319,21 +321,39 @@ object TextSim {
   def textEntropy(s: SparkSession, dir: String): DataFrame =
     textEntropy(docs(s, dir))
 
-  /** [[textEntropy]] over any `(doc_id, text)` relation. */
+  /** [[textEntropy]] over any `(doc_id, text)` relation.
+    *
+    * r14: the (doc, token) explode + two-level groupBy is gone —
+    * every statistic is a function of ONE document's token multiset,
+    * which already sits in one array in one row, so the old shape
+    * shuffled a row per (doc, token) pair (group cardinality ≈ input
+    * rows; map-side combine saved nothing) to regain locality the
+    * data never lost. [[graft.functions.TokenEntropyStats]] computes
+    * (n_tokens, n_distinct, Σ tf·ln₈(tf)) per document in one
+    * sorted-run pass — ZERO shuffles, bit-identical values (the
+    * kernel pins ln to the same 8-dp HALF_UP decimal and sums in
+    * exact 1e-8 long units; EntropyKernelSpec asserts equality with
+    * the old spelling row-for-row). Marginal 0.18 → ~0.03 s at sf0.1.
+    */
   def textEntropy(docs: DataFrame): DataFrame = {
     def lnd(c: Column): Column = round(log(c), 8)
+    val s = docs.sparkSession
     docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .filter(col("token") =!= "")
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      .groupBy("doc_id")
-      .agg(sum(col("tf")).as("n_tokens"),
-        count(lit(1)).as("n_distinct"),
-        sum(lnd(col("tf")).cast(DecimalType(18, 8)) * col("tf")).as("term_sum"))
-      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
-        round(lnd(col("n_tokens")) -
-          col("term_sum").cast(DoubleType) /
-            col("n_tokens").cast(DoubleType), 4).as("entropy"))
+      // explode(array(kernel)): the Generate evaluates the opaque
+      // kernel ONCE per row and exposes `st` as a real attribute —
+      // a plain projection would let CollapseProject substitute the
+      // kernel into every field reference plus the null filter
+      // (4 evaluations of split+sort+scan; measured 0.27 vs 0.19 s)
+      .select(col("doc_id"), explode(array(
+        graft.functions.VectorFunctions
+          .tokenEntropy(s, tokens(col("text"))))).as("st"))
+      .filter(col("st").isNotNull)
+      .select(col("doc_id"),
+        col("st.n_tokens").as("n_tokens"),
+        col("st.n_distinct").as("n_distinct"),
+        round(lnd(col("st.n_tokens")) -
+          col("st.term_sum") /
+            col("st.n_tokens").cast(DoubleType), 4).as("entropy"))
   }
 
   /** `multimodal_join` — L6, text ⋈ vectors in one relation: join

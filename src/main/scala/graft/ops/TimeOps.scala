@@ -213,28 +213,32 @@ object TimeOps {
     val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val n = col("n").cast(DoubleType)
     val variance = (col("sxx") - col("sx") * col("sx") / n) / (n - 1)
-    def trailing(cum: Column): Column =
-      (cum - coalesce(lag(cum, frame).over(wOrd), lit(0))).cast(DoubleType)
+    // r14: the cumulative sums run as LONG UNIT sums ([[Num.units]] —
+    // value exactly 2 dp → cents; v² exact in integer unit space at
+    // scale 4) instead of DECIMAL(28,x) accumulators whose every
+    // window-frame add went through BigDecimal. Bit-identical output
+    // (same exact rationals → same closing double casts; A/B'd
+    // row-for-row at sf0.1), measured 0.31 → 0.23 s warm. Overflow:
+    // ANSI long sums THROW loudly; cum v²-units ≤ 9e8/row leaves
+    // headroom past 10^10 rows per user partition — beyond that,
+    // return to the decimal spelling.
+    def trailingU(cum: Column, scale: Int): Column =
+      Num.fromUnits(cum - coalesce(lag(cum, frame).over(wOrd), lit(0L)),
+        scale)
     Sources.table(s, dir, "events")
       .filter(col("user_id").isNotNull && col("ts").isNotNull &&
         col("value").isNotNull)
       .select(col("user_id"), col("event_id"),
-        unix_micros(col("ts")).as("tsm"), col("value"))
+        unix_micros(col("ts")).as("tsm"), col("value"),
+        Num.units(col("value"), 2).as("vu"))
       .select(col("user_id"), col("event_id"), col("tsm"), col("value"),
         row_number().over(wOrd).as("rn"),
-        // (28,x) inputs make the cumulative sums (38,x): the
-        // accumulator spans the WHOLE per-user partition (unlike the
-        // frame-bounded sums this rewrite replaced), and a narrower
-        // sum that overflowed would null out sx/sxx and silently drop
-        // those rows at the `v > 0` filter — headroom is 10^34 × the
-        // value scale, beyond any real partition length
-        sum(col("value").cast(DecimalType(28, 4))).over(wCum).as("cx"),
-        sum((col("value") * col("value")).cast(DecimalType(28, 6)))
-          .over(wCum).as("cxx"))
+        sum(col("vu")).over(wCum).as("cx"),
+        sum(col("vu") * col("vu")).over(wCum).as("cxx"))
       .select(col("user_id"), col("event_id"), col("value"),
         least(col("rn"), lit(frame)).cast(LongType).as("n"),
-        trailing(col("cx")).as("sx"),
-        trailing(col("cxx")).as("sxx"))
+        trailingU(col("cx"), 2).as("sx"),
+        trailingU(col("cxx"), 4).as("sxx"))
       .withColumn("v", variance)
       .filter(col("n") >= minN && col("v") > 0)
       .withColumn("roll_z",

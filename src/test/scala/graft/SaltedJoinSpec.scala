@@ -56,7 +56,21 @@ class SaltedJoinSpec extends SparkSpec {
     assert(hotKeys == Seq(1L),
       s"expected only the crafted hot key, got $hotKeys")
     // threshold above the max per-key count -> nothing detected
+    // (threshold 10000 takes the SAMPLED path; the exact verification
+    // pass rejects any near-boundary sampling false positive)
     assert(Relational.detectHotKeys(fact, "k", hotThreshold = 10000L).isEmpty)
+  }
+
+  test("sampled detection path finds a genuinely hot key and only it") {
+    // 30k-row hot key at threshold 10k: the 2% sample expects ~600
+    // sampled rows against a sampled cutoff of 100 — detection is
+    // certain, then exact-verified. 5k-row warm key must NOT salt.
+    val hot = spark.range(30000).select(lit(7L).as("k"))
+    val warm = spark.range(5000).select(lit(8L).as("k"))
+    val cold = spark.range(1000).select((col("id") % 100 + 10).as("k"))
+    val fact = hot.unionByName(warm).unionByName(cold)
+    val got = Relational.detectHotKeys(fact, "k", hotThreshold = 10000L)
+    assert(got == Seq(7L), s"expected the 30k key alone, got $got")
   }
 
   test("hot-key-aware salting: cold keys are NOT replicated, hot keys are") {
