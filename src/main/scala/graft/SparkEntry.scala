@@ -153,6 +153,7 @@ object SparkEntry {
     "freq_items" -> ((s, d) => Aggregates.freqItems(s, d)),
     "cluster_kmeans" -> ((s, d) => Cluster.clusterKmeans(s, d)),
     "cluster_assign_portable" -> ((s, d) => Cluster.clusterAssignPortable(s, d)),
+    "dedup_semantic_portable" -> ((s, d) => Cluster.dedupSemanticPortable(s, d)),
     "dedup_minhash" -> ((s, d) => NearDup.dedupMinhash(s, d)),
     "agg_distinct_approx" -> (Aggregates.aggDistinctApprox _),
     "agg_profile_approx" -> (Aggregates.aggProfileApprox _),
@@ -1702,6 +1703,32 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
         |         FROM d)
         |SELECT vec_id, cid AS cluster_id, d2 AS dist2 FROM best WHERE rn = 1""".stripMargin,
+    // dedupSemantic's twin: the assignment CTEs above + the in-cell
+    // smaller-id drop rule; pair cosines via list_dot_product, the
+    // pairing sim_search already proves hash-identical to graft_dot
+    "dedup_semantic_portable" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+        |      FROM e ORDER BY vec_id LIMIT 8),
+        |d AS (SELECT e.vec_id, c.cid,
+        |        list_reduce(list_transform(range(1, len(e.v) + 1),
+        |          i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])),
+        |          (a, b) -> a + b) AS d2
+        |      FROM e, c),
+        |best AS (SELECT vec_id, cid,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |         FROM d),
+        |m AS (SELECT e.vec_id, b.cid AS cluster_id, e.v,
+        |        sqrt(list_dot_product(e.v, e.v)) AS nrm
+        |      FROM e JOIN best b ON e.vec_id = b.vec_id AND b.rn = 1),
+        |drp AS (SELECT DISTINCT b.vec_id FROM m a JOIN m b
+        |        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+        |        WHERE a.nrm > 0 AND b.nrm > 0
+        |          AND round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.4)
+        |SELECT m.vec_id, CAST(m.cluster_id AS BIGINT) AS cluster_id,
+        |       drp.vec_id IS NULL AS kept
+        |FROM m LEFT JOIN drp ON m.vec_id = drp.vec_id""".stripMargin,
     "embed_quantize" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings),

@@ -161,6 +161,48 @@ object Cluster {
     * O(N·k·d) map-only shape as [[kmeansAssign]]; the oracle's
     * e×c cross join is the SQL-side spelling only.
     */
+  /** `dedup_semantic_portable` — the ORACLE TWIN for
+    * [[graft.ops.NearDup.dedupSemantic]]'s whole shape: cell
+    * assignment under the deterministic init centroids
+    * ([[clusterAssignPortable]], no Lloyd rounds) followed by the
+    * SAME in-cell drop rule as production — a vector is dropped iff
+    * some smaller-id vector in its cell has rounded cosine ≥
+    * `minSim`. Pair cosines go through the graft_dot ↔
+    * `list_dot_product` portable pairing that `sim_search` already
+    * proves hash-identical, so the boundary calls match with no
+    * tolerance. Same blocked shape as production (pairs only within
+    * cells), minus the Lloyd training and the exact-duplicate
+    * pre-collapse (a pure performance device — the drop set is
+    * provably unchanged by it). Zero-norm vectors are always kept
+    * and never pair, exactly the production rule.
+    */
+  def dedupSemanticPortable(s: SparkSession, dir: String, k: Int = 8,
+                            minSim: Double = 0.4): DataFrame = {
+    require(minSim <= 1.0, s"minSim must be <= 1, got $minSim")
+    val nd = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      graft.functions.VectorFunctions.dot(s, a, b)
+    val assigned = clusterAssignPortable(s, dir, k)
+      .select(col("vec_id"), col("cluster_id"))
+    val m = Sources.table(s, dir, "embeddings")
+      .select(col("vec_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      .join(assigned, Seq("vec_id"))
+      .withColumn("nrm", sqrt(nd(col("v"), col("v"))))
+    val reps = m.filter(col("nrm") > 0.0)
+    val a = reps.select(col("cluster_id"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = reps.select(col("cluster_id"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val dropped = a.join(b, Seq("cluster_id"))
+      .filter(col("vec_a") < col("vec_b") &&
+        round(nd(col("va"), col("vb")) / (col("na") * col("nb")), 4)
+          >= minSim)
+      .select(col("vec_b").as("vec_id")).distinct()
+    m.join(dropped.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id").cast(LongType),
+        coalesce(!col("dup"), lit(true)).as("kept"))
+  }
+
   def clusterAssignPortable(s: SparkSession, dir: String,
                             k: Int = 8): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
