@@ -432,6 +432,13 @@ object Num {
   /** [[sampleBrackets]] keyed by an integer group column (e.g. the
     * profile-drift snapshot half): brackets per (group, column).
     */
+  /** Driver-side cap on the bracket sample collect: `fraction·n` rows
+    * land on the driver, so at corpus scales the CALLER must shrink
+    * `fraction` (≈ 10⁶/n); the guard below turns an OOM-in-waiting
+    * into a descriptive error.
+    */
+  val maxBracketSample: Int = 4000000
+
   def sampleBracketsGrouped(df: org.apache.spark.sql.DataFrame,
                             groupCol: Option[Column], cols: Seq[String],
                             p: Double, fraction: Double = 0.02,
@@ -439,7 +446,14 @@ object Num {
       : Map[(Int, String), (Double, Double)] = {
     val sel = groupCol.getOrElse(lit(0)).cast("int").as("g") +:
       cols.map(c => col(c).cast(DoubleType).as(c))
-    val rows = df.select(sel: _*).sample(fraction, seed).collect()
+    // limit(cap + 1): when the sample fits the cap this returns every
+    // sampled row (deterministic); when it does not, the require
+    // fails LOUDLY instead of collecting fraction·n rows at 100 TB
+    val rows = df.select(sel: _*).sample(fraction, seed)
+      .limit(maxBracketSample + 1).collect()
+    require(rows.length <= maxBracketSample,
+      s"sampleBrackets: ${rows.length} sampled rows exceed the driver " +
+        s"cap $maxBracketSample — lower `fraction` (target ~1e6 rows)")
     (for {
       g <- rows.map(_.getInt(0)).distinct
       (c, i) <- cols.zipWithIndex
