@@ -359,6 +359,13 @@ object Aggregates {
       .agg(count(lit(1)).as("pre_n"),
         sum(col(price).cast(DecimalType(18, 4))).as("pre_sum"))
 
+  /** [[preAggregated]] for count-only consumers — no decimal-sum
+    * accumulator for a column the query never reads.
+    */
+  private def preCounted(input: DataFrame, keys: Seq[String]): DataFrame =
+    input.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("pre_n"))
+
   /** `agg_cube` — A9's other grouping-set shape: order counts by
     * (orderstatus, orderpriority) with ALL subtotal combinations.
     * Pre-aggregated ([[preAggregated]]) so the ×4-sets Expand runs
@@ -654,8 +661,8 @@ object Aggregates {
     * flags are free metadata from the (now tiny) Expand.
     */
   def aggGroupingId(s: SparkSession, dir: String): DataFrame =
-    preAggregated(Sources.table(s, dir, "orders"),
-      Seq("o_orderstatus", "o_orderpriority"), "o_totalprice")
+    preCounted(Sources.table(s, dir, "orders"),
+      Seq("o_orderstatus", "o_orderpriority"))
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
       .agg(grouping(col("o_orderstatus")).cast(LongType).as("g_status"),
         grouping(col("o_orderpriority")).cast(LongType).as("g_priority"),

@@ -110,25 +110,38 @@ object Ann {
     ivfSearch(s, e, centroids, queryId, k, nProbe)
   }
 
+  /** Shared centroid-assignment projection over a 1-row `cs`
+    * centroid-list relation: per-centroid cosine, the filing list
+    * (argmax, ties to the lower index via `array_position`) and —
+    * when `nProbe` is set — the top-nProbe probe lists per vector.
+    * ONE authoritative spelling (r14 review: [[ivfSearch]] and
+    * [[simKnnBucketed]] carried verbatim copies that could silently
+    * drift on a tie-break or NaN-guard change).
+    */
+  private def assignLists(e: DataFrame, centroids: DataFrame,
+                          nProbe: Option[Int]): DataFrame = {
+    val base = e.crossJoin(broadcast(centroids))
+      .withColumn("norms", expr(
+        "transform(cs, c -> graft_dot(v, c) / sqrt(graft_dot(c, c)))"))
+      .withColumn("list_id",
+        expr("array_position(norms, array_max(norms))"))
+    nProbe.fold(base) { np =>
+      base.withColumn("probe_lists", expr(
+        "transform(slice(array_sort(zip_with(norms, sequence(1, size(norms)), " +
+          s"(sim, i) -> struct(-sim AS negsim, i AS idx))), 1, $np), " +
+          "p -> CAST(p.idx AS BIGINT))"))
+    }.drop("cs", "norms")
+  }
+
   /** Shared IVF search body over a 1-row `cs` centroid-list relation. */
   private def ivfSearch(s: SparkSession, e: DataFrame, centroids: DataFrame,
                         queryId: Long, k: Int, nProbe: Int): DataFrame = {
     val nd = (a: Column, b: Column) => graft.functions.VectorFunctions.dot(s, a, b)
     graft.functions.VectorFunctions.register(s)
-    // assign: index of the centroid with max cosine(v, c)
-    val assigned = e.crossJoin(broadcast(centroids))
-      .withColumn("norms", expr(
-        "transform(cs, c -> graft_dot(v, c) / sqrt(graft_dot(c, c)))"))
-      .withColumn("list_id",
-        expr("array_position(norms, array_max(norms))"))
-      .drop("cs", "norms")
-    val q = assigned.filter(col("vec_id") === queryId)
-      .crossJoin(broadcast(centroids))
-      .select(col("v").as("qv"), expr(
-        "slice(array_sort(zip_with(transform(cs, c -> graft_dot(v, c) / sqrt(graft_dot(c, c))), sequence(1, size(cs)), (sim, i) -> struct(-sim AS negsim, i AS idx)))," +
-          s" 1, $nProbe)").as("probes"))
-      .select(col("qv"), expr("transform(probes, p -> CAST(p.idx AS BIGINT))")
-        .as("probe_lists"))
+    val assigned = assignLists(e, centroids, None)
+    val q = assignLists(e.filter(col("vec_id") === queryId), centroids,
+        Some(nProbe))
+      .select(col("v").as("qv"), col("probe_lists"))
     assigned.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .filter(array_contains(col("probe_lists"), col("list_id")))
@@ -194,7 +207,16 @@ object Ann {
                      nLists: Int = 8, nProbe: Int = 2): DataFrame =
     simKnnBucketed(s, Sources.table(s, dir, "embeddings"), k, nLists, nProbe)
 
-  /** [[simKnnBucketed]] over any `(vec_id, embedding)` relation. */
+  /** [[simKnnBucketed]] over any `(vec_id, embedding)` relation.
+    *
+    * The self-join's two branches re-derive the (uncached) assignment
+    * projection, so the O(N·k·d) centroid-cosine map work runs twice
+    * — acceptable for the declared on-the-fly query, and exactly what
+    * the materialized path exists to avoid: at corpus scale, build
+    * the assignments ONCE with [[ivfIndexWrite]] (list_id becomes a
+    * parquet partition column) and run the per-list exact join over
+    * the stored index.
+    */
   def simKnnBucketed(s: SparkSession, emb: DataFrame, k: Int,
                      nLists: Int, nProbe: Int): DataFrame = {
     require(nProbe >= 1 && nProbe <= nLists,
@@ -205,22 +227,11 @@ object Ann {
       .withColumn("nrm", sqrt(nd(col("v"), col("v"))))
     val centroids = e.orderBy("vec_id").limit(nLists)
       .select(collect_list(col("v")).as("cs"))
-    // per-vector centroid cosines, computed once and reused by both
-    // the filing (argmax) and the probing (top-nProbe) sides
-    val withNorms = e.crossJoin(broadcast(centroids))
-      .withColumn("norms", expr(
-        "transform(cs, c -> graft_dot(v, c) / sqrt(graft_dot(c, c)))"))
-    val cand = withNorms
-      .withColumn("list_id", expr("array_position(norms, array_max(norms))"))
-      .select(col("vec_id").as("nid"), col("v").as("nv"),
-        col("nrm").as("nn"), col("list_id"))
-    val probes = withNorms
-      .withColumn("probe_lists", expr(
-        "transform(slice(array_sort(zip_with(norms, sequence(1, size(norms)), " +
-          s"(sim, i) -> struct(-sim AS negsim, i AS idx))), 1, $nProbe), " +
-          "p -> CAST(p.idx AS BIGINT))"))
-      .select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("nrm").as("qn"), explode(col("probe_lists")).as("list_id"))
+    val assigned = assignLists(e, centroids, Some(nProbe))
+    val cand = assigned.select(col("vec_id").as("nid"), col("v").as("nv"),
+      col("nrm").as("nn"), col("list_id"))
+    val probes = assigned.select(col("vec_id").as("qid"), col("v").as("qv"),
+      col("nrm").as("qn"), explode(col("probe_lists")).as("list_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
     // a candidate lives in exactly one list and probe lists are

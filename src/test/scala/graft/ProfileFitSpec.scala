@@ -47,22 +47,49 @@ class ProfileFitSpec extends SparkSpec {
       @volatile var sawObjectHash = false
       override def onSuccess(f: String,
                              qe: org.apache.spark.sql.execution.QueryExecution,
-                             d: Long): Unit =
-        if (qe.executedPlan.toString.contains("ObjectHashAggregate"))
+                             d: Long): Unit = {
+        val p = qe.executedPlan.toString
+        // the obj_sentinel query below is ObjectHashAggregate on
+        // purpose — only it is exempt
+        if (p.contains("ObjectHashAggregate") && !p.contains("obj_sentinel"))
           sawObjectHash = true
+      }
+      override def onFailure(f: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             e: Exception): Unit = ()
+    }
+    // sentinel: an aggregation KNOWN to plan as ObjectHashAggregate;
+    // waiting until the listener has seen it proves the bus has
+    // drained past profileOf's executions — no fixed-sleep race
+    // (r14 review: a loaded host could pass the old 500 ms sleep
+    // vacuously)
+    @volatile var sentinelSeen = false
+    val sentinelListener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             d: Long): Unit =
+        if (qe.executedPlan.toString.contains("obj_sentinel"))
+          sentinelSeen = true
       override def onFailure(f: String,
                              qe: org.apache.spark.sql.execution.QueryExecution,
                              e: Exception): Unit = ()
     }
     spark.listenerManager.register(listener)
+    spark.listenerManager.register(sentinelListener)
     try {
       Aggregates.profileOf(li)
-      // listener delivery is async; give the bus a moment to drain
-      Thread.sleep(500)
+      li.agg(org.apache.spark.sql.functions.expr(
+        "percentile(l_quantity, 0.5)").as("obj_sentinel")).collect()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!sentinelSeen && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(sentinelSeen, "listener bus never drained to the sentinel")
       assert(!listener.sawObjectHash,
         "profile fit must stay in codegen'd HashAggregate " +
           "(a TypedImperativeAggregate aboard demotes the whole pass)")
-    } finally spark.listenerManager.unregister(listener)
+    } finally {
+      spark.listenerManager.unregister(listener)
+      spark.listenerManager.unregister(sentinelListener)
+    }
     assert(plan != null)
   }
 
