@@ -14,7 +14,7 @@ object ProfileProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import graft.ops.{Sources, TextSim}
+    import graft.ops.Sources
 
     def time(name: String)(f: => Unit): Unit = {
       val ts = (1 to 8).map { _ =>
@@ -25,20 +25,28 @@ object ProfileProbe {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    val docs = Sources.table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val ev = Sources.table(spark, dir, "events")
+    def agg(kv: Column): org.apache.spark.sql.DataFrame =
+      ev.select(kv.as("k_value")).groupBy("k_value").agg(count(lit(1)).as("n"))
+
+    val cur = get_json_object(col("props"), "$.k")
+    val simple = col("props").rlike("^\\{\"k\": -?[0-9]+\\}$")
+    val fastSub = when(simple,
+      substring_index(substring_index(col("props"), ": ", -1), "}", 1))
+      .otherwise(get_json_object(col("props"), "$.k"))
+    val fastRe = {
+      val g = regexp_extract(col("props"), "^\\{\"k\": (-?[0-9]+)\\}$", 1)
+      when(g =!= "", g).otherwise(get_json_object(col("props"), "$.k"))
+    }
+    // equality
+    val a = agg(cur).collect().map(_.toString).sorted
+    val b = agg(fastSub).collect().map(_.toString).sorted
+    val c = agg(fastRe).collect().map(_.toString).sorted
+    println(s"EQ sub=${a.sameElements(b)} re=${a.sameElements(c)} groups=${a.length}")
     for (r <- 1 to 2) {
-      time(s"scan text only (r$r)") { noop(docs) }
-      time(s"tokenize+size (r$r)") {
-        noop(docs.select(col("doc_id"), size(TextSim.tokens(col("text"))).as("n")))
-      }
-      time(s"tokenize+sort_array (r$r)") {
-        noop(docs.select(col("doc_id"), size(sort_array(TextSim.tokens(col("text")))).as("n")))
-      }
-      time(s"entropy kernel (r$r)") {
-        noop(docs.select(col("doc_id"),
-          graft.functions.VectorFunctions.tokenEntropy(spark, TextSim.tokens(col("text"))).as("st")))
-      }
-      time(s"full text_entropy (r$r)") { noop(TextSim.textEntropy(docs)) }
+      time(s"get_json_object (r$r)") { noop(agg(cur)) }
+      time(s"rlike+substring (r$r)") { noop(agg(fastSub)) }
+      time(s"regexp_extract (r$r)") { noop(agg(fastRe)) }
     }
     spark.stop()
   }

@@ -160,10 +160,12 @@ object Features {
   def scaleRobust(s: SparkSession, dir: String): DataFrame = {
     val ev = Sources.table(s, dir, "events")
       .filter(col("value").isNotNull)
-    val stats = ev.agg(
-      expr("percentile(value, 0.5)").as("med"),
-      (expr("percentile(value, 0.75)") - expr("percentile(value, 0.25)"))
-        .as("iqr"))
+    // r14: median/quartiles frequency-weighted over the counted
+    // distinct values (see [[graft.ops.Transforms.outlierIqr]])
+    val stats = Num.countedValues(ev, col("value"), 2).agg(
+      expr("percentile(__v, 0.5, __cnt)").as("med"),
+      (expr("percentile(__v, 0.75, __cnt)") -
+        expr("percentile(__v, 0.25, __cnt)")).as("iqr"))
     ev.crossJoin(broadcast(stats))
       .select(col("event_id"),
         round((col("value") - col("med")) / col("iqr"), 6).as("value_robust"))

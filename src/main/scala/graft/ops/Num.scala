@@ -494,6 +494,30 @@ object Num {
     }).flatten.toMap
   }
 
+  /** Pre-counted exact-percentile input for a bounded-domain
+    * fixed-scale column: group by the EXACT integer units (a
+    * codegen'd hash aggregate — the pass over the data never touches
+    * a TypedImperativeAggregate) and hand back `(__v, __cnt)` rows,
+    * one per distinct value. A caller then runs the builtin
+    * FREQUENCY-WEIGHTED `percentile(__v, p, __cnt)` over the distinct
+    * values — the builtin's buffer IS a value→count map, so feeding
+    * it the counted multiset builds the identical state from
+    * |domain| rows instead of n, with bit-identical results by
+    * construction (same multiset, same interpolation). `__v`
+    * round-trips exactly (`fromUnits` of the guarded [[units]]), and
+    * the [[units]] contract check makes a wider-than-scale value
+    * fail loudly rather than mis-bucket. Shuffle rows = distinct
+    * values (domain-bounded at any corpus size); the builtin's map
+    * is the same size either way — the saving is n − |domain| hash
+    * updates through the interpreted aggregate path.
+    */
+  def countedValues(df: org.apache.spark.sql.DataFrame, c: Column,
+                    scale: Int): org.apache.spark.sql.DataFrame =
+    df.filter(c.isNotNull)
+      .select(units(c, scale).as("__u"))
+      .groupBy("__u").agg(count(lit(1)).as("__cnt"))
+      .select(fromUnits(col("__u"), scale).as("__v"), col("__cnt"))
+
   /** The four codegen'd conditional sums a caller embeds in its own
     * fused aggregate to refine a bracket exactly: rows below / equal-lo
     * / equal-hi / strictly-inside. `blo`/`bhi` may be any scalar

@@ -415,12 +415,30 @@ object Relational {
 
   /** `json_extract` — X4, key extraction from the JSON `props` column,
     * grouped and counted (etl-style tag histogram).
+    *
+    * r14 fast path: rows matching the STRICT flat form
+    * `{"k": <integer>}` extract by two `substring_index` cuts —
+    * cheap codegen'd UTF8String ops — and only non-matching rows
+    * (nested, quoted, escaped, whitespace variants, nulls) pay the
+    * per-row Jackson parse. On the guarded form the two spellings
+    * are identical by construction (one `": "` occurrence, the value
+    * is the bare integer token `get_json_object` would return), so
+    * this is a semantics-preserving specialization of the r7 3-way
+    * parser tie, not a fourth parser: measured 0.29 → 0.09 s warm at
+    * sf0.1 (the tie was between PARSERS; the win is not parsing).
+    * The same shape at 100 TB: telemetry props are overwhelmingly
+    * flat, and the fallback keeps the general contract exact.
     */
-  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+  def jsonExtract(s: SparkSession, dir: String): DataFrame = {
+    val simple = col("props").rlike("^\\{\"k\": -?[0-9]+\\}$")
+    val kval = when(simple,
+      substring_index(substring_index(col("props"), ": ", -1), "}", 1))
+      .otherwise(get_json_object(col("props"), "$.k"))
     Sources.table(s, dir, "events")
-      .select(get_json_object(col("props"), "$.k").as("k_value"))
+      .select(kval.as("k_value"))
       .groupBy("k_value")
       .agg(count(lit(1)).as("n"))
+  }
 
   /** `merge_upsert` — MERGE/upsert semantics as one full-outer join:
     * apply a batch of updates to a snapshot, keeping updated rows where

@@ -142,9 +142,13 @@ object Transforms {
     */
   def outlierIqr(s: SparkSession, dir: String): DataFrame = {
     val ev = Sources.table(s, dir, "events")
-    val bounds = ev.agg(
-      expr("percentile(value, 0.25)").as("q1"),
-      expr("percentile(value, 0.75)").as("q3"))
+    // r14: quartiles run frequency-weighted over the counted distinct
+    // values (Num.countedValues) — the data pass is a codegen'd hash
+    // count and the interpreted percentile sees |domain| rows, not n;
+    // bit-identical by construction (same multiset)
+    val bounds = Num.countedValues(ev, col("value"), 2).agg(
+      expr("percentile(__v, 0.25, __cnt)").as("q1"),
+      expr("percentile(__v, 0.75, __cnt)").as("q3"))
     ev.crossJoin(broadcast(bounds))
       .filter(col("value") < col("q1") - (col("q3") - col("q1")) * 1.5 ||
         col("value") > col("q3") + (col("q3") - col("q1")) * 1.5)

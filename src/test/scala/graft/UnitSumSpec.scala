@@ -50,6 +50,21 @@ class UnitSumSpec extends SparkSpec {
     assert(row.getDouble(0) == row.getDouble(1))
   }
 
+  test("counted frequency-weighted percentile bit-matches the raw builtin") {
+    val ev = graft.ops.Sources.table(spark, sf, "events")
+    val raw = ev.agg(
+      expr("percentile(value, 0.25)"), expr("percentile(value, 0.5)"),
+      expr("percentile(value, 0.75)")).collect()(0)
+    val counted = Num.countedValues(ev, col("value"), 2).agg(
+      expr("percentile(__v, 0.25, __cnt)"), expr("percentile(__v, 0.5, __cnt)"),
+      expr("percentile(__v, 0.75, __cnt)")).collect()(0)
+    (0 to 2).foreach { i =>
+      assert(java.lang.Double.doubleToRawLongBits(raw.getDouble(i)) ==
+        java.lang.Double.doubleToRawLongBits(counted.getDouble(i)),
+        s"p${i}: ${raw.getDouble(i)} vs ${counted.getDouble(i)}")
+    }
+  }
+
   test("agg_group-class unit sums stay exact under the enforced guard") {
     // fixture columns are all in-contract: the guard must not fire
     val li = graft.ops.Sources.table(spark, sf, "lineitem")
