@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Scratch A/B harness (r14). Not part of the declared surface. */
@@ -25,28 +25,21 @@ object ProfileProbe {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    val ev = Sources.table(spark, dir, "events")
-    def agg(kv: Column): org.apache.spark.sql.DataFrame =
-      ev.select(kv.as("k_value")).groupBy("k_value").agg(count(lit(1)).as("n"))
+    def orders = Sources.table(spark, dir, "orders").select("o_orderkey")
+    def li = Sources.table(spark, dir, "lineitem").select(col("l_orderkey").as("o_orderkey"))
 
-    val cur = get_json_object(col("props"), "$.k")
-    val simple = col("props").rlike("^\\{\"k\": -?[0-9]+\\}$")
-    val fastSub = when(simple,
-      substring_index(substring_index(col("props"), ": ", -1), "}", 1))
-      .otherwise(get_json_object(col("props"), "$.k"))
-    val fastRe = {
-      val g = regexp_extract(col("props"), "^\\{\"k\": (-?[0-9]+)\\}$", 1)
-      when(g =!= "", g).otherwise(get_json_object(col("props"), "$.k"))
-    }
-    // equality
-    val a = agg(cur).collect().map(_.toString).sorted
-    val b = agg(fastSub).collect().map(_.toString).sorted
-    val c = agg(fastRe).collect().map(_.toString).sorted
-    println(s"EQ sub=${a.sameElements(b)} re=${a.sameElements(c)} groups=${a.length}")
+    def cur = orders.join(li.distinct(), Seq("o_orderkey"), "left_anti").distinct()
+    def noInner = orders.join(li, Seq("o_orderkey"), "left_anti").distinct()
+    def noOuter = orders.join(li.distinct(), Seq("o_orderkey"), "left_anti")
+    def neither = orders.join(li, Seq("o_orderkey"), "left_anti")
+
+    val a = cur.collect().map(_.toString).sorted
+    println(s"rows=${a.length} eq_noInner=${noInner.collect().map(_.toString).sorted.sameElements(a)} eq_neither=${neither.collect().map(_.toString).sorted.sameElements(a)}")
     for (r <- 1 to 2) {
-      time(s"get_json_object (r$r)") { noop(agg(cur)) }
-      time(s"rlike+substring (r$r)") { noop(agg(fastSub)) }
-      time(s"regexp_extract (r$r)") { noop(agg(fastRe)) }
+      time(s"current (r$r)") { noop(cur) }
+      time(s"no inner distinct (r$r)") { noop(noInner) }
+      time(s"no outer distinct (r$r)") { noop(noOuter) }
+      time(s"neither (r$r)") { noop(neither) }
     }
     spark.stop()
   }
