@@ -413,6 +413,87 @@ object TokenEntropyStats {
   }
 }
 
+/** Per-document token frequency pairs in ONE pass —
+  * `array<struct<token: string, tf: long>>` over the distinct
+  * non-empty tokens (order: binary UTF8String ascending, a
+  * by-product of the run-length grouping; callers aggregate over the
+  * pairs, so the order is incidental), or null when the document has
+  * no non-empty tokens.
+  *
+  * The candidate-reduction sibling of [[TokenEntropyStats]]: a
+  * (doc, token) groupBy shuffles one row per OCCURRENCE and its
+  * group count ≈ row count (map-side combine saves little), while
+  * the per-doc counts are computable inside the row — downstream
+  * explode volume drops from n_tokens to distinct-tokens-per-doc and
+  * the first exchange disappears entirely. tf values are the exact
+  * integer counts the groupBy produced, so downstream arithmetic is
+  * bit-identical.
+  */
+case class TokenCounts(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_token_counts requires array<string>, got $t")
+    }
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("token",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("tf",
+        org.apache.spark.sql.types.LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_token_counts"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenCounts.counts(input.asInstanceOf[ArrayData])
+
+  override protected def withNewChildInternal(c: Expression): TokenCounts =
+    copy(child = c)
+}
+
+object TokenCounts {
+  def counts(toks: ArrayData): Any = {
+    val total = toks.numElements()
+    val w = new Array[org.apache.spark.unsafe.types.UTF8String](total)
+    var n = 0
+    var i = 0
+    while (i < total) {
+      val t = toks.getUTF8String(i)
+      if (t != null && t.numBytes() > 0) { w(n) = t; n += 1 }
+      i += 1
+    }
+    if (n == 0) return null
+    java.util.Arrays.sort(w, 0, n,
+      new java.util.Comparator[org.apache.spark.unsafe.types.UTF8String] {
+        override def compare(
+            x: org.apache.spark.unsafe.types.UTF8String,
+            y: org.apache.spark.unsafe.types.UTF8String): Int = x.compareTo(y)
+      })
+    val out = new java.util.ArrayList[org.apache.spark.sql.catalyst.InternalRow]()
+    var run = 1L
+    i = 1
+    while (i < n) {
+      if (w(i - 1).equals(w(i))) run += 1
+      else {
+        out.add(org.apache.spark.sql.catalyst.InternalRow(
+          w(i - 1).clone(), run))
+        run = 1L
+      }
+      i += 1
+    }
+    out.add(org.apache.spark.sql.catalyst.InternalRow(w(n - 1).clone(), run))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[org.apache.spark.sql.catalyst.InternalRow](0))
+        .asInstanceOf[Array[Any]])
+  }
+}
+
 /** n-token shingles of `child` (an `array<string>`) as the joined
   * STRINGS themselves (`"tok tok tok"`), for paths that must keep the
   * shingle text — the portable-oracle MinHash
@@ -851,6 +932,27 @@ object VectorFunctions {
   def tokenEntropy(spark: SparkSession, toks: Column): Column = {
     registerTokenEntropy(spark)
     call_function("graft_token_entropy", toks)
+  }
+
+  /** Idempotently register `graft_token_counts(toks)` — the per-doc
+    * token-frequency kernel ([[TokenCounts]]).
+    */
+  def registerTokenCounts(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_token_counts",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 1,
+          s"graft_token_counts expects (toks), got ${exprs.length} args")
+        TokenCounts(exprs.head)
+      },
+      "built-in")
+
+  /** Per-doc token frequencies as a Column
+    * (`array<struct<token, tf>>`, null when tokenless).
+    */
+  def tokenCounts(spark: SparkSession, toks: Column): Column = {
+    registerTokenCounts(spark)
+    call_function("graft_token_counts", toks)
   }
 
   /** Idempotently register `graft_shingle2(toks, n)` — the 128-bit

@@ -479,9 +479,17 @@ object TextSim {
   /** [[textTfidf]] over any `(doc_id, text)` relation. */
   def textTfidf(d: DataFrame, k: Int): DataFrame = {
     val nDocs = d.agg(count(lit(1)).as("n_docs"))
-    val tf = d.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .filter(col("token") =!= "")
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    // r14: per-doc term counts come from the TokenCounts kernel
+    // (each doc's multiset is already in its own row — see
+    // TokenEntropyStats), so the old explode + (doc, token) groupBy's
+    // exchange is GONE and the explode emits one row per DISTINCT
+    // (doc, term) instead of per occurrence. tf values are the exact
+    // same integer counts; everything downstream is unchanged.
+    val tf = d.select(col("doc_id"), explode(
+        graft.functions.VectorFunctions
+          .tokenCounts(d.sparkSession, tokens(col("text")))).as("p"))
+      .select(col("doc_id"), col("p.token").as("token"),
+        col("p.tf").as("tf"))
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("token")))
     val w = org.apache.spark.sql.expressions.Window
@@ -508,7 +516,15 @@ object TextSim {
   def textLogprob(s: SparkSession, dir: String): DataFrame =
     textLogprob(docs(s, dir))
 
-  /** [[textLogprob]] over any `(doc_id, text)` relation. */
+  /** [[textLogprob]] over any `(doc_id, text)` relation.
+    *
+    * Deliberately NOT on the [[graft.functions.TokenCounts]] kernel
+    * (r14 A/B): the query's three branches (model, total, probe)
+    * each re-evaluate the token lineage, so the kernel's per-doc
+    * sort runs 3× while only the probe branch benefits from the
+    * smaller join — measured +0.32 vs +0.25 marginal at sf0.1, a net
+    * LOSS; the occurrence-level explode stays.
+    */
   def textLogprob(docs: DataFrame): DataFrame = {
     val tok = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))

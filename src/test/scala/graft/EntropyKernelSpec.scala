@@ -56,6 +56,48 @@ class EntropyKernelSpec extends SparkSpec {
       "tokenless docs must be absent")
   }
 
+  test("TokenCounts pairs equal the explode+groupBy term counts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a c a b"), (2L, "  x  "), (3L, ""), (4L, "z"),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val viaKernel = docs.select(col("doc_id"),
+        explode(graft.functions.VectorFunctions
+          .tokenCounts(spark, TextSim.tokens(col("text")))).as("p"))
+      .select(col("doc_id"), col("p.token"), col("p.tf"))
+      .collect().map(_.toString).sorted.toSeq
+    val viaGroup = docs.select(col("doc_id"),
+        explode(TextSim.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaKernel == viaGroup)
+  }
+
+  test("text_tfidf on the kernel equals the explode+groupBy spelling") {
+    val docs = Sources.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val old = {
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val tf = docs.select(col("doc_id"),
+          explode(TextSim.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("token")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
+      tf.crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("token"),
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4)
+            .as("tfidf"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("doc_id", "token", "tfidf")
+    }
+    assert(rows(TextSim.textTfidf(docs, 3)) == rows(old))
+  }
+
   test("the kernel plan has no exchange") {
     val docs = Sources.table(spark, sf, "documents")
       .select(col("doc_id"), col("text"))
