@@ -452,7 +452,8 @@ object Num {
   def sampleBracketsGrouped(df: org.apache.spark.sql.DataFrame,
                             groupCol: Option[Column], cols: Seq[String],
                             p: Double, fraction: Double = 0.02,
-                            seed: Long = 42L)
+                            seed: Long = 42L,
+                            cap: Int = maxBracketSample)
       : Map[(Int, String), (Double, Double)] = {
     val sel = groupCol.getOrElse(lit(0)).cast("int").as("g") +:
       cols.map(c => col(c).cast(DoubleType).as(c))
@@ -467,13 +468,13 @@ object Num {
     var attempts = 0
     while ({
       rows = df.select(sel: _*).sample(f, seed)
-        .limit(maxBracketSample + 1).collect()
+        .limit(cap + 1).collect()
       attempts += 1
-      rows.length > maxBracketSample && attempts < 4
+      rows.length > cap && attempts < 4
     }) f /= 64
-    require(rows.length <= maxBracketSample,
+    require(rows.length <= cap,
       s"sampleBrackets: ${rows.length} sampled rows exceed the driver " +
-        s"cap $maxBracketSample even at fraction $f — pass a smaller " +
+        s"cap $cap even at fraction $f — pass a smaller " +
         "`fraction` (target ~1e6 rows)")
     (for {
       g <- rows.map(_.getInt(0)).distinct

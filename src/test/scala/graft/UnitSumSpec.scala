@@ -65,6 +65,34 @@ class UnitSumSpec extends SparkSpec {
     }
   }
 
+  test("bracket-sample auto-shrink stays under a tiny cap and still brackets") {
+    val li = graft.ops.Sources.table(spark, sf, "lineitem")
+    // fraction 1.0 over ~6k rows against cap 100 forces the /64
+    // shrink loop; the shrunk sample must still produce brackets
+    val br = Num.sampleBracketsGrouped(li, None,
+      Seq("l_extendedprice"), 0.5, fraction = 1.0, seed = 7L, cap = 100)
+    br.get((0, "l_extendedprice")) match {
+      case Some((lo, hi)) => assert(lo <= hi)
+      case None => fail("shrunk sample produced no bracket")
+    }
+  }
+
+  test("lsum overflow is loud (ANSI long sum throws, never wraps)") {
+    import spark.implicits._
+    // two near-max unit values at scale 0: their long sum overflows
+    val big = (Long.MaxValue / 2).toDouble // exactly representable
+    val df = Seq(big, big, big).toDF("v")
+    val e = intercept[Exception] {
+      df.agg(Num.lsum(col("v"), 0)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Seq(Option(x.getMessage).getOrElse("")) ++
+        msgs(x.getCause))
+    assert(msgs(e).exists(m => m.toLowerCase.contains("overflow") ||
+      m.contains("ARITHMETIC_OVERFLOW") || m.contains("long overflow")),
+      s"expected a loud overflow, got: $e")
+  }
+
   test("agg_group-class unit sums stay exact under the enforced guard") {
     // fixture columns are all in-contract: the guard must not fire
     val li = graft.ops.Sources.table(spark, sf, "lineitem")
