@@ -356,6 +356,46 @@ case class TokenEntropyStats(child: Expression)
     copy(child = c)
 }
 
+/** Shared scaffolding for the per-doc token-run kernels
+  * ([[TokenEntropyStats]], [[TokenCounts]]): collect the non-empty
+  * tokens (split() of leading whitespace yields empty strings — the
+  * declarative paths filter `token <> ''`), sort them in place
+  * (binary UTF8String order; runs are all that matter, no index
+  * indirection), and visit each (token, frequency) run. One
+  * authoritative copy — the file's own history shows duplicated
+  * scaffolding drifting (r14 review).
+  */
+private[functions] object TokenRuns {
+  def foreachRun(toks: ArrayData)(
+      f: (org.apache.spark.unsafe.types.UTF8String, Long) => Unit): Int = {
+    val total = toks.numElements()
+    val w = new Array[org.apache.spark.unsafe.types.UTF8String](total)
+    var n = 0
+    var i = 0
+    while (i < total) {
+      val t = toks.getUTF8String(i)
+      if (t != null && t.numBytes() > 0) { w(n) = t; n += 1 }
+      i += 1
+    }
+    if (n == 0) return 0
+    java.util.Arrays.sort(w, 0, n,
+      new java.util.Comparator[org.apache.spark.unsafe.types.UTF8String] {
+        override def compare(
+            x: org.apache.spark.unsafe.types.UTF8String,
+            y: org.apache.spark.unsafe.types.UTF8String): Int = x.compareTo(y)
+      })
+    var run = 1L
+    i = 1
+    while (i < n) {
+      if (w(i - 1).equals(w(i))) run += 1
+      else { f(w(i - 1), run); run = 1L }
+      i += 1
+    }
+    f(w(n - 1), run)
+    n
+  }
+}
+
 object TokenEntropyStats {
   /** round(ln(tf), 8) as exact 1e-8 long units — the same value
     * Spark's `round(log(tf), 8).cast(DECIMAL(18,8))` pins, by the
@@ -367,44 +407,17 @@ object TokenEntropyStats {
       .unscaledValue().longValueExact()
 
   def stats(toks: ArrayData): Any = {
-    val total = toks.numElements()
-    // collect non-empty tokens (split() of leading whitespace yields
-    // empty strings — the declarative path filters token <> '')
-    val w = new Array[org.apache.spark.unsafe.types.UTF8String](total)
-    var n = 0
-    var i = 0
-    while (i < total) {
-      val t = toks.getUTF8String(i)
-      if (t != null && t.numBytes() > 0) { w(n) = t; n += 1 }
-      i += 1
-    }
-    if (n == 0) return null
-    // sort the tokens THEMSELVES (no index indirection — unlike
-    // BigramTopCount, runs are all that matter here, not positions)
-    java.util.Arrays.sort(w, 0, n,
-      new java.util.Comparator[org.apache.spark.unsafe.types.UTF8String] {
-        override def compare(
-            x: org.apache.spark.unsafe.types.UTF8String,
-            y: org.apache.spark.unsafe.types.UTF8String): Int = x.compareTo(y)
-      })
     val lnCache = new java.util.HashMap[java.lang.Long, java.lang.Long]()
     var distinct = 0L
     var sumUnits = 0L
-    var run = 1L
-    def close(tf: Long): Unit = {
+    val n = TokenRuns.foreachRun(toks) { (_, tf) =>
       distinct += 1
       var u = lnCache.get(tf)
       if (u == null) { u = java.lang.Long.valueOf(lnUnits(tf)); lnCache.put(tf, u) }
       sumUnits = java.lang.Math.addExact(sumUnits,
         java.lang.Math.multiplyExact(u.longValue(), tf))
     }
-    i = 1
-    while (i < n) {
-      if (w(i - 1).equals(w(i))) run += 1
-      else { close(run); run = 1L }
-      i += 1
-    }
-    close(run)
+    if (n == 0) return null
     // exact 1e-8-unit sum -> correctly rounded double, the same value
     // as CAST(SUM(DECIMAL(18,8) * tf) AS DOUBLE)
     val termSum = new java.math.BigDecimal(
@@ -459,35 +472,11 @@ case class TokenCounts(child: Expression)
 
 object TokenCounts {
   def counts(toks: ArrayData): Any = {
-    val total = toks.numElements()
-    val w = new Array[org.apache.spark.unsafe.types.UTF8String](total)
-    var n = 0
-    var i = 0
-    while (i < total) {
-      val t = toks.getUTF8String(i)
-      if (t != null && t.numBytes() > 0) { w(n) = t; n += 1 }
-      i += 1
+    val out = new java.util.ArrayList[org.apache.spark.sql.catalyst.InternalRow]()
+    val n = TokenRuns.foreachRun(toks) { (tok, tf) =>
+      out.add(org.apache.spark.sql.catalyst.InternalRow(tok.clone(), tf))
     }
     if (n == 0) return null
-    java.util.Arrays.sort(w, 0, n,
-      new java.util.Comparator[org.apache.spark.unsafe.types.UTF8String] {
-        override def compare(
-            x: org.apache.spark.unsafe.types.UTF8String,
-            y: org.apache.spark.unsafe.types.UTF8String): Int = x.compareTo(y)
-      })
-    val out = new java.util.ArrayList[org.apache.spark.sql.catalyst.InternalRow]()
-    var run = 1L
-    i = 1
-    while (i < n) {
-      if (w(i - 1).equals(w(i))) run += 1
-      else {
-        out.add(org.apache.spark.sql.catalyst.InternalRow(
-          w(i - 1).clone(), run))
-        run = 1L
-      }
-      i += 1
-    }
-    out.add(org.apache.spark.sql.catalyst.InternalRow(w(n - 1).clone(), run))
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       out.toArray(new Array[org.apache.spark.sql.catalyst.InternalRow](0))
         .asInstanceOf[Array[Any]])

@@ -475,7 +475,7 @@ object Num {
     require(rows.length <= cap,
       s"sampleBrackets: ${rows.length} sampled rows exceed the driver " +
         s"cap $cap even at fraction $f — pass a smaller " +
-        "`fraction` (target ~1e6 rows)")
+        s"`fraction` (target ~$cap rows)")
     (for {
       g <- rows.map(_.getInt(0)).distinct
       (c, i) <- cols.zipWithIndex

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -435,16 +435,27 @@ object Relational {
     * The same shape at 100 TB: telemetry props are overwhelmingly
     * flat, and the fallback keeps the general contract exact.
     */
-  def jsonExtract(s: SparkSession, dir: String): DataFrame = {
-    val simple = col("props").rlike("^\\{\"k\": -?[0-9]+\\}$")
-    val kval = when(simple,
+  /** The guarded fast-path extraction expression, exposed so
+    * JsonFastPathSpec drives its adversarial inputs through the
+    * PRODUCT expression (a spec-local copy could silently drift).
+    * Guard notes: `\A/\z` anchors (Java's `$` also matches before a
+    * trailing line terminator), and the integer token is
+    * `(0|-?[1-9][0-9]*)` — leading-zero literals like `007` are
+    * INVALID JSON (Jackson yields null) and `-0` re-serializes as
+    * `0`, so both must take the parser path to stay bit-identical.
+    */
+  def jsonKValue: Column = {
+    val simple = col("props").rlike("\\A\\{\"k\": (0|-?[1-9][0-9]*)\\}\\z")
+    when(simple,
       substring_index(substring_index(col("props"), ": ", -1), "}", 1))
       .otherwise(get_json_object(col("props"), "$.k"))
+  }
+
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
     Sources.table(s, dir, "events")
-      .select(kval.as("k_value"))
+      .select(jsonKValue.as("k_value"))
       .groupBy("k_value")
       .agg(count(lit(1)).as("n"))
-  }
 
   /** `merge_upsert` — MERGE/upsert semantics as one full-outer join:
     * apply a batch of updates to a snapshot, keeping updated rows where

@@ -14,6 +14,16 @@ class JsonFastPathSpec extends SparkSpec {
     val props = Seq(
       """{"k": 69}""",            // fast path
       """{"k": -42}""",           // fast path, negative
+      """{"k": 0}""",             // fast path, zero
+      """{"k": 007}""",           // leading zeros: INVALID JSON — falls
+                                  // back (Jackson yields null; the r14
+                                  // review caught the first guard
+                                  // admitting this)
+      """{"k": -007}""",          // ditto
+      """{"k": -0}""",            // -0 re-serializes as 0: falls back
+      """{"k": 99999999999999999999999}""", // > long: whatever the
+                                  // parser does, equality must hold
+      "{\"k\": 1}\n",             // trailing newline: \\z guard falls back
       """{"k":69}""",             // no space: falls back
       """{"k": 69 }""",           // trailing space: falls back
       """{"k": "69"}""",          // quoted value: falls back
@@ -24,11 +34,8 @@ class JsonFastPathSpec extends SparkSpec {
       """not json""",             // malformed: falls back (null)
       null.asInstanceOf[String])
     val df = props.toDF("props")
-    val simple = col("props").rlike("^\\{\"k\": -?[0-9]+\\}$")
-    val fast = when(simple,
-      substring_index(substring_index(col("props"), ": ", -1), "}", 1))
-      .otherwise(get_json_object(col("props"), "$.k"))
-    val rows = df.select(col("props"), fast.as("f"),
+    // the PRODUCT expression, not a spec-local copy (r14 review)
+    val rows = df.select(col("props"), Relational.jsonKValue.as("f"),
       get_json_object(col("props"), "$.k").as("g")).collect()
     rows.foreach { r =>
       assert(r.getAs[String]("f") == r.getAs[String]("g"),
