@@ -110,7 +110,8 @@ object ExplainDump {
       "asof_join" -> "as-of join: one exchange, window, no join operator",
       "dedup_text" -> "content-hash dedup: one keyed exchange",
       "text_entropy" -> "entropy folded into ONE per-doc aggregate (r6: totals join eliminated)",
-      "text_bigram_lm" -> "bigram LM via count windows, no aggregate-join-back (r6)",
+      "text_bigram_lm" -> "bigram LM de-skewed (r15): corpus counts as map-side-combined aggregates over ONE reused doc-keyed exchange (ReuseExchange feeds count branch + probe from a single explode), per-bigram NLL broadcast back; replaces the r6 occurrence-level count windows whose Zipf-head word funneled ~5% of the corpus into one unsplittable window task",
+      "text_tfidf" -> "tf-idf de-skewed (r15): document frequency as a map-side-combined aggregate over ONE reused doc-keyed exchange, broadcast back; replaces the r6 token-partitioned count window (corpus-sized group on the Zipf-head token); top-k keeps the WindowGroupLimit pushdown on the doc key",
       "text_repetition" -> "ZERO keyed exchanges, no explode, no aggregate (r8: the per-doc Gopher repetition stats fold over a sorted bigram run inside one projection — the statistic never leaves its row; only the presentation sort's range exchange remains. Supersedes the r7 explode + three-exchange form)",
       "cohort_retention" -> "two keyed exchanges, no join, no expand (r8: collect_set of active months per customer, cohort = array_min, explode to one row per (customer, month) so the triangle is a plain count — the r7 form paid a cohort join-back plus countDistinct's expand)",
       "snapshot_diff" -> "union of both snapshots over ONE keyed exchange (r8: each side pads the other's column with null, one map-side-combining max aggregate merges the pair per key, verdict compares in-row — the full-outer sort-merge join it replaces paid two exchanges and two sorts)",

@@ -455,23 +455,33 @@ object TextSim {
   /** `text_tfidf` — top-k terms per document by TF-IDF, the classic
     * relevance weighting (and the first non-trivial *multi-stage* text
     * statistic: term frequency per doc × document frequency per term ×
-    * corpus size). The document frequency is a COUNT WINDOW over the
-    * token partition of the per-doc term counts — not a separate
-    * aggregate joined back — skipping the df hash table's build and
-    * probe entirely (measured 2× at sf0.1). The trade-off is real and
-    * directional: WindowExec buffers each token's group (spilling past
-    * a threshold), so a heavy stopword token concentrates its group in
-    * one task, where the aggregate+join form (whose count table can
-    * broadcast) never ships the stream by token at all. At tfidf's
-    * scale the group size is bounded by the CORPUS DOC COUNT per
-    * token and df-heavy tokens are exactly the ones idf zeroes out —
-    * on a corpus where that bound bites, swap back to the
-    * aggregate+broadcast-join shape (the [[textLogprob]] pattern).
-    * Shuffle volume stays ∝ distinct (doc, term) keys; the corpus size
-    * is a 1-row broadcast; top-k per doc is a rank window on the doc
-    * key, never a global sort. Ranking uses the ROUNDED score so
-    * engine and oracle make identical rank decisions (raw `ln`
-    * last-bits may differ across libm implementations).
+    * corpus size). The document frequency is a map-side-combinable
+    * `groupBy(token).count()` JOINED BACK to the term stream — r15
+    * reverted the r6 count-window form (`count().over(
+    * Window.partitionBy("token"))`). The window form saved the df
+    * table's build+probe at sf0.1, but it ships EVERY (doc, token)
+    * row of a token to that token's single window partition, and a
+    * window partition cannot be split: under a Zipfian vocabulary the
+    * head token's group is a fixed fraction of the corpus in ONE task
+    * at 100 TB. The aggregate form partial-aggregates the hot token
+    * across all input tasks (one row per task per token crosses the
+    * wire for the count), and the join back is a JOIN, which AQE can
+    * either convert to broadcast (vocab-bounded build side) or
+    * skew-split per partition — both impossible for WindowExec.
+    * The stream is exchanged ONCE, on the skew-free doc key (which
+    * the final top-k window needs anyway), and ReuseExchange feeds
+    * both the df aggregate and the probe from that single
+    * tokenize+shuffle; the df table broadcasts back. Measured
+    * one-window at sf0.1: 0.375 s vs 0.394 s window form — and the
+    * sf0.01→sf0.1 data marginal fell +0.247 → +0.065 s (the r6 "2×
+    * window win" held only for the pre-kernel occurrence-level
+    * stream; with one reused exchange the join form wins outright).
+    * Shuffle volume stays ∝ distinct (doc, term) keys, keyed by doc;
+    * the corpus size is a 1-row broadcast; top-k per doc is a rank
+    * window on the doc key, never a global sort.
+    * Ranking uses the ROUNDED score so engine and oracle make
+    * identical rank decisions (raw `ln` last-bits may differ across
+    * libm implementations).
     */
   def textTfidf(s: SparkSession, dir: String, k: Int = 3): DataFrame =
     textTfidf(docs(s, dir), k)
@@ -490,11 +500,29 @@ object TextSim {
           .tokenCounts(d.sparkSession, tokens(col("text")))).as("p"))
       .select(col("doc_id"), col("p.token").as("token"),
         col("p.tf").as("tf"))
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("token")))
+      // one explicit exchange on the SKEW-FREE doc key: ReuseExchange
+      // makes the df branch and the probe branch share this single
+      // tokenize+shuffle (tokenization would otherwise run once per
+      // branch), and the same partitioning already satisfies the
+      // downstream top-k window's doc_id distribution — so the stream
+      // crosses the wire exactly once, keyed by doc, never by token
+      .repartition(col("doc_id"))
+    // document frequency: aggregate + join-back, NOT a count window —
+    // the window funnels every row of the Zipf-head token into one
+    // unsplittable task (see scaladoc). One row per distinct (doc,
+    // term) enters the join; the df side is one row per distinct term.
+    // `count(when(tf >= 1, …))` counts every row (per-doc term counts
+    // are ≥ 1 by construction) — the tf reference exists so column
+    // pruning keeps this branch's sub-exchange schema identical to the
+    // probe branch's and ReuseExchange can unify them; a plain
+    // count(1) prunes tf below the exchange and the stream tokenizes
+    // twice (measured: the reuse is the A/B win, not the count form)
+    val dfRel = tf.groupBy("token")
+      .agg(count(when(col("tf") >= 1, 1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
-    tf.crossJoin(broadcast(nDocs))
+    tf.join(broadcast(dfRel), "token")
+      .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("token"),
         round(col("tf") * log(col("n_docs").cast(DoubleType) / col("df")), 4)
           .as("tfidf"))
@@ -551,17 +579,31 @@ object TextSim {
     * smoothing needed — every scored bigram exists in the corpus it
     * was counted from.
     *
-    * Shapes: one exploded bigram pass, then the bigram count c2 and
-    * head count c1 as COUNT WINDOWS over the (w1,w2) and (w1)
-    * partitions of that stream — not aggregate-and-join-back,
-    * skipping two count hash tables' build and probe (measured 3.5×
-    * at sf0.1; identical counts by construction, pinned in
-    * ReplanEquivalenceSpec). Same caveat as [[textTfidf]]: a
-    * pathologically heavy head word makes one window group large
-    * (WindowExec buffers per group, spilling past a threshold) where
-    * the join form's broadcast count tables leave the stream
-    * unshuffled — on a corpus whose head-word skew bites, use the
-    * aggregate+broadcast-join shape instead. The per-doc mean is ALL-INTEGER: per-bigram NLLs round to
+    * Shapes (r15 de-skew — reverting the r6 count-window form): one
+    * exploded bigram pass; the bigram count c2 and head count c1 are
+    * map-side-combinable AGGREGATES (c1 summed from c2, so only the
+    * distinct-bigram relation is re-read, never the occurrence
+    * stream), folded into one per-bigram NLL relation that joins back
+    * to the stream on (w1, w2). The r6 window form
+    * (`count().over(Window.partitionBy("w1"))`) shipped every
+    * occurrence of a head word to ONE unsplittable window task —
+    * under Zipf the head word is ~5% of all bigram rows, a one-task
+    * funnel holding ~5% of the corpus at 100 TB. The aggregate form
+    * partial-combines the hot key across input tasks, and the join
+    * back is skew-splittable / broadcast-convertible by AQE — a
+    * window partition is neither. The stream is exchanged ONCE, on
+    * the skew-free doc key (which the final per-doc aggregate needs
+    * anyway); ReuseExchange feeds the count branch and the probe from
+    * that single explode+shuffle, and the per-bigram NLL relation
+    * broadcasts back. The head-count c1 IS still a sum window — but
+    * over the aggregated distinct-bigram relation, whose group size
+    * is the number of distinct successors of w1: vocabulary-bounded
+    * (Heaps-law sublinear), not corpus-bounded like the occurrence
+    * window it replaces. Counts are identical by construction,
+    * pinned in ReplanEquivalenceSpec; one-window A/B at sf0.1:
+    * 0.557 s vs 0.560 s window form, with the sf0.01→sf0.1 data
+    * marginal down +0.477 → +0.22 s (the NLL computes once per
+    * DISTINCT bigram, not per occurrence). The per-doc mean is ALL-INTEGER: per-bigram NLLs round to
     * micro-nat longs, and the 4-dp mean is a half-up integer division
     * `(2·Σ + d) DIV 2d` — at sf0.1 one doc's mean landed exactly on a
     * `round(double, 4)` half-boundary where Spark (exact binary
@@ -577,18 +619,50 @@ object TextSim {
     val bg = docs
       .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("words"))
       .filter(size(col("words")) >= 2)
-      // `words` re-bound as `w` before per-element access — the
-      // substitution-safety rule [[textRepetition]] documents
-      .select(col("doc_id"), explode(expr(
-        "transform(array(words), w -> transform(sequence(1, size(w) - 1)," +
-          " i -> struct(w[i - 1] AS w1, w[i] AS w2)))[0]")).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    import org.apache.spark.sql.expressions.Window
-    bg.withColumn("c2", count(lit(1)).over(Window.partitionBy("w1", "w2")))
-      .withColumn("c1", count(lit(1)).over(Window.partitionBy("w1")))
-      .select(col("doc_id"),
+      // posexplode + index, NOT transform(...) lambdas: lambda-bearing
+      // expressions canonicalize unequal across plan branches, which
+      // silently defeats the ReuseExchange unification below (observed:
+      // the count branch re-ran the whole explode). The i-bound filter
+      // sits below the w2 projection, so the ANSI array index can
+      // never go out of bounds.
+      .select(col("doc_id"), col("words"),
+        posexplode(col("words")).as(Seq("i", "w1")))
+      .filter(col("i") <= size(col("words")) - 2)
+      .select(col("doc_id"), col("w1"),
+        col("words").getItem(col("i") + 1).as("w2"))
+      // no-op (the i-bound guarantees the index is in range, so w2 is
+      // never null) — but stating it HERE, below the shared exchange,
+      // stops the join's inferred isnotnull(w2) from landing on the
+      // probe branch alone and de-syncing the two subtrees ReuseExchange
+      // must see as identical
+      .filter(col("w2").isNotNull)
+      // one explicit exchange on the SKEW-FREE doc key, shared by the
+      // count branch and the probe branch via ReuseExchange (the
+      // bigram explode would otherwise run once per branch); the same
+      // partitioning satisfies the final per-doc aggregate's
+      // distribution, so the stream crosses the wire exactly once,
+      // keyed by doc, never by a Zipf-skewed word
+      .repartition(col("doc_id"))
+    // corpus statistics as aggregates (map-side combined), never
+    // count windows; c1 derives from c2 so the occurrence stream is
+    // scanned once for counting; the per-bigram NLL is computed once
+    // per DISTINCT bigram and joined back on the full (w1, w2) key
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    // c1 as a sum window over the AGGREGATED bigram relation, not a
+    // second aggregate joined back: referencing c2 twice defeats
+    // exchange reuse (the optimizer re-plans the whole occurrence
+    // subtree under the second reference — observed, not theoretical),
+    // and this window's group size is the number of DISTINCT
+    // successors of w1 — vocabulary-bounded (Heaps-law sublinear),
+    // not corpus-bounded like the occurrence-level window it replaces
+    val nll = c2
+      .withColumn("c1", sum(col("c2")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("w1")))
+      .select(col("w1"), col("w2"),
         round(log(col("c1").cast(DoubleType) / col("c2")) * 1e6, 0)
           .cast(LongType).as("nll6"))
+    bg.join(broadcast(nll), Seq("w1", "w2"))
+      .select(col("doc_id"), col("nll6"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("nll6")).as("s6"))
       // half-up mean at 4 dp in pure long arithmetic: d = n·100 turns

@@ -257,6 +257,57 @@ class PlanAuditSpec extends SparkSpec {
       s"hash-path regressions:\n${offenders.mkString("\n")}")
   }
 
+  test("text corpus counts never window the occurrence stream (r15 de-skew)") {
+    // text_tfidf / text_bigram_lm corpus statistics must be map-side-
+    // combinable aggregates joined back, never count windows keyed on
+    // a Zipf-skewed token: a window partition is unsplittable, so the
+    // head token's group is a fixed fraction of the corpus in ONE task
+    // at 100 TB. Pinned structurally: any WindowExec NOT partitioned
+    // on the doc key (doc-keyed groups are bounded by document length
+    // / top-k) must sit over an aggregated relation (vocab-bounded),
+    // and the shared doc-keyed exchange must be REUSED, not duplicated
+    // (a second Generate means the stream tokenizes once per branch).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.GenerateExec
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        p +: nodes(a.executedPlan)
+      case _ => p +: p.children.flatMap(nodes)
+    }
+    // the reuse pin needs the static plan: under AQE the shared
+    // exchange unifies at RUNTIME (stage-level reuse), so the
+    // pre-execution adaptive plan still shows two subtrees — assert
+    // under the bench's canonical AQE-off config on a child session
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    for ((name, df) <- Seq(
+        "text_tfidf" -> TextSim.textTfidf(s2, sf),
+        "text_bigram_lm" -> TextSim.textBigramLm(s2, sf))) {
+      val root = df.queryExecution.executedPlan
+      val all = nodes(root)
+      assert(all.count(_.isInstanceOf[GenerateExec]) == 1,
+        s"$name: the token stream must explode exactly once " +
+          s"(ReuseExchange must unify the count and probe branches):\n" +
+          root.toString.take(2000))
+      assert(root.toString.contains("ReusedExchange"),
+        s"$name: lost the shared doc-keyed exchange:\n" +
+          root.toString.take(2000))
+      val offenders = all.collect {
+        case w: WindowExec
+            if !w.partitionSpec.exists(_.references.exists(
+              _.name == "doc_id")) &&
+              !nodes(w.child).exists(_.isInstanceOf[BaseAggregateExec]) =>
+          w.simpleStringWithNodeId()
+      }
+      assert(offenders.isEmpty,
+        s"$name: corpus-keyed window over a non-aggregated stream " +
+          s"(the 100TB skew funnel): ${offenders.mkString("; ")}")
+    }
+  }
+
   test("partitioned parquet writes prune partitions on read-back") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     val ev = graft.ops.Sources.table(spark, sf, "events")
