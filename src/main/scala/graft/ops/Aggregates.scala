@@ -166,7 +166,15 @@ object Aggregates {
         Map(0 -> li.agg(aggCols.head, aggCols.tail: _*).collect()(0))
       case Some(_) =>
         li.groupBy(gExpr.as("gk")).agg(aggCols.head, aggCols.tail: _*)
-          .collect().map(r => r.getInt(r.fieldIndex("gk")) -> r).toMap
+          .collect().map { r =>
+            // getInt on a NULL key silently reads 0 — a nullable group
+            // column would merge its null group into group 0 (and
+            // collide fit rows); fail loudly instead
+            require(!r.isNullAt(r.fieldIndex("gk")),
+              "profileFit: NULL group key — the grouped fit requires " +
+                "a non-null group column")
+            r.getInt(r.fieldIndex("gk")) -> r
+          }.toMap
     }
     def cnt(r: org.apache.spark.sql.Row, f: String): Long =
       Option(r.getAs[Any](f)).map(_.asInstanceOf[Long]).getOrElse(0L)

@@ -141,26 +141,6 @@ object Cluster {
       .agg(count(lit(1)).as("n"),
         round(sum(col("dist2")), 2).as("inertia"))
 
-  /** `cluster_assign_portable` — the ORACLE TWIN for the
-    * kmeans/SemDedup assignment core (r13 VERDICT #7: the last
-    * unit-only corpus pair), mirroring the minhash/simhash twin
-    * pattern: fix the centroids to the k lowest-`vec_id` embeddings
-    * (the same deterministic init [[kmeansCentroids]] uses, no Lloyd
-    * rounds) and emit every vector's argmin cluster and squared
-    * distance. Bit-portability rests on SEQUENTIAL index-order folds:
-    * `aggregate(zip_with(v, c, (x−y)²), 0.0, +)` here and DuckDB's
-    * `list_reduce` in the oracle SQL perform the identical chain of
-    * double adds over identical doubles (float32 inputs cast exactly;
-    * (x−y)² of two float32-as-doubles carries ≤48 mantissa bits,
-    * exact), so distances — and therefore the (d2, cid)-lexicographic
-    * argmin — hash-match with NO rounding tolerance. Cross-checked
-    * against python folds bit-for-bit before wiring.
-    *
-    * Scale shape: centroids enter the plan as k·d literals (no join,
-    * no shuffle) — one codegen'd projection per vector, the same
-    * O(N·k·d) map-only shape as [[kmeansAssign]]; the oracle's
-    * e×c cross join is the SQL-side spelling only.
-    */
   /** `dedup_semantic_portable` — the ORACLE TWIN for
     * [[graft.ops.NearDup.dedupSemantic]]'s whole shape: cell
     * assignment under the deterministic init centroids
@@ -203,6 +183,26 @@ object Cluster {
         coalesce(!col("dup"), lit(true)).as("kept"))
   }
 
+  /** `cluster_assign_portable` — the ORACLE TWIN for the
+    * kmeans/SemDedup assignment core (r13 VERDICT #7: the last
+    * unit-only corpus pair), mirroring the minhash/simhash twin
+    * pattern: fix the centroids to the k lowest-`vec_id` embeddings
+    * (the same deterministic init [[kmeansCentroids]] uses, no Lloyd
+    * rounds) and emit every vector's argmin cluster and squared
+    * distance. Bit-portability rests on SEQUENTIAL index-order folds:
+    * `aggregate(zip_with(v, c, (x−y)²), 0.0, +)` here and DuckDB's
+    * `list_reduce` in the oracle SQL perform the identical chain of
+    * double adds over identical doubles (float32 inputs cast exactly;
+    * (x−y)² of two float32-as-doubles carries ≤48 mantissa bits,
+    * exact), so distances — and therefore the (d2, cid)-lexicographic
+    * argmin — hash-match with NO rounding tolerance. Cross-checked
+    * against python folds bit-for-bit before wiring.
+    *
+    * Scale shape: centroids enter the plan as k·d literals (no join,
+    * no shuffle) — one codegen'd projection per vector, the same
+    * O(N·k·d) map-only shape as [[kmeansAssign]]; the oracle's
+    * e×c cross join is the SQL-side spelling only.
+    */
   def clusterAssignPortable(s: SparkSession, dir: String,
                             k: Int = 8): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")

@@ -476,6 +476,12 @@ object Num {
       s"sampleBrackets: ${rows.length} sampled rows exceed the driver " +
         s"cap $cap even at fraction $f — pass a smaller " +
         s"`fraction` (target ~$cap rows)")
+    // getInt on a NULL key silently reads 0 and would merge the null
+    // group into group 0 — reject loudly instead (current callers'
+    // keys are non-null by construction; this guards future ones)
+    require(rows.forall(!_.isNullAt(0)),
+      "sampleBrackets: NULL group key in sample — filter or coalesce " +
+        "the group column before fitting")
     (for {
       g <- rows.map(_.getInt(0)).distinct
       (c, i) <- cols.zipWithIndex

@@ -219,9 +219,12 @@ object TimeOps {
     // window-frame add went through BigDecimal. Bit-identical output
     // (same exact rationals → same closing double casts; A/B'd
     // row-for-row at sf0.1), measured 0.31 → 0.23 s warm. Overflow:
-    // ANSI long sums THROW loudly; cum v²-units ≤ 9e8/row leaves
-    // headroom past 10^10 rows per user partition — beyond that,
-    // return to the decimal spelling.
+    // ANSI long sums THROW loudly; headroom is VALUE-dependent —
+    // per-row v² units are (100·v)², so rows-per-user before 2^63 ≈
+    // 2^63 / (100·v_max)². The events fixture bounds value ≤ ~300
+    // (v² units ≤ 9e8/row → headroom past 10^10 rows per user); at
+    // v_max ~1e4 the bound is ~9e6 rows per user. Beyond that the
+    // sum fails loudly — return to the decimal spelling.
     def trailingU(cum: Column, scale: Int): Column =
       Num.fromUnits(cum - coalesce(lag(cum, frame).over(wOrd), lit(0L)),
         scale)

@@ -42,7 +42,15 @@ class ProfileFitSpec extends SparkSpec {
     // the output frame is literal-built; the assertion that matters is
     // that building it never planned an ObjectHashAggregate — verified
     // by spying the fit pass directly:
+    // tag THIS test's relation with a no-op filter carrying a unique
+    // literal: it survives into every fit-pass plan (pushed into the
+    // scan's DataFilters), so the listener flags only executions of
+    // this test — another suite running builtin percentile in
+    // parallel on the shared session can no longer false-fail it
+    // (r14 ADVICE: the untagged guard flagged ANY ObjectHashAggregate)
+    val fitTag = "-987654.25"
     val li = Sources.table(spark, sf, "lineitem")
+      .filter(col("l_quantity") > fitTag.toDouble)
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       @volatile var sawObjectHash = false
       override def onSuccess(f: String,
@@ -51,7 +59,8 @@ class ProfileFitSpec extends SparkSpec {
         val p = qe.executedPlan.toString
         // the obj_sentinel query below is ObjectHashAggregate on
         // purpose — only it is exempt
-        if (p.contains("ObjectHashAggregate") && !p.contains("obj_sentinel"))
+        if (p.contains("ObjectHashAggregate") && p.contains(fitTag) &&
+            !p.contains("obj_sentinel"))
           sawObjectHash = true
       }
       override def onFailure(f: String,
