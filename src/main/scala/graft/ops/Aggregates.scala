@@ -63,7 +63,10 @@ object Aggregates {
     def profile(c: String): DataFrame =
       li.agg(
         count(col(c)).as("n"),
-        davg(col(c)).as("mean"),
+        // r15: exact mean via long units like agg_profile's
+        // (bit-identical to the davg it replaces; quantity integer,
+        // price/discount exactly 2 dp)
+        lavg(col(c), if (c == "l_quantity") 0 else 2).as("mean"),
         expr(s"approx_percentile($c, 0.5)").as("median_approx"),
         round(stddev_samp(col(c)), 4).as("std"),
         min(col(c)).as("min_val"),
@@ -687,7 +690,11 @@ object Aggregates {
     val w = Window.orderBy("ym")
     Sources.table(s, dir, "orders")
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
-      .agg(dsum(col("o_totalprice")).as("revenue"))
+      // r15: hi/lo long-unit sum (price exactly 2 dp; same exact
+      // rational as dsum → bit-identical revenue) — monthly groups
+      // are corpus-sized, so the split accumulator's 2^32 extra
+      // headroom matters and both partial sums stay primitive
+      .agg(lsumWide(col("o_totalprice"), 2).as("revenue"))
       .select(col("ym"), col("revenue"),
         round(lit(100.0) * (col("revenue") - lag(col("revenue"), 1).over(w)) /
           lag(col("revenue"), 1).over(w), 4).as("pct_change"))

@@ -723,7 +723,11 @@ object Relational {
       .join(broadcast(Sources.table(s, dir, "nation")),
         col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
-      .agg(dsum(col("o_totalprice")).as("revenue"))
+      // r15: hi/lo long-unit sum (price exactly 2 dp; same exact
+      // rational as dsum → bit-identical) — 25 nation groups make
+      // per-group row counts corpus-scale, the split accumulator's
+      // headroom case
+      .agg(Num.lsumWide(col("o_totalprice"), 2).as("revenue"))
     perNation
       .select(col("n_name"), col("revenue"),
         round(lit(100.0) * col("revenue") /

@@ -817,15 +817,30 @@ object TextSim {
   def corpusStats(s: SparkSession, dir: String): DataFrame =
     corpusStats(docs(s, dir))
 
-  /** [[corpusStats]] over any `(doc_id, text)` relation. */
+  /** [[corpusStats]] over any `(doc_id, text)` relation.
+    *
+    * r15 re-plan (the weak-list +0.17 marginal was 3× DuckDB's for
+    * one global summary): the old shape tokenized the corpus TWICE —
+    * once for the per-doc size sum, once for the vocab countDistinct.
+    * Now the token stream materializes once into a per-token count
+    * aggregate (map-side combined; shuffle rows = distinct tokens per
+    * task, vocabulary-bounded at any corpus size), and BOTH
+    * `total_tokens` (Σ counts ≡ Σ per-doc sizes, same empty-token
+    * filter) and `unique_tokens` (row count) fold from that one
+    * relation — no countDistinct rewrite, no second pass. `n_docs`
+    * comes from a column-less count whose scan reads parquet footer
+    * row counts, not data. Empty-corpus edge: the coalesce keeps
+    * total_tokens 0 (the old per-doc sum over zero-token docs), so
+    * the closing divisions see identical inputs.
+    */
   def corpusStats(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      filter(tokens(trim(col("text"))), t => t =!= "").as("toks"))
-    val perDoc = toks.select(size(col("toks")).cast(LongType).as("n_toks"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_tokens"))
-    val vocab = toks.select(explode(col("toks")).as("token"))
-      .agg(countDistinct(col("token")).as("unique_tokens"))
-    perDoc.crossJoin(vocab)
+    val tc = docs.select(explode(
+        filter(tokens(trim(col("text"))), t => t =!= "")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    val toksAgg = tc.agg(
+      count(lit(1)).as("unique_tokens"),
+      coalesce(sum(col("c")), lit(0L)).as("total_tokens"))
+    docs.agg(count(lit(1)).as("n_docs")).crossJoin(toksAgg)
       .select(col("n_docs"), col("total_tokens"), col("unique_tokens"),
         round(col("total_tokens").cast(DoubleType) /
           col("n_docs").cast(DoubleType), 4).as("avg_doc_tokens"),
@@ -1002,16 +1017,23 @@ object TextSim {
 
   /** `embed_label_stats` — per-label vector profile: count and mean L2
     * norm. The grouped reduction over [[embedNorms]]'s projection —
-    * norms are rounded to a 4-dp lattice first, then summed as exact
-    * decimals ([[Num.dsum]]), so the per-label means are
-    * order-independent and engine-portable. One scan, one hash agg
-    * keyed on the (tiny-cardinality) label.
+    * norms are rounded to a 4-dp lattice first, then summed exactly
+    * as hi/lo long units ([[Num.lsumWide]] — same exact rational as
+    * the decimal sum), so the per-label means are order-independent
+    * and engine-portable. One scan, one hash agg keyed on the
+    * (tiny-cardinality) label.
     */
   def embedLabelStats(s: SparkSession, dir: String): DataFrame =
     embedNormsUnordered(s, dir)
       .groupBy("label")
+      // r15: norms are already on the 4-dp lattice, so the hi/lo
+      // long-unit sum carries the same exact rational as the dsum it
+      // replaces (bit-identical mean) with primitive accumulators;
+      // label cardinality is tiny → corpus-scale groups, the split
+      // accumulator's headroom case
       .agg(count(lit(1)).as("n_vectors"),
-        round(dsum(col("l2_norm")) / count(lit(1)), 4).as("avg_l2_norm"))
+        round(graft.ops.Num.lsumWide(col("l2_norm"), 4) / count(lit(1)), 4)
+          .as("avg_l2_norm"))
 
   /** `quality_gopher` — the Gopher quality-rule subset (Rae et al.
     * 2021, "Scaling Language Models", appendix A1.1) that is

@@ -223,8 +223,11 @@ object Transforms {
     val odd = o.filter(col("o_orderkey") % 2 === 1)
     even.unionByName(odd)
       .groupBy("o_orderstatus")
+      // r15: hi/lo long-unit sum (price exactly 2 dp; bit-identical
+      // to the dsum it replaces) — three status groups concentrate
+      // the whole table, the split accumulator's headroom case
       .agg(count(lit(1)).as("n_orders"),
-        dsum(col("o_totalprice")).as("total_price"))
+        lsumWide(col("o_totalprice"), 2).as("total_price"))
   }
 
   /** `union_distinct` — U1's distinct-semantics counterpart (SQL
