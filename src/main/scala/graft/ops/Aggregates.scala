@@ -66,7 +66,7 @@ object Aggregates {
         // r15: exact mean via long units like agg_profile's
         // (bit-identical to the davg it replaces; quantity integer,
         // price/discount exactly 2 dp)
-        lavg(col(c), if (c == "l_quantity") 0 else 2).as("mean"),
+        profileMean(c).as("mean"),
         expr(s"approx_percentile($c, 0.5)").as("median_approx"),
         round(stddev_samp(col(c)), 4).as("std"),
         min(col(c)).as("min_val"),
@@ -98,6 +98,25 @@ object Aggregates {
   private val profileCols = Seq("l_quantity", "l_extendedprice",
     "l_discount")
 
+  /** One authoritative per-column long-unit scale for the profile
+    * family (r15 ADVICE: the name-keyed `if` was duplicated in
+    * [[aggProfileApprox]] and [[profileSimpleAggs]] and easy to
+    * drift): quantity is integer-valued, price/discount exactly 2 dp
+    * in the fixtures. [[profileMean]] dispatches here; a column with
+    * no entry falls back to the decimal [[Num.davg]] (scale 4) —
+    * slower per row but exact for anything up to 4 dp, matching the
+    * pre-r15 behavior instead of the units round-trip guard raising
+    * at runtime.
+    */
+  private val profileScale: Map[String, Int] =
+    Map("l_quantity" -> 0, "l_extendedprice" -> 2, "l_discount" -> 2)
+
+  /** Exact mean for a profiled column: long-unit fast path at the
+    * column's known scale, decimal fallback for unknown columns.
+    */
+  private def profileMean(c: String): Column =
+    profileScale.get(c).map(lavg(col(c), _)).getOrElse(davg(col(c)))
+
   /** The 15 map-reducible profile metrics — every one a codegen'd
     * hash-aggregate function. Means are exact long-unit sums
     * ([[Num.lavg]] — quantity integer, price/discount exactly 2 dp),
@@ -106,7 +125,7 @@ object Aggregates {
   private def profileSimpleAggs: Seq[Column] =
     profileCols.flatMap { c => Seq(
       count(col(c)).as(s"n_$c"),
-      lavg(col(c), if (c == "l_quantity") 0 else 2).as(s"mean_$c"),
+      profileMean(c).as(s"mean_$c"),
       round(stddev_samp(col(c)), 4).as(s"std_$c"),
       min(col(c)).as(s"min_$c"),
       max(col(c)).as(s"max_$c")) }

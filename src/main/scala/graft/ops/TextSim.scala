@@ -26,6 +26,27 @@ object TextSim {
   private def docs(s: SparkSession, dir: String) =
     Sources.table(s, dir, "documents")
 
+  /** Broadcast `rel` only while the optimizer's size estimate fits the
+    * session broadcast threshold. Corpus-statistic relations (distinct
+    * tokens, distinct bigrams) are small at test scale but grow with
+    * the corpus — distinct-bigram count near-linearly, token vocab
+    * sublinearly but unbounded (web-scale hashes/URLs/typos) — so a
+    * hard `broadcast()` hint would eventually exceed Spark's 8 GB
+    * broadcast cap and fail the query outright. The estimate here is
+    * the scan-propagated upper bound (aggregates pass child size
+    * through absent CBO stats), so the gate errs toward dropping the
+    * hint: past the threshold the join strategy is left to the
+    * planner/AQE, which can pick broadcast OR a skew-splittable
+    * shuffled join — the flexibility the hint forecloses.
+    */
+  private[ops] def sizeGatedBroadcast(rel: DataFrame): DataFrame = {
+    val thr = rel.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    if (thr > 0 &&
+        rel.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(thr))
+      broadcast(rel)
+    else rel
+  }
+
   /** Whitespace tokenization of lowercased text — the shared L1 step. */
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
@@ -471,7 +492,10 @@ object TextSim {
     * The stream is exchanged ONCE, on the skew-free doc key (which
     * the final top-k window needs anyway), and ReuseExchange feeds
     * both the df aggregate and the probe from that single
-    * tokenize+shuffle; the df table broadcasts back. Measured
+    * tokenize+shuffle; the df table joins back under
+    * [[sizeGatedBroadcast]] (broadcast at test scale; unhinted once
+    * the token vocabulary outgrows the threshold — web-scale corpora
+    * accrete hashes/URLs/typos without bound). Measured
     * one-window at sf0.1: 0.375 s vs 0.394 s window form — and the
     * sf0.01→sf0.1 data marginal fell +0.247 → +0.065 s (the r6 "2×
     * window win" held only for the pre-kernel occurrence-level
@@ -521,7 +545,7 @@ object TextSim {
       .agg(count(when(col("tf") >= 1, 1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
-    tf.join(broadcast(dfRel), "token")
+    tf.join(sizeGatedBroadcast(dfRel), "token")
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("token"),
         round(col("tf") * log(col("n_docs").cast(DoubleType) / col("df")), 4)
@@ -595,7 +619,12 @@ object TextSim {
     * the skew-free doc key (which the final per-doc aggregate needs
     * anyway); ReuseExchange feeds the count branch and the probe from
     * that single explode+shuffle, and the per-bigram NLL relation
-    * broadcasts back. The head-count c1 IS still a sum window — but
+    * joins back under [[sizeGatedBroadcast]]: broadcast while the
+    * size estimate fits the session threshold, unhinted past it —
+    * the distinct-bigram relation grows near-linearly with corpus
+    * size (unlike the unigram vocab), so a hard broadcast hint would
+    * hit Spark's broadcast cap at exactly the scale this de-skew
+    * targets. The head-count c1 IS still a sum window — but
     * over the aggregated distinct-bigram relation, whose group size
     * is the number of distinct successors of w1: vocabulary-bounded
     * (Heaps-law sublinear), not corpus-bounded like the occurrence
@@ -661,7 +690,7 @@ object TextSim {
       .select(col("w1"), col("w2"),
         round(log(col("c1").cast(DoubleType) / col("c2")) * 1e6, 0)
           .cast(LongType).as("nll6"))
-    bg.join(broadcast(nll), Seq("w1", "w2"))
+    bg.join(sizeGatedBroadcast(nll), Seq("w1", "w2"))
       .select(col("doc_id"), col("nll6"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("nll6")).as("s6"))

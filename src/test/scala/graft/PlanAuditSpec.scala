@@ -308,6 +308,37 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("corpus-stat join-backs size-gate their broadcast hint (r16)") {
+    // text_tfidf's df relation and text_bigram_lm's NLL relation grow
+    // with the corpus (distinct bigrams near-linearly), so their
+    // broadcast hint is size-GATED: applied while the optimizer
+    // estimate fits the session threshold, dropped past it so the
+    // planner falls back to a splittable shuffled join instead of
+    // hard-failing on the broadcast cap. Pin both arms: broadcast at
+    // test scale; a disabled-threshold child session (standing in for
+    // the 100 TB vocab) plans a non-broadcast equi-join and returns
+    // identical rows.
+    for (p <- Seq(plan(TextSim.textTfidf(spark, sf)),
+                  plan(TextSim.textBigramLm(spark, sf))))
+      assert(p.contains("BroadcastHashJoin"),
+        s"gate should broadcast at test scale:\n${p.take(2000)}")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    for ((big, small) <- Seq(
+        TextSim.textTfidf(s2, sf) -> TextSim.textTfidf(spark, sf),
+        TextSim.textBigramLm(s2, sf) -> TextSim.textBigramLm(spark, sf))) {
+      val p = big.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"),
+        s"gate must drop the hint when the estimate exceeds the " +
+          s"threshold:\n${p.take(2000)}")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a shuffled equi-join fallback:\n${p.take(2000)}")
+      assert(big.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|")) ==
+        small.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|")),
+        "fallback join changed the result")
+    }
+  }
+
   test("partitioned parquet writes prune partitions on read-back") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     val ev = graft.ops.Sources.table(spark, sf, "events")
