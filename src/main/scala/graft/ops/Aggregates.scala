@@ -376,18 +376,34 @@ object Aggregates {
     * any aggregation — n·|sets| hash updates. Pre-aggregating cuts
     * that to n + g·|sets| where g is the (bounded) group-tuple count,
     * and both levels stay codegen'd partial+final hash aggregates.
-    * Exactness: counts re-enter as sums of counts; decimal sums as
-    * sums of decimal partial sums (the exact rational total is
-    * identical, the closing double cast unchanged — the outer decimal
-    * widens 28→38 digits, GAINING overflow headroom). At 100 TB this
-    * is the difference between expanding 10¹² rows ×|sets| and
-    * expanding a few hundred group tuples.
+    * Exactness: counts re-enter as sums of counts; the price sum rides
+    * the hi/lo long-unit split (r17 — [[Num.unitsHi]]/[[Num.unitsLo]],
+    * two primitive long sums per pre-group instead of a per-row
+    * BigDecimal accumulator; price is exactly 2 dp, enforced by the
+    * [[Num.units]] round-trip guard). Phase 2 re-sums the partials as
+    * DECIMAL(38,0) — over the bounded group tuples that is a handful
+    * of decimal adds, and the headroom (Σlo can reach n·2³²) never
+    * overflows — then [[fromUnitsHiLo]] closes to the same double the
+    * old decimal spelling produced. At 100 TB this is the difference
+    * between expanding 10¹² rows ×|sets| and expanding a few hundred
+    * group tuples.
     */
   private def preAggregated(input: DataFrame, keys: Seq[String],
-                            price: String): DataFrame =
+                            price: String): DataFrame = {
+    val u = units(col(price), 2)
     input.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("pre_n"),
-        sum(col(price).cast(DecimalType(18, 4))).as("pre_sum"))
+        sum(unitsHi(u)).as("pre_hi"),
+        sum(unitsLo(u)).as("pre_lo"))
+  }
+
+  /** Phase-2 closer for [[preAggregated]]'s split partials: exact
+    * decimal re-sum of the hi/lo long partials, recombined to the
+    * double the one-level decimal sum would produce.
+    */
+  private def preSumClosed: Column =
+    fromUnitsHiLo(sum(col("pre_hi").cast(DecimalType(38, 0))),
+      sum(col("pre_lo").cast(DecimalType(38, 0))), 2)
 
   /** [[preAggregated]] for count-only consumers — no decimal-sum
     * accumulator for a column the query never reads.
@@ -406,7 +422,7 @@ object Aggregates {
       Seq("o_orderstatus", "o_orderpriority"), "o_totalprice")
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(sum(col("pre_n")).as("n_orders"),
-        sum(col("pre_sum")).cast(DoubleType).as("total_price"))
+        preSumClosed.as("total_price"))
 
   /** `agg_rollup` — A9, revenue by (region, nation) with ROLLUP
     * subtotals. nation/region are true dims (bounded size at any SF) →
@@ -434,7 +450,7 @@ object Aggregates {
     // the ≤25 (region, nation) tuples instead of every order row.
     preAggregated(joined, Seq("r_name", "n_name"), "o_totalprice")
       .rollup(col("r_name"), col("n_name"))
-      .agg(sum(col("pre_sum")).cast(DoubleType).as("revenue"),
+      .agg(preSumClosed.as("revenue"),
         sum(col("pre_n")).as("n_orders"))
   }
 
@@ -453,7 +469,7 @@ object Aggregates {
         Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
         col("o_orderstatus"), col("o_orderpriority"))
       .agg(sum(col("pre_n")).as("n_orders"),
-        sum(col("pre_sum")).cast(DoubleType).as("total_price"))
+        preSumClosed.as("total_price"))
 
   /** `agg_hist` — fixed-width value histogram over `events.value`
     * (width-50 buckets): the profiling primitive behind distribution
@@ -854,13 +870,22 @@ object Aggregates {
     * collect_list) where no map-side combine exists. Phase-2 input is
     * |keys| × 16 rows — negligible at any scale.
     */
-  def aggSalted(s: SparkSession, dir: String): DataFrame =
+  def aggSalted(s: SparkSession, dir: String): DataFrame = {
+    // r17: hi/lo long-unit phase-1 partials (scale 4 — the old
+    // DECIMAL(18,4) semantics; >4-dp values raise instead of silently
+    // rounding), exact DECIMAL(38,0) re-sum over the ≤ |types|·16
+    // phase-2 rows. Bit-identical to the decimal spelling without the
+    // per-row BigDecimal accumulator.
+    val u = units(col("value"), 4)
     Sources.table(s, dir, "events")
       .withColumn("salt", pmod(col("event_id"), lit(16L)))
       .groupBy(col("event_type"), col("salt"))
       .agg(count(lit(1)).as("pn"),
-        sum(col("value").cast(DecimalType(18, 4))).as("pv"))
+        sum(unitsHi(u)).as("pv_hi"),
+        sum(unitsLo(u)).as("pv_lo"))
       .groupBy("event_type")
       .agg(sum(col("pn")).as("n_events"),
-        round(sum(col("pv")).cast(DoubleType), 4).as("sum_value"))
+        round(fromUnitsHiLo(sum(col("pv_hi").cast(DecimalType(38, 0))),
+          sum(col("pv_lo").cast(DecimalType(38, 0))), 4), 4).as("sum_value"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.WindowSpec
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -227,6 +228,20 @@ object Num {
     val u = units(c, scale)
     fromUnitsHiLo(sum(unitsHi(u)), sum(unitsLo(u)), scale)
   }
+
+  /** [[lsum]] as a window aggregate: exact sum over the frame via one
+    * primitive long window sum, bit-identical to
+    * `sum(CAST(c AS DECIMAL(18,scale))).over(w).cast(double)` (same
+    * exact rational, same closing cast) without the per-row decimal
+    * buffer. Overflow bound is per FRAME, not per corpus: cent-scale
+    * values overflow past ~9·10¹¹ frame rows, and window partitions
+    * here are per-entity (a customer's orders, a user's events) —
+    * bounded by entity activity at any corpus size. ANSI long-sum
+    * overflow THROWS, so a violation is loud; a corpus-keyed frame
+    * would use two hi/lo window sums instead (see [[lsumWide]]).
+    */
+  def lsumOver(c: Column, scale: Int, w: WindowSpec): Column =
+    fromUnits(sum(units(c, scale)).over(w), scale)
 
   /** Recombine hi/lo unit sums: `(Σhi·2³² + Σlo)·10^-scale` as the
     * correctly rounded double — all decimal arithmetic exact

@@ -118,7 +118,10 @@ object Relational {
   }
 
   /** `window_running` — W2, running revenue per customer by date.
-    * The running sum is decimal-exact (order-fixed frame, see Num).
+    * The running sum is exact (order-fixed frame) via a primitive
+    * long-unit window sum ([[Num.lsumOver]], r17 — bit-identical to
+    * the old per-row DECIMAL(18,4) buffer; frames are per-customer,
+    * far inside the long overflow bound).
     */
   def windowRunning(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey")
@@ -126,8 +129,7 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Sources.table(s, dir, "orders")
       .select(col("o_custkey"), col("o_orderkey"),
-        sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w)
-          .cast(DoubleType).as("running_total"))
+        Num.lsumOver(col("o_totalprice"), 2, w).as("running_total"))
   }
 
   /** `set_except` — U2, order keys that never shipped a lineitem.
@@ -557,8 +559,9 @@ object Relational {
     * price (`nth_value` over the full-partition frame), and a 3-row
     * sliding average (ROWS 2 PRECEDING). All three frames share one
     * (partition, sort) spec, so the plan pays a single exchange+sort;
-    * the sliding mean is an exact decimal sum over the frame divided
-    * by the frame row count, keeping it bit-identical to the oracle.
+    * the sliding mean is an exact long-unit sum over the frame
+    * ([[Num.lsumOver]]) divided by the frame row count, keeping it
+    * bit-identical to the oracle's decimal spelling.
     */
   def windowFrames(s: SparkSession, dir: String): DataFrame = {
     val ord = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -568,8 +571,8 @@ object Relational {
       .select(col("o_custkey"), col("o_orderkey"),
         first(col("o_totalprice")).over(ord).as("first_price"),
         nth_value(col("o_totalprice"), 2).over(full).as("second_price"),
-        round(sum(col("o_totalprice").cast(DecimalType(18, 4))).over(sliding)
-          .cast(DoubleType) / count(lit(1)).over(sliding), 4).as("avg3_price"))
+        round(Num.lsumOver(col("o_totalprice"), 2, sliding)
+          / count(lit(1)).over(sliding), 4).as("avg3_price"))
   }
 
   /** `filter_exists` — the SQL subquery surface: correlated EXISTS

@@ -32,12 +32,20 @@ object TextSim {
     * the corpus — distinct-bigram count near-linearly, token vocab
     * sublinearly but unbounded (web-scale hashes/URLs/typos) — so a
     * hard `broadcast()` hint would eventually exceed Spark's 8 GB
-    * broadcast cap and fail the query outright. The estimate here is
-    * the scan-propagated upper bound (aggregates pass child size
-    * through absent CBO stats), so the gate errs toward dropping the
-    * hint: past the threshold the join strategy is left to the
-    * planner/AQE, which can pick broadcast OR a skew-splittable
-    * shuffled join — the flexibility the hint forecloses.
+    * broadcast cap and fail the query outright. The estimate is the
+    * same scan-propagated `sizeInBytes` the planner's own
+    * auto-broadcast heuristic uses (aggregates pass child size through
+    * absent CBO stats) — including its known understatement: leaf size
+    * is compressed on-disk parquet bytes, which can undercount the
+    * in-memory broadcast footprint, so the gate carries risk parity
+    * with Spark's auto-broadcast, not a strict safety bound. Past the
+    * threshold the join strategy is left to the planner/AQE, which can
+    * pick broadcast OR a skew-splittable shuffled join — the
+    * flexibility the hint forecloses. The decision is frozen at
+    * DataFrame-construction time (it does not track later session
+    * threshold changes), and planning the sub-plan standalone here
+    * costs one extra optimization pass per call — acceptable because
+    * these relations are built once per query.
     */
   private[ops] def sizeGatedBroadcast(rel: DataFrame): DataFrame = {
     val thr = rel.sparkSession.sessionState.conf.autoBroadcastJoinThreshold

@@ -68,8 +68,11 @@ object TimeOps {
       .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id"), col("event_id"),
         count(lit(1)).over(w).as("n_last_hour"),
-        sum(col("value").cast(DecimalType(18, 4))).over(w)
-          .cast(DoubleType).as("sum_last_hour"))
+        // r17: long-unit window sum (scale 4 — the old DECIMAL(18,4)
+        // semantics; a >4-dp value raises instead of silently
+        // rounding). Frames are per-user-hour — far inside the long
+        // overflow bound. Bit-identical to the decimal spelling.
+        Num.lsumOver(col("value"), 4, w).as("sum_last_hour"))
   }
 
   /** `funnel_steps` — ordered-step conversion funnel: of the users who

@@ -93,6 +93,51 @@ class UnitSumSpec extends SparkSpec {
       s"expected a loud overflow, got: $e")
   }
 
+  test("lsumOver bit-matches the decimal window sum (running + sliding frames)") {
+    // r17: the window form backing window_running / window_frames /
+    // window_range — every per-row frame sum must equal the decimal
+    // spelling bit-for-bit, on both cumulative and bounded frames.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val ord = graft.ops.Sources.table(spark, sf, "orders")
+    val running = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sliding = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey").rowsBetween(-2, Window.currentRow)
+    val mismatches = ord.select(
+      Num.lsumOver(col("o_totalprice"), 2, running).as("lr"),
+      sum(col("o_totalprice").cast(DecimalType(18, 4))).over(running)
+        .cast(DoubleType).as("dr"),
+      Num.lsumOver(col("o_totalprice"), 2, sliding).as("ls"),
+      sum(col("o_totalprice").cast(DecimalType(18, 4))).over(sliding)
+        .cast(DoubleType).as("ds"))
+      .filter(col("lr") =!= col("dr") || col("ls") =!= col("ds"))
+      .count()
+    assert(mismatches == 0L)
+  }
+
+  test("two-phase hi/lo split re-sum equals the one-level decimal sum") {
+    // r17: the preAggregated / aggSalted shape — phase-1 long hi/lo
+    // partials per sub-group, phase-2 DECIMAL(38,0) re-sum, closed via
+    // fromUnitsHiLo. Must bit-match a direct dsum over the same rows,
+    // including groups whose Σlo exceeds 2^32 (carry into hi).
+    import org.apache.spark.sql.types.DecimalType
+    val ev = graft.ops.Sources.table(spark, sf, "events").filter(col("value").isNotNull)
+    val u = Num.units(col("value"), 4)
+    val twoPhase = ev
+      .withColumn("salt", pmod(col("event_id"), lit(16L)))
+      .groupBy("salt")
+      .agg(sum(Num.unitsHi(u)).as("hi"), sum(Num.unitsLo(u)).as("lo"))
+      .agg(Num.fromUnitsHiLo(sum(col("hi").cast(DecimalType(38, 0))),
+        sum(col("lo").cast(DecimalType(38, 0))), 4).as("v"))
+      .collect()(0).getDouble(0)
+    val direct = ev.agg(Num.dsum(col("value"), 4)).collect()(0).getDouble(0)
+    assert(java.lang.Double.doubleToRawLongBits(twoPhase) ==
+      java.lang.Double.doubleToRawLongBits(direct),
+      s"two-phase $twoPhase != dsum $direct")
+  }
+
   test("agg_group-class unit sums stay exact under the enforced guard") {
     // fixture columns are all in-contract: the guard must not fire
     val li = graft.ops.Sources.table(spark, sf, "lineitem")
