@@ -161,12 +161,19 @@ object Aggregates {
     */
   private def profileFit(li0: DataFrame, groupCol: Option[Column])
       : Map[Int, (org.apache.spark.sql.Row, Map[String, Option[Double]])] = {
-    val br = Num.sampleBracketsGrouped(li0, groupCol, profileCols, 0.5)
-    // materialize the group key once as a column: every bracket CASE
-    // and the groupBy reference it, and projecting it first keeps the
-    // key expression (e.g. a modulo) from re-evaluating per aggregate
-    val li = li0.withColumn("__gk",
-      groupCol.getOrElse(lit(0)).cast(IntegerType))
+    // r17 A/B, no-win result kept on record: persisting the narrow
+    // (__gk, profile columns) projection across the fit's 2–3 jobs
+    // (bracket sample, fused fit, interior collect) did NOT beat
+    // re-scanning at sf0.1 — cached 0.69 vs uncached 0.59/0.73 s
+    // min across two focused windows, i.e. inside this host's window
+    // noise, because the in-memory columnar cache build costs about
+    // what the two column-pruned parquet re-decodes cost. Re-scanning
+    // stays as the simpler form that also scales better: at 100 TB
+    // pruned scans are cheap and a ~40 TB cache write is not.
+    val li = li0.select(
+      (groupCol.getOrElse(lit(0)).cast(IntegerType).as("__gk") +:
+        profileCols.map(col)): _*)
+    val br = Num.sampleBracketsGrouped(li, Some(col("__gk")), profileCols, 0.5)
     val gExpr = col("__gk")
 
     def boundExpr(c: String, pick: ((Double, Double)) => Double): Column = {

@@ -819,6 +819,14 @@ object Relational {
     * Snapshots here are deterministic key-hash slices of `orders`
     * (10% dropped, 10% new, every 7th repriced) standing in for two
     * Delta/Iceberg table versions.
+    *
+    * r17 floor note: the shape is one keyed exchange + one hash
+    * aggregate over both snapshots — already minimal for a CDC diff
+    * whose sides are independent relations (the only further cut
+    * would exploit that both fixture slices derive from one table,
+    * which would optimize the benchmark, not the operator). Focused
+    * min 0.232 s at sf0.1; remaining marginal is the two scans plus
+    * the exchange, all linear and skew-free.
     */
   def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
     val orders = Sources.table(s, dir, "orders")

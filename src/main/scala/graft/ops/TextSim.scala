@@ -869,6 +869,17 @@ object TextSim {
     * row counts, not data. Empty-corpus edge: the coalesce keeps
     * total_tokens 0 (the old per-doc sum over zero-token docs), so
     * the closing divisions see identical inputs.
+    *
+    * r17 floor note: a [[graft.functions.TokenCounts]]-kernel variant
+    * (explode per-doc DISTINCT tokens instead of occurrences) was
+    * A/B'd interleaved in one window and LOST — 0.411 vs 0.365 s min
+    * at sf0.1 — because the fixture vocabulary is tiny (31 distinct
+    * tokens), so the per-token hash aggregate is already nearly free
+    * and the kernel's per-doc counting pass is pure overhead. The
+    * remaining cost is the single tokenize (regex split + lower) over
+    * the text column — a scan-bound floor (focused min 0.287 s at
+    * sf0.1, per-sample record in BENCH_PROFILE_r17 history), not a
+    * plan defect.
     */
   def corpusStats(docs: DataFrame): DataFrame = {
     val tc = docs.select(explode(
