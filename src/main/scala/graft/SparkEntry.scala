@@ -160,6 +160,7 @@ object SparkEntry {
     "dedup_simhash" -> (NearDup.dedupSimhash _),
     "doc_fingerprint" -> (TextSim.docFingerprint _),
     "doc_winnow" -> (TextSim.docWinnow _),
+    "doc_winnow_portable" -> ((s, d) => TextSim.docWinnowPortable(s, d)),
     "sim_ann_lsh" -> ((s, d) => Ann.simAnnLsh(s, d)),
     "sim_ann_ivf" -> ((s, d) => Ann.simAnnIvf(s, d)),
     "sim_knn_bucketed" -> ((s, d) => Ann.simKnnBucketed(s, d)),
@@ -1298,6 +1299,27 @@ object SparkEntry {
         |SELECT doc_id, min(${NearDup.affineHashSql("th", a, b, "//")}) AS fingerprint,
         |CAST(count(*) AS BIGINT) AS n_shingles
         |FROM gx GROUP BY doc_id""".stripMargin
+    },
+
+    // portable winnowing: md5-60 hash per k-char window, rightmost
+    // minimum per w-window via the SAME packed DECIMAL(38,0) argmin
+    // arithmetic the Spark side runs (hv*2^62 - i), consecutive-pick
+    // dedup by lag, exact-integer per-doc summary. k/w interpolate
+    // from TextSim so query and oracle can never desynchronize.
+    "doc_winnow_portable" -> {
+      val k = TextSim.WinnowK
+      val w = TextSim.WinnowW
+      val S = graft.ops.Num.packShiftSql
+      raw"""WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents WHERE length(text) >= $k),
+        |pos AS (SELECT doc_id, text, greatest(len - ${k - 1} - ${w - 1}, 1) AS nwins, unnest(generate_series(1, len - ${k - 1})) AS i FROM d),
+        |hx AS (SELECT doc_id, nwins, i, ${hex60Sql("h")} AS hv FROM (SELECT doc_id, nwins, i, md5(substring(text, i, $k)) AS h FROM pos) q),
+        |cand AS (SELECT doc_id, i, hv, unnest(generate_series(greatest(1, i - ${w - 1}), least(i, nwins))) AS j FROM hx),
+        |picks AS (SELECT doc_id, j, min(hv) AS mh, min(CAST(hv AS DECIMAL(38,0)) * $S - i) AS pk FROM cand GROUP BY doc_id, j),
+        |p2 AS (SELECT doc_id, j, mh, CAST(CAST(mh AS DECIMAL(38,0)) * $S - pk AS BIGINT) AS p FROM picks),
+        |dd AS (SELECT doc_id, mh, p, lag(p) OVER (PARTITION BY doc_id ORDER BY j) AS pp FROM p2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints,
+        |CAST(sum(CAST(mh AS DECIMAL(38,0))) % ${NearDup.MersenneP} AS BIGINT) AS fp_digest
+        |FROM dd WHERE pp IS NULL OR p <> pp GROUP BY doc_id""".stripMargin
     },
 
     // incremental probe-vs-corpus variant: same signature relation,

@@ -722,10 +722,100 @@ object TextSim {
   def docWinnow(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"),
-        graft.functions.VectorFunctions.winnow(s, col("text")).as("fps"))
+        graft.functions.VectorFunctions
+          .winnow(s, col("text"), WinnowK, WinnowW).as("fps"))
       .select(col("doc_id"),
         size(col("fps")).cast(LongType).as("n_fingerprints"),
         xxhash64(col("fps")).as("fingerprint_digest"))
+
+  /** Winnowing parameters shared by [[docWinnow]], the portable twin
+    * [[docWinnowPortable]], and the oracle SQL in
+    * [[graft.SparkEntry]] (via interpolation) — one definition so a
+    * change can never desynchronize the three.
+    */
+  final val WinnowK = 12
+  final val WinnowW = 4
+
+  /** `doc_winnow_portable` — the ORACLE-CHECKABLE winnowing twin
+    * (r16 VERDICT: `doc_winnow` was one of the last two rows-only
+    * paths with no oracle-checked relative; same twin pattern as
+    * `dedup_minhash_portable`).
+    *
+    * Identical selection algorithm to [[docWinnow]]'s
+    * [[graft.functions.Winnow]] kernel — hash every k-window, keep
+    * the RIGHTMOST minimum of each w-window of hashes, drop
+    * consecutive repeat picks — with exactly two portability deltas
+    * (the same surface the MinHash twins carve out): the window hash
+    * is the DuckDB-reproducible md5-60 (first 15 hex nibbles of
+    * `md5(substr)`) instead of the byte-level Rabin-Karp rolling
+    * hash, and windows are CHARACTER-based (`substring` semantics in
+    * both engines) instead of byte-based. Nothing algorithmic
+    * differs, so the oracle genuinely checks the winnowing selection
+    * logic: window enumeration, rightmost-min tie-break, and the
+    * consecutive-pick dedup.
+    *
+    * Plan shape (100 TB): everything before the per-doc aggregate is
+    * a pure projection chain — positions explode from a `sequence`,
+    * each position re-explodes into the ≤ w window slots it belongs
+    * to (no join, no window-function over positions), and the
+    * rightmost-min per (doc, window) folds in ONE map-side-combined
+    * hash aggregate via the packed `min(hv·2⁶² − i)` idiom
+    * ([[Num.packDesc]] ordering; both engines run the identical
+    * DECIMAL(38,0) arithmetic). The only per-doc sequential step is
+    * the consecutive-dedup lag, a window over the doc's own picks —
+    * bounded by document length, never corpus size. Work is
+    * O(chars·w) rows with one md5 per position: heavier per byte
+    * than the production kernel's rolling hash (the price of oracle
+    * portability), embarrassingly parallel at any scale.
+    */
+  def docWinnowPortable(s: SparkSession, dir: String): DataFrame =
+    docWinnowPortable(docs(s, dir))
+
+  /** [[docWinnowPortable]] over any `(doc_id, text)` relation. */
+  def docWinnowPortable(d: DataFrame): DataFrame = {
+    val k = WinnowK
+    val w = WinnowW
+    val S = Num.packShiftSql
+    // positions 1..m (m = len−k+1) with the per-doc window count
+    val pos = d.filter(length(col("text")) >= k)
+      .select(col("doc_id"), col("text"),
+        (length(col("text")) - (k - 1)).as("m"))
+      .withColumn("nwins", greatest(col("m") - (w - 1), lit(1)))
+      .select(col("doc_id"), col("nwins"), col("text"),
+        explode(expr("sequence(1, m)")).as("i"))
+    // md5-60 hash of the k-char window at i, then fan each position
+    // out to the w-window starts it participates in
+    val cand = pos
+      .select(col("doc_id"), col("nwins"), col("i"),
+        expr(s"CAST(conv(substring(md5(substring(text, i, $k)), 1, 15), " +
+          "16, 10) AS BIGINT)").as("hv"))
+      .select(col("doc_id"), col("i"), col("hv"),
+        explode(expr(s"sequence(greatest(1, i - ${w - 1}), " +
+          "least(i, nwins))")).as("j"))
+    // rightmost minimum per (doc, window): min hv, and among equal
+    // hv the largest i — one packed decimal min, recovered exactly
+    val picks = cand.groupBy("doc_id", "j")
+      .agg(min(col("hv")).as("mh"),
+        min(expr(s"CAST(hv AS DECIMAL(38,0)) * $S - i")).as("pk"))
+      .select(col("doc_id"), col("j"), col("mh"),
+        expr(s"CAST(CAST(mh AS DECIMAL(38,0)) * $S - pk AS BIGINT)")
+          .as("p"))
+    // consecutive-dedup in window order (winnowing picks are
+    // non-decreasing in position, so this equals positional dedup)
+    val byJ = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("j")
+    picks
+      .withColumn("pp", lag(col("p"), 1).over(byJ))
+      .filter(col("pp").isNull || col("p") =!= col("pp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fingerprints"),
+        // digest = Σ picked hashes mod 2⁶¹−1: the decimal sum is
+        // exact in both engines, but a >18-digit decimal column
+        // degrades to float64 in the comparison layer — the Mersenne
+        // fold keeps the digest an exactly-representable BIGINT
+        (sum(col("mh").cast(DecimalType(38, 0))) %
+          lit(NearDup.MersenneP)).cast(LongType).as("fp_digest"))
+  }
 
   /** `doc_fingerprint` — winnowing-style document fingerprint: the
     * minimum 64-bit hash over the document's 3-token shingles (the

@@ -47,4 +47,35 @@ class WinnowSpec extends SparkSpec {
     val b = graft.ops.TextSim.docWinnow(spark, sf).collect().toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("portable twin holds the winnowing guarantees on crafted docs") {
+    import spark.implicits._
+    val shared = "copied passage that appears verbatim in both documents " +
+      "and is long enough to guarantee a shared winnow pick"
+    val docs = Seq(
+      (1L, s"unique prefix one $shared unique suffix one"),
+      (2L, s"unique prefix one $shared unique suffix one"), // exact dup of 1
+      (3L, "no overlap at all with either of the other two documents here"),
+      (4L, "tiny")) // shorter than k: excluded
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextSim.docWinnowPortable(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    // identical text → identical (count, digest); short doc excluded
+    assert(out(1L) == out(2L) && out(1L)._1 > 0)
+    assert(out.contains(3L) && out(3L) != out(1L))
+    assert(!out.contains(4L))
+  }
+
+  test("portable twin pick positions are sane on a hand-sized doc") {
+    import spark.implicits._
+    // one doc of 20 chars, k=12 → 9 windows of hashes, w=4 → 6
+    // winnow windows: fingerprint count must be in [1, 6] and the
+    // digest must be stable across runs
+    val d = Seq((7L, "abcdefghijklmnopqrst")).toDF("doc_id", "text")
+    val r1 = graft.ops.TextSim.docWinnowPortable(d).collect()(0)
+    val r2 = graft.ops.TextSim.docWinnowPortable(d).collect()(0)
+    assert(r1.getLong(1) >= 1 && r1.getLong(1) <= 6)
+    assert(r1 == r2)
+  }
 }
