@@ -53,7 +53,26 @@ class AnnRecallSpec extends SparkSpec {
     val r = meanRecall(q =>
       topIds(Ann.simAnnIvf(spark, sf01, q, k, nLists = 16, nProbe = 4)))
     info(f"ivf recall@10 = $r%.2f")
-    assert(r >= 0.30, s"IVF nProbe=4/16 recall collapsed: $r")
+    // measured 0.87 (deterministic); floor at measured − 20% so a
+    // real probing/scoring regression trips it while fixture
+    // regeneration headroom remains (r15 VERDICT #7: the old 0.30
+    // floor would have let recall halve silently)
+    assert(r >= 0.70, s"IVF nProbe=4/16 recall collapsed: $r")
+  }
+
+  test("mutation probe: a halved-recall IVF config must trip the floor") {
+    // the floor's teeth, demonstrated: a fragmented index probed with
+    // one list (64 lists, nProbe=1 — the shape a bucket-probe bug
+    // degenerates to) measures 0.53, well BELOW the 0.70 floor. If
+    // this ever passes the floor, the floor no longer discriminates
+    // and must be re-derived. (Swept r17: 16/1 → 0.83, 32/1 → 0.60,
+    // 64/1 → 0.53, 128/1 → 0.30 — recall degrades monotonically with
+    // fragmentation, as it should.)
+    val r1 = meanRecall(q =>
+      topIds(Ann.simAnnIvf(spark, sf01, q, k, nLists = 64, nProbe = 1)))
+    info(f"ivf recall@10 at nLists=64 nProbe=1 = $r1%.2f (must be < 0.70)")
+    assert(r1 < 0.70,
+      s"degraded single-probe recall $r1 passes the floor — floor too loose")
   }
 
   test("bucketed k-NN at nProbe = nLists equals the brute-force join") {
@@ -80,7 +99,22 @@ class AnnRecallSpec extends SparkSpec {
     }
     val mean = rs.sum / rs.length
     info(f"bucketed knn recall@5 at nProbe=2/8 = $mean%.2f over ${rs.length} queries")
-    assert(mean >= 0.30, s"bucketed k-NN recall collapsed: $mean")
+    // measured 0.45 over all 500 queries (deterministic); floor at
+    // measured − ~10% (r15 VERDICT #7 tightening from the original
+    // 0.30, which a halved-recall bug would have cleared)
+    assert(mean >= 0.40, s"bucketed k-NN recall collapsed: $mean")
+    // mutation probe: the nProbe=1 degradation must trip this floor
+    val part1 = Ann.simKnnBucketed(spark, sf01, k = 5,
+        nLists = 8, nProbe = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val mean1 = brute.keys.toSeq.map { q =>
+      part1.getOrElse(q, Set.empty).intersect(brute(q)).size.toDouble /
+        brute(q).size
+    }.sum / brute.size
+    info(f"bucketed knn recall@5 at nProbe=1/8 = $mean1%.2f (must be < 0.40)")
+    assert(mean1 < 0.40,
+      s"degraded nProbe=1 recall $mean1 passes the floor — floor too loose")
   }
 
   test("bucketed k-NN join keys on list_id, not a corpus broadcast") {
