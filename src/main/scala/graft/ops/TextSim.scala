@@ -514,6 +514,18 @@ object TextSim {
     * Ranking uses the ROUNDED score so engine and oracle make
     * identical rank decisions (raw `ln` last-bits may differ across
     * libm implementations).
+    *
+    * r17 floor decomposition (warm minima at sf0.1, interleaved):
+    * tokenize 0.12 s + TokenCounts kernel 0.10 + explode 0.02 +
+    * the shared doc-keyed exchange 0.09 + df/join/top-k 0.15 ≈ the
+    * 0.46 s whole-query floor. Two further re-plans were A/B'd and
+    * REJECTED: an aggregate top-k (collect_list + sort_array + slice
+    * per doc, replacing the rank window) tied exactly (0.459 vs
+    * 0.463 — WindowGroupLimit already prunes below the sort), and
+    * dropping the explicit repartition makes tokenize run twice (the
+    * r14 ReuseExchange finding, re-confirmed). The remaining ~2.3×
+    * DuckDB marginal is per-token string-hash throughput, not plan
+    * shape.
     */
   def textTfidf(s: SparkSession, dir: String, k: Int = 3): DataFrame =
     textTfidf(docs(s, dir), k)
