@@ -155,6 +155,119 @@ case class Winnow(child: Expression, k: Int, w: Int)
     copy(child = c)
 }
 
+/** The `doc_winnow_portable` summary as ONE per-row kernel: md5-60
+  * hash of every k-CHAR window, rightmost minimum per w-window of
+  * hashes, consecutive-pick dedup, then `(pick count, Σ picked hashes
+  * mod 2⁶¹−1)` — value-identical to the declarative
+  * explode/aggregate/window pipeline it replaces (pinned row-for-row
+  * by WinnowSpec against [[graft.ops.TextSim.docWinnowPortableDeclarative]],
+  * and end-to-end by the DuckDB oracle, which still computes the same
+  * numbers from its own CTE pipeline — two independent
+  * implementations now agree on every value).
+  *
+  * Why a kernel: the declarative twin was the heaviest query on BOTH
+  * engines in the window-11 pairing (Spark 5.49 s / DuckDB 10.60 s at
+  * sf0.1) because it materializes positions × w candidate rows
+  * through an exchange + hash aggregate + lag window; the statistic
+  * is per-document, so none of those rows ever needed to leave their
+  * row — the [[Winnow]]/[[TokenCounts]] trade-off again. Here each
+  * document costs one pass: char offsets once (O(bytes)), one
+  * MessageDigest reused across its windows, the same selection loop
+  * as [[Winnow]], zero exchanges before the per-doc projection.
+  *
+  * Hash value: the top 60 bits of the md5 (first 15 hex nibbles read
+  * big-endian) — exactly `conv(substring(md5(sub), 1, 15), 16, 10)`.
+  * Windows are CHARACTER-based via a byte-offset table (UTF8-safe,
+  * `substring` semantics). Digest accumulates `(acc + h) % M` per
+  * pick — every intermediate < 2⁶¹ + 2⁶⁰ < 2⁶³, no overflow.
+  * Returns null for docs shorter than k chars (the pipeline filters
+  * them; null-safety belt here).
+  */
+case class WinnowMd5Summary(child: Expression, k: Int, w: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(k >= 2 && w >= 1, s"need k >= 2 and w >= 1, got k=$k w=$w")
+
+  private val MersenneP = 2305843009213693951L
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_winnow_md5 requires a string column, got $t")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_fingerprints",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("fp_digest",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_winnow_md5"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val bytes = s.getBytes
+    // char-start byte offsets (UTF8: continuation bytes are 10xxxxxx)
+    var nChars = 0
+    var bi = 0
+    while (bi < bytes.length) {
+      if ((bytes(bi) & 0xC0) != 0x80) nChars += 1
+      bi += 1
+    }
+    if (nChars < k) return null
+    val off = new Array[Int](nChars + 1)
+    var ci = 0
+    bi = 0
+    while (bi < bytes.length) {
+      if ((bytes(bi) & 0xC0) != 0x80) { off(ci) = bi; ci += 1 }
+      bi += 1
+    }
+    off(nChars) = bytes.length
+    val m = nChars - k + 1
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hashes = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      md.reset()
+      md.update(bytes, off(i), off(i + k) - off(i))
+      val d = md.digest()
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (d(b) & 0xFF); b += 1 }
+      hashes(i) = v >>> 4 // first 15 hex nibbles as a 60-bit value
+      i += 1
+    }
+    // the same selection loop as Winnow: rightmost min per w-window,
+    // consecutive-pick dedup
+    var count = 0L
+    var digest = 0L
+    var lastPick = -1
+    var start = 0
+    val windows = math.max(m - w + 1, 1)
+    while (start < windows) {
+      var minIdx = start
+      var j = start + 1
+      val end = math.min(start + w, m)
+      while (j < end) {
+        if (hashes(j) <= hashes(minIdx)) minIdx = j
+        j += 1
+      }
+      if (minIdx != lastPick) {
+        count += 1
+        digest = (digest + hashes(minIdx)) % MersenneP
+        lastPick = minIdx
+      }
+      start += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(count, digest)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WinnowMd5Summary =
+    copy(child = c)
+}
+
 /** 64-bit hashes of every n-token shingle of a token array, in one
   * expression call per row.
   *
@@ -1061,6 +1174,29 @@ object VectorFunctions {
           literalInt("graft_winnow", "w", exprs(2)))
       },
       "built-in")
+
+  /** Idempotently register `graft_winnow_md5(text, k, w)` — the
+    * portable-twin summary kernel ([[WinnowMd5Summary]]).
+    */
+  def registerWinnowMd5(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_winnow_md5",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 3,
+          s"graft_winnow_md5 expects (text, k, w), got ${exprs.length} args")
+        WinnowMd5Summary(exprs.head,
+          literalInt("graft_winnow_md5", "k", exprs(1)),
+          literalInt("graft_winnow_md5", "w", exprs(2)))
+      },
+      "built-in")
+
+  /** Portable winnow summary as a Column — see [[WinnowMd5Summary]]. */
+  def winnowMd5(spark: SparkSession, c: Column, k: Int, w: Int): Column = {
+    registerWinnowMd5(spark)
+    call_function("graft_winnow_md5", c,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(w))
+  }
 
   /** Winnowing fingerprints as a Column (k-byte shingles, w-window). */
   def winnow(spark: SparkSession, c: Column, k: Int = 12,

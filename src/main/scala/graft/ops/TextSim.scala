@@ -783,8 +783,39 @@ object TextSim {
   def docWinnowPortable(s: SparkSession, dir: String): DataFrame =
     docWinnowPortable(docs(s, dir))
 
-  /** [[docWinnowPortable]] over any `(doc_id, text)` relation. */
-  def docWinnowPortable(d: DataFrame): DataFrame = {
+  /** [[docWinnowPortable]] over any `(doc_id, text)` relation.
+    *
+    * r17 re-plan: the statistic is PER-DOCUMENT, so the declarative
+    * pipeline below (positions explode ×w, exchange, hash aggregate,
+    * lag window) moved rows that never needed to leave their row —
+    * it was the heaviest query on BOTH engines in the window-11
+    * pairing (Spark 5.49 s / DuckDB 10.60 s at sf0.1). Now ONE
+    * per-row kernel call ([[graft.functions.WinnowMd5Summary]] —
+    * same md5-60 values, same selection loop as the production
+    * [[graft.functions.Winnow]]), zero exchanges before the
+    * presentation projection. Value identity is pinned two ways:
+    * WinnowSpec compares it row-for-row against
+    * [[docWinnowPortableDeclarative]] on the fixture corpus, and the
+    * DuckDB oracle still recomputes every number from its own CTE
+    * pipeline.
+    */
+  def docWinnowPortable(d: DataFrame): DataFrame =
+    d.filter(length(col("text")) >= WinnowK)
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions
+          .winnowMd5(d.sparkSession, col("text"), WinnowK, WinnowW).as("f"))
+      .select(col("doc_id"),
+        col("f.n_fingerprints").as("n_fingerprints"),
+        col("f.fp_digest").as("fp_digest"))
+
+  /** The declarative spelling of [[docWinnowPortable]] — retained as
+    * the kernel's equivalence referee (WinnowSpec pins kernel ==
+    * declarative row-for-row; the oracle SQL mirrors THIS shape
+    * CTE-for-CTE, so the chain kernel == declarative == DuckDB
+    * verifies the winnowing selection logic across three independent
+    * implementations).
+    */
+  private[graft] def docWinnowPortableDeclarative(d: DataFrame): DataFrame = {
     val k = WinnowK
     val w = WinnowW
     val S = Num.packShiftSql

@@ -67,6 +67,28 @@ class WinnowSpec extends SparkSpec {
     assert(!out.contains(4L))
   }
 
+  test("portable kernel equals the declarative pipeline row-for-row") {
+    // the r17 kernel re-plan's referee: same (count, digest) for every
+    // fixture doc plus crafted edges (multi-byte chars, len == k)
+    import spark.implicits._
+    val crafted = Seq(
+      (9001L, "abcdefghijkl"),                      // exactly k chars
+      (9002L, "café au lait avec des caractères accentués ici"),
+      (9003L, "x" * 50),                            // degenerate: all equal
+      (9004L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val fixture = graft.ops.Sources.table(spark, sf, "documents")
+      .select("doc_id", "text")
+    for (d <- Seq(crafted, fixture)) {
+      val kern = graft.ops.TextSim.docWinnowPortable(d)
+        .collect().map(_.toString).sorted.toSeq
+      val decl = graft.ops.TextSim.docWinnowPortableDeclarative(d)
+        .collect().map(_.toString).sorted.toSeq
+      assert(kern == decl, s"kernel != declarative on ${d.schema}")
+      assert(kern.nonEmpty)
+    }
+  }
+
   test("portable twin pick positions are sane on a hand-sized doc") {
     import spark.implicits._
     // one doc of 20 chars, k=12 → 9 windows of hashes, w=4 → 6
