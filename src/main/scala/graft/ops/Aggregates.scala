@@ -383,34 +383,33 @@ object Aggregates {
     * any aggregation — n·|sets| hash updates. Pre-aggregating cuts
     * that to n + g·|sets| where g is the (bounded) group-tuple count,
     * and both levels stay codegen'd partial+final hash aggregates.
-    * Exactness: counts re-enter as sums of counts; the price sum rides
-    * the hi/lo long-unit split (r17 — [[Num.unitsHi]]/[[Num.unitsLo]],
-    * two primitive long sums per pre-group instead of a per-row
-    * BigDecimal accumulator; price is exactly 2 dp, enforced by the
-    * [[Num.units]] round-trip guard). Phase 2 re-sums the partials as
-    * DECIMAL(38,0) — over the bounded group tuples that is a handful
-    * of decimal adds, and the headroom (Σlo can reach n·2³²) never
-    * overflows — then [[fromUnitsHiLo]] closes to the same double the
-    * old decimal spelling produced. At 100 TB this is the difference
-    * between expanding 10¹² rows ×|sets| and expanding a few hundred
-    * group tuples.
+    * Exactness: counts re-enter as sums of counts; the price sum is
+    * ONE primitive long unit sum per pre-group (r17 — [[Num.units]]
+    * at scale 2 instead of a per-row BigDecimal accumulator; the
+    * round-trip guard enforces the 2-dp contract). Not the hi/lo
+    * split: cent units of any realistic price sit far below 2³², so
+    * `unitsHi` would be identically zero and the split's extra column
+    * and shift would be dead weight (r17 review) — and the plain long
+    * sum's overflow bound (~1.7·10¹¹ rows/group at ~$500k prices) is
+    * ANSI-loud, with [[Num.dsum]] as the named escape. Phase 2
+    * re-sums the partials as DECIMAL(38,0) — a handful of decimal
+    * adds over the bounded group tuples, unconditionally exact — then
+    * [[fromUnits]] closes to the same double the old decimal spelling
+    * produced. At 100 TB this is the difference between expanding
+    * 10¹² rows ×|sets| and expanding a few hundred group tuples.
     */
   private def preAggregated(input: DataFrame, keys: Seq[String],
-                            price: String): DataFrame = {
-    val u = units(col(price), 2)
+                            price: String): DataFrame =
     input.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("pre_n"),
-        sum(unitsHi(u)).as("pre_hi"),
-        sum(unitsLo(u)).as("pre_lo"))
-  }
+        sum(units(col(price), 2)).as("pre_u"))
 
-  /** Phase-2 closer for [[preAggregated]]'s split partials: exact
-    * decimal re-sum of the hi/lo long partials, recombined to the
-    * double the one-level decimal sum would produce.
+  /** Phase-2 closer for [[preAggregated]]'s long partials: exact
+    * decimal re-sum, recombined to the double the one-level decimal
+    * sum would produce.
     */
   private def preSumClosed: Column =
-    fromUnitsHiLo(sum(col("pre_hi").cast(DecimalType(38, 0))),
-      sum(col("pre_lo").cast(DecimalType(38, 0))), 2)
+    fromUnits(sum(col("pre_u").cast(DecimalType(38, 0))), 2)
 
   /** [[preAggregated]] for count-only consumers — no decimal-sum
     * accumulator for a column the query never reads.
@@ -877,22 +876,22 @@ object Aggregates {
     * collect_list) where no map-side combine exists. Phase-2 input is
     * |keys| × 16 rows — negligible at any scale.
     */
-  def aggSalted(s: SparkSession, dir: String): DataFrame = {
-    // r17: hi/lo long-unit phase-1 partials (scale 4 — the old
-    // DECIMAL(18,4) semantics; >4-dp values raise instead of silently
-    // rounding), exact DECIMAL(38,0) re-sum over the ≤ |types|·16
-    // phase-2 rows. Bit-identical to the decimal spelling without the
-    // per-row BigDecimal accumulator.
-    val u = units(col("value"), 4)
+  def aggSalted(s: SparkSession, dir: String): DataFrame =
+    // r17: one primitive long-unit phase-1 partial per salt group
+    // (scale 4 — the old DECIMAL(18,4) semantics; >4-dp values raise
+    // instead of silently rounding; 10⁻⁴ units of a bounded metric sit
+    // far below 2³², so the hi/lo split would carry an identically
+    // zero hi column — r17 review), exact DECIMAL(38,0) re-sum over
+    // the ≤ |types|·16 phase-2 rows. Bit-identical to the decimal
+    // spelling without the per-row BigDecimal accumulator; long
+    // overflow is ANSI-loud with [[Num.dsum]] as the escape.
     Sources.table(s, dir, "events")
       .withColumn("salt", pmod(col("event_id"), lit(16L)))
       .groupBy(col("event_type"), col("salt"))
       .agg(count(lit(1)).as("pn"),
-        sum(unitsHi(u)).as("pv_hi"),
-        sum(unitsLo(u)).as("pv_lo"))
+        sum(units(col("value"), 4)).as("pv_u"))
       .groupBy("event_type")
       .agg(sum(col("pn")).as("n_events"),
-        round(fromUnitsHiLo(sum(col("pv_hi").cast(DecimalType(38, 0))),
-          sum(col("pv_lo").cast(DecimalType(38, 0))), 4), 4).as("sum_value"))
-  }
+        round(fromUnits(sum(col("pv_u").cast(DecimalType(38, 0))), 4), 4)
+          .as("sum_value"))
 }

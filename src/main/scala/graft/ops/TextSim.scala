@@ -818,7 +818,6 @@ object TextSim {
   private[graft] def docWinnowPortableDeclarative(d: DataFrame): DataFrame = {
     val k = WinnowK
     val w = WinnowW
-    val S = Num.packShiftSql
     // positions 1..m (m = len−k+1) with the per-doc window count
     val pos = d.filter(length(col("text")) >= k)
       .select(col("doc_id"), col("text"),
@@ -836,13 +835,19 @@ object TextSim {
         explode(expr(s"sequence(greatest(1, i - ${w - 1}), " +
           "least(i, nwins))")).as("j"))
     // rightmost minimum per (doc, window): min hv, and among equal
-    // hv the largest i — one packed decimal min, recovered exactly
+    // hv the largest i — one packed decimal min, recovered exactly.
+    // The packing/unpacking is [[Num.packDesc]]/[[Num.unpackIdDesc]]
+    // (r17 review: an inline respelling dropped their range guards —
+    // the exact drift Num's header warns about); the oracle SQL pastes
+    // the same `hv·2⁶² − i` arithmetic without the guards, which is
+    // safe there because the guarded Spark side runs on identical
+    // values first.
     val picks = cand.groupBy("doc_id", "j")
       .agg(min(col("hv")).as("mh"),
-        min(expr(s"CAST(hv AS DECIMAL(38,0)) * $S - i")).as("pk"))
+        min(Num.packDesc(col("hv"), col("i"), "doc_winnow_portable"))
+          .as("pk"))
       .select(col("doc_id"), col("j"), col("mh"),
-        expr(s"CAST(CAST(mh AS DECIMAL(38,0)) * $S - pk AS BIGINT)")
-          .as("p"))
+        Num.unpackIdDesc(col("mh"), col("pk")).as("p"))
     // consecutive-dedup in window order (winnowing picks are
     // non-decreasing in position, so this equals positional dedup)
     val byJ = org.apache.spark.sql.expressions.Window

@@ -117,25 +117,46 @@ class UnitSumSpec extends SparkSpec {
     assert(mismatches == 0L)
   }
 
-  test("two-phase hi/lo split re-sum equals the one-level decimal sum") {
-    // r17: the preAggregated / aggSalted shape — phase-1 long hi/lo
-    // partials per sub-group, phase-2 DECIMAL(38,0) re-sum, closed via
-    // fromUnitsHiLo. Must bit-match a direct dsum over the same rows,
-    // including groups whose Σlo exceeds 2^32 (carry into hi).
+  test("two-phase long re-sum equals the one-level decimal sum") {
+    // r17: the preAggregated / aggSalted shape — ONE long unit
+    // partial per sub-group, phase-2 DECIMAL(38,0) re-sum closed via
+    // fromUnits. Must bit-match a direct dsum over the same rows.
     import org.apache.spark.sql.types.DecimalType
     val ev = graft.ops.Sources.table(spark, sf, "events").filter(col("value").isNotNull)
-    val u = Num.units(col("value"), 4)
     val twoPhase = ev
       .withColumn("salt", pmod(col("event_id"), lit(16L)))
       .groupBy("salt")
-      .agg(sum(Num.unitsHi(u)).as("hi"), sum(Num.unitsLo(u)).as("lo"))
-      .agg(Num.fromUnitsHiLo(sum(col("hi").cast(DecimalType(38, 0))),
-        sum(col("lo").cast(DecimalType(38, 0))), 4).as("v"))
+      .agg(sum(Num.units(col("value"), 4)).as("u"))
+      .agg(Num.fromUnits(sum(col("u").cast(DecimalType(38, 0))), 4).as("v"))
       .collect()(0).getDouble(0)
     val direct = ev.agg(Num.dsum(col("value"), 4)).collect()(0).getDouble(0)
     assert(java.lang.Double.doubleToRawLongBits(twoPhase) ==
       java.lang.Double.doubleToRawLongBits(direct),
       s"two-phase $twoPhase != dsum $direct")
+  }
+
+  test("two-phase hi/lo split re-sum equals dsum where the split applies") {
+    // the Num-level hi/lo property for unit values that DO exceed
+    // 2^32 (squared cents — the agg_corr shape): per-group hi/lo long
+    // partials, DECIMAL(38,0) re-sum, fromUnitsHiLo closing.
+    import org.apache.spark.sql.types.DecimalType
+    val li = graft.ops.Sources.table(spark, sf, "lineitem")
+      .select(col("l_orderkey"), Num.units(col("l_extendedprice"), 2).as("yc"))
+      .select(col("l_orderkey"), (col("yc") * col("yc")).as("yy")) // scale 4 units
+    val twoPhase = li
+      .withColumn("g", pmod(col("l_orderkey"), lit(8L)))
+      .groupBy("g")
+      .agg(sum(Num.unitsHi(col("yy"))).as("hi"),
+        sum(Num.unitsLo(col("yy"))).as("lo"))
+      .agg(Num.fromUnitsHiLo(sum(col("hi").cast(DecimalType(38, 0))),
+        sum(col("lo").cast(DecimalType(38, 0))), 4).as("v"))
+      .collect()(0).getDouble(0)
+    val direct = li
+      .agg(Num.fromUnitsHiLo(sum(Num.unitsHi(col("yy"))),
+        sum(Num.unitsLo(col("yy"))), 4)).collect()(0).getDouble(0)
+    assert(java.lang.Double.doubleToRawLongBits(twoPhase) ==
+      java.lang.Double.doubleToRawLongBits(direct),
+      s"two-phase hi/lo $twoPhase != one-level $direct")
   }
 
   test("agg_group-class unit sums stay exact under the enforced guard") {

@@ -75,7 +75,10 @@ class WinnowSpec extends SparkSpec {
       (9001L, "abcdefghijkl"),                      // exactly k chars
       (9002L, "café au lait avec des caractères accentués ici"),
       (9003L, "x" * 50),                            // degenerate: all equal
-      (9004L, "the quick brown fox jumps over the lazy dog"))
+      (9004L, "the quick brown fox jumps over the lazy dog"),
+      // astral (4-byte, surrogate-pair) chars: the kernel's byte-offset
+      // table must agree with Spark substring's code-point indexing
+      (9005L, "emoji 😀 mixed 🍕 text with astral 🚀 characters here"))
       .toDF("doc_id", "text")
     val fixture = graft.ops.Sources.table(spark, sf, "documents")
       .select("doc_id", "text")
