@@ -92,6 +92,30 @@ class WinnowSpec extends SparkSpec {
     }
   }
 
+  test("portable kernel equals the declarative pipeline on random docs") {
+    // fixed-seed randomized equivalence: 80 docs over a mixed
+    // alphabet (ASCII, 2-byte, 3-byte, astral), lengths 0..200 chars
+    // — every (count, digest) must agree between the kernel and the
+    // declarative explode/aggregate/window pipeline
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    val alphabet: IndexedSeq[String] =
+      ('a' to 'z').map(_.toString) ++ Seq(" ", " ", " ", "é", "ü", "中",
+        "😀", "🚀")
+    val docs = (1 to 80).map { i =>
+      val len = rnd.nextInt(201)
+      (i.toLong, (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.size)))
+        .mkString)
+    }.toDF("doc_id", "text")
+    val kern = graft.ops.TextSim.docWinnowPortable(docs)
+      .collect().map(_.toString).sorted.toSeq
+    val decl = graft.ops.TextSim.docWinnowPortableDeclarative(docs)
+      .collect().map(_.toString).sorted.toSeq
+    assert(kern == decl,
+      s"kernel != declarative on random docs: ${kern.size} vs ${decl.size}")
+    assert(kern.size > 40, "most random docs should exceed k chars")
+  }
+
   test("portable twin pick positions are sane on a hand-sized doc") {
     import spark.implicits._
     // one doc of 20 chars, k=12 → 9 windows of hashes, w=4 → 6
