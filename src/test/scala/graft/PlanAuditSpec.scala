@@ -238,6 +238,20 @@ class PlanAuditSpec extends SparkSpec {
       s"one-hot must stay a scan+project:\n${p.take(1500)}")
   }
 
+  test("doc_winnow_portable is a pure per-row projection (r17 kernel)") {
+    // the r17 re-plan's whole point: the statistic is per-document,
+    // so NO exchange, aggregate, window or join may appear — the
+    // declarative pipeline this replaced paid all four and was the
+    // heaviest query on both engines (5.49 s Spark / 10.60 s DuckDB
+    // at sf0.1; the kernel runs in 0.24 s)
+    val p = plan(TextSim.docWinnowPortable(spark, sf))
+    assert(!p.contains("Exchange") && !p.contains("HashAggregate") &&
+      !p.contains("Window") && !p.contains("Join"),
+      s"winnow twin must stay scan+project:\n${p.take(1500)}")
+    assert(p.contains("graft_winnow_md5") || p.contains("winnowmd5") ||
+      p.toLowerCase.contains("winnow"), s"kernel missing from plan:\n${p.take(800)}")
+  }
+
   test("NO declared query plans a SortAggregate or CartesianProduct") {
     // Whole-surface sweep (r13): SortAggregate means some aggregate
     // buffer fell off the hash path (struct or var-length min/max —
