@@ -251,4 +251,13 @@ object Sources {
     */
   def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** ORC reader — the read half of [[Sinks.orc]] for warehouses
+    * standardized on ORC. Same columnar pushdown/pruning contract as
+    * parquet (Spark's OrcScan reports PushedFilters identically;
+    * SourcesSpec pins it), schema optional: ORC files carry their own.
+    */
+  def orc(spark: SparkSession, path: String,
+          schema: Option[StructType] = None): DataFrame =
+    schema.fold(spark.read)(spark.read.schema).orc(path)
 }

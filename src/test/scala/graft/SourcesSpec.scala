@@ -43,4 +43,24 @@ class SourcesSpec extends SparkSpec {
     assert(df.filter(col("processed_at").isNull).count() == 0)
     assert(df.schema("processed_at").dataType == TimestampType)
   }
+
+  test("ORC reader round-trips Sinks.orc output and pushes filters") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc_src").toString
+    val src = Sources.table(spark, sf, "orders")
+    graft.ops.Sinks.orc(src).save(s"$dir/orders_orc")
+    val back = Sources.orc(spark, s"$dir/orders_orc")
+    assert(back.schema == src.schema)
+    assert(back.count() == src.count())
+    // the columnar contract parquet scans are held to: a filtered,
+    // projected read must report pushed filters and a pruned schema
+    val q = back.filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderstatus")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("o_orderstatus"),
+      s"ORC filter not pushed:\n${p.take(1200)}")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema"))
+    assert(readSchema.exists(l => l.contains("o_orderkey") &&
+      !l.contains("o_totalprice")), s"ORC scan not pruned: $readSchema")
+    assert(q.count() == src.filter(col("o_orderstatus") === "F").count())
+  }
 }
