@@ -224,6 +224,26 @@ object SparkEntry {
   private def dsumSql(c: String, scale: Int = 4): String =
     s"CAST(SUM(CAST($c AS DECIMAL(18,$scale))) AS DOUBLE)"
 
+  /** `price·(1−disc)` / `·(1+tax)` as EXACT DECIMAL factor products
+    * (r17 — the ~sf1 spot-run showed the old spelling's per-row
+    * DOUBLE product `l_extendedprice * (1 - l_discount)` rounds
+    * BEFORE the decimal cast, so the oracle's sum was the sum of
+    * rounded products, not the exact rational the engine's integer
+    * units compute; at the gate SFs the difference stayed under the
+    * comparison rounding, but it is a latent drift at scale). Each
+    * factor casts to a tight exact decimal first — prices are 2 dp
+    * under DECIMAL(12,2), rates 2 dp under DECIMAL(4,2) — so the
+    * products are exact by construction in both engines' decimal
+    * arithmetic, same discipline as the Spark side's [[graft.ops.Num.units]]
+    * products.
+    */
+  private val discPriceSql: String =
+    "(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+      "(1 - CAST(l_discount AS DECIMAL(4,2))))"
+
+  private val chargeSql: String =
+    s"($discPriceSql * (1 + CAST(l_tax AS DECIMAL(4,2))))"
+
   /** DuckDB reconstruction of the 60-bit hash Spark computes as
     * `CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT)`: a
     * nibble-weighted sum over the same md5 hex string (`$hx` must be a
@@ -462,8 +482,8 @@ object SparkEntry {
       s"""SELECT l_returnflag, l_linestatus,
          |${dsumSql("l_quantity")} AS sum_qty,
          |${dsumSql("l_extendedprice")} AS sum_base_price,
-         |${dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS sum_disc_price,
-         |${dsumSql("(l_extendedprice * (1 - l_discount)) * (1 + l_tax)", 6)} AS sum_charge,
+         |${dsumSql(discPriceSql, 6)} AS sum_disc_price,
+         |${dsumSql(chargeSql, 6)} AS sum_charge,
          |${dsumSql("l_quantity")} / count(*) AS avg_qty,
          |${dsumSql("l_extendedprice")} / count(*) AS avg_price,
          |${dsumSql("l_discount")} / count(*) AS avg_disc,
@@ -702,7 +722,7 @@ object SparkEntry {
 
     "join_fact" ->
       s"""SELECT o_orderkey, o_orderpriority,
-         |${dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS revenue,
+         |${dsumSql(discPriceSql, 6)} AS revenue,
          |count(*) AS n_items
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderkey, o_orderpriority""".stripMargin,
@@ -723,7 +743,7 @@ object SparkEntry {
         |ON o_custkey = c_custkey""".stripMargin,
 
     "join_multiway" ->
-      s"""SELECT n_name, ${dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS revenue,
+      s"""SELECT n_name, ${dsumSql(discPriceSql, 6)} AS revenue,
          |count(*) AS n_items
          |FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey
@@ -1083,9 +1103,9 @@ object SparkEntry {
         |ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
 
     "join_topk" ->
-      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
         |o_orderpriority,
-        |CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+        |${dsumSql(discPriceSql, 6)}
         |  AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
