@@ -44,6 +44,13 @@ object ScaleDemo {
       graft.ops.NearDup.scrubSpans(spark, corpus, 8)
         .filter(col("n_removed") > 0).count()
     }
+    time("doc_winnow_portable") {
+      // aggregate OVER the kernel outputs: a bare count() would prune
+      // the kernel column and time only the length filter (the r12
+      // count-forcing lesson)
+      graft.ops.TextSim.docWinnowPortable(corpus)
+        .agg(sum(col("n_fingerprints"))).head().getLong(0)
+    }
     // similarity surface over generated 64-dim vectors (pure function
     // of vec_id — same replay-determinism rule as the docs connector)
     val vecs = graft.sources.SyntheticVecs.vectors(spark, n,
