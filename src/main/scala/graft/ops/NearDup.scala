@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -203,15 +203,32 @@ object NearDup {
     * signature table (callers persist it and release it once their
     * output is materialized).
     */
-  def minhashScoredPairs(sigs: DataFrame, numHashes: Int, bands: Int,
-                         minSim: Double): DataFrame = {
+  /** The production banding expression — xxhash64 of each r-slot
+    * signature slice — and the signature-agreement count, each defined
+    * ONCE (r17 review: three hand-pasted copies of the banding string
+    * and two of the scoring string could drift between the inline
+    * query, the index writer, and the index prober, whose consistency
+    * MinhashIndexSpec specifies; the portable family already follows
+    * this rule via [[agreementScore]]).
+    */
+  private def bandExplodeExpr(numHashes: Int, bands: Int): Column = {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes) — trailing " +
         "signature slots would be silently excluded from banding")
     val r = numHashes / bands
+    expr(s"transform(sequence(0, ${bands - 1})," +
+      s" b -> xxhash64(slice(sig, b * $r + 1, $r)))")
+  }
+
+  /** Agreement fraction of two signature arrays `sig_a`/`sig_b`. */
+  private def sigAgreement(numHashes: Int): Column =
+    expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0))," +
+      " 0, (acc, v) -> acc + v)").cast(DoubleType) / numHashes.toDouble
+
+  def minhashScoredPairs(sigs: DataFrame, numHashes: Int, bands: Int,
+                         minSim: Double): DataFrame = {
     val banded = sigs
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $r + 1, $r)))"))
+      .select(col("doc_id"), posexplode(bandExplodeExpr(numHashes, bands))
         .as(Seq("band_idx", "band_hash")))
     val cand = banded.select(col("doc_id").as("doc_a"),
         col("band_idx"), col("band_hash"))
@@ -228,9 +245,7 @@ object NearDup {
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
         "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        (expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0))," +
-          " 0, (acc, v) -> acc + v)").cast(DoubleType) / numHashes.toDouble)
-          .as("est_jaccard"))
+        sigAgreement(numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= minSim)
   }
 
@@ -411,12 +426,25 @@ object NearDup {
     * crawling").
     */
   def simhashShinglePortable(s: SparkSession, docs: DataFrame): DataFrame =
-    simhashDecomposed(portableShingleHashes(s, docs), 60)
-      .select(col("doc_id"), col("simhash"),
-        expr("(simhash >> 45) & 32767").as("band0"),
-        expr("(simhash >> 30) & 32767").as("band1"),
-        expr("(simhash >> 15) & 32767").as("band2"),
-        expr("simhash & 32767").as("band3"))
+    withSimhashBands(simhashDecomposed(portableShingleHashes(s, docs), 60), 60)
+
+  /** The 4-way band split of a `(doc_id, simhash)` frame, defined once
+    * (r17 review: three hand-copied shift/mask blocks — 16-bit and two
+    * 15-bit — had to stay mutually consistent with the band join; a
+    * width change edited in one copy would silently desynchronize the
+    * portable simhash surfaces from each other and the oracle).
+    * Band b holds bits [(3−b)·w, (4−b)·w) of the `bits`-wide signature
+    * (w = bits/4), matching the oracle's `(simhash // 2^((3-b)·w)) %
+    * 2^w` arithmetic.
+    */
+  private def withSimhashBands(df: DataFrame, bits: Int): DataFrame = {
+    require(bits % 4 == 0, s"bits must split into 4 bands, got $bits")
+    val w = bits / 4
+    val m = (1L << w) - 1
+    df.select(col("doc_id") +: col("simhash") +:
+      (0 to 3).map(b =>
+        expr(s"(simhash >> ${(3 - b) * w}) & $m").as(s"band$b")): _*)
+  }
 
   /** `dedup_simhash_pairs` — ORACLE-CHECKABLE SimHash pair detection:
     * [[simhashShinglePortable]] signatures, candidates from 15-bit
@@ -429,25 +457,12 @@ object NearDup {
                                 maxHamming: Int = PortableMaxHamming)
       : DataFrame = {
     // persist: the signature aggregation feeds BOTH sides of the band
-    // self-join (and each side explodes it 4x into band rows) — same
-    // discipline as dedupMinhashPortable's sigs
+    // self-join — same discipline as dedupMinhashPortable's sigs (the
+    // r17 posexplode fold in [[simhashBandPairs]] already cut the
+    // per-side subplans 4× → 1×; the persist removes the remaining 2×)
     val sh = simhashShinglePortable(s, Sources.table(s, dir, "documents"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = (0 to 3).map { b =>
-      sh.select(col("doc_id"), col("simhash"), col(s"band$b").as("band"),
-        lit(b).as("band_idx"))
-    }.reduce(_ unionByName _)
-    val a = bands.select(col("doc_id").as("doc_a"),
-      col("simhash").as("sh_a"), col("band"), col("band_idx"))
-    val b = bands.select(col("doc_id").as("doc_b"),
-      col("simhash").as("sh_b"), col("band"), col("band_idx"))
-    val out = a.join(b, Seq("band", "band_idx"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(expr("sh_a ^ sh_b")).cast(LongType).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .localCheckpoint()
+    val out = simhashBandPairs(sh, maxHamming).localCheckpoint()
     sh.unpersist(blocking = false)
     out
   }
@@ -531,14 +546,9 @@ object NearDup {
     */
   def minhashIndexWrite(s: SparkSession, docs: DataFrame, path: String,
                         numHashes: Int = 64, bands: Int = 16): Unit = {
-    require(numHashes % bands == 0,
-      s"bands ($bands) must divide numHashes ($numHashes)")
-    val r = numHashes / bands
     val sigs = minhashSignatures(s, docs, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sigs.select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, ${bands - 1})," +
-          s" b -> xxhash64(slice(sig, b * $r + 1, $r)))"))
+    sigs.select(col("doc_id"), posexplode(bandExplodeExpr(numHashes, bands))
         .as(Seq("band_idx", "band_hash")))
       .write.mode("overwrite").partitionBy("band_idx")
       .parquet(s"$path/bands")
@@ -564,22 +574,17 @@ object NearDup {
                         newDocs: DataFrame, numHashes: Int = 64,
                         bands: Int = 16,
                         minSim: Double = 0.4): DataFrame = {
-    require(numHashes % bands == 0,
-      s"bands ($bands) must divide numHashes ($numHashes)")
     val meta = s.read.parquet(s"$path/meta")
       .select("num_hashes", "bands").collect()(0)
     require(meta.getInt(0) == numHashes && meta.getInt(1) == bands,
       s"index at $path was written with numHashes=${meta.getInt(0)}, " +
         s"bands=${meta.getInt(1)}; probe asked for $numHashes/$bands")
-    val r = numHashes / bands
     val idxBands = s.read.parquet(s"$path/bands")
     val idxSigs = s.read.parquet(s"$path/sigs")
     val newSigs = minhashSignatures(s, newDocs, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newBands = newSigs.select(col("doc_id").as("probe_doc"),
-      posexplode(expr(
-        s"transform(sequence(0, ${bands - 1})," +
-          s" b -> xxhash64(slice(sig, b * $r + 1, $r)))"))
+      posexplode(bandExplodeExpr(numHashes, bands))
         .as(Seq("band_idx", "band_hash")))
     // explicit broadcast: the batch band rows are small by contract
     // (a probe batch), but their sizeInBytes ESTIMATE flows from the
@@ -598,9 +603,7 @@ object NearDup {
       .join(idxSigs.select(col("doc_id").as("corpus_doc"),
         col("sig").as("sig_b")), "corpus_doc")
       .select(col("probe_doc"), col("corpus_doc"),
-        (expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0))," +
-          " 0, (acc, v) -> acc + v)").cast(DoubleType) /
-          numHashes.toDouble).as("est_jaccard"))
+        sigAgreement(numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= minSim)
     val out = est.localCheckpoint()
     newSigs.unpersist(blocking = false)
@@ -657,12 +660,7 @@ object NearDup {
       // same hash as SimHashSigAgg's internal XxHash64(_, 42L): the
       // xxhash64() function's fixed seed is 42
       .select(col("doc_id"), xxhash64(col("token")).as("th"))
-    simhashDecomposed(th, 64)
-      .select(col("doc_id"), col("simhash"),
-        expr("(simhash >> 48) & 65535").as("band0"),
-        expr("(simhash >> 32) & 65535").as("band1"),
-        expr("(simhash >> 16) & 65535").as("band2"),
-        expr("simhash & 65535").as("band3"))
+    withSimhashBands(simhashDecomposed(th, 64), 64)
   }
 
   /** `dedup_simhash` — the declared-query wrapper around [[simhash]]. */
@@ -701,26 +699,24 @@ object NearDup {
       .select(col("doc_id"),
         expr("CAST(conv(substring(md5(token), 1, 15), 16, 10) AS BIGINT)")
           .as("th"))
-    simhashDecomposed(th, 60)
-      .select(col("doc_id"), col("simhash"),
-        expr("(simhash >> 45) & 32767").as("band0"),
-        expr("(simhash >> 30) & 32767").as("band1"),
-        expr("(simhash >> 15) & 32767").as("band2"),
-        expr("simhash & 32767").as("band3"))
+    withSimhashBands(simhashDecomposed(th, 60), 60)
   }
 
-  /** Near-dup candidate pairs from simhash band collisions, with exact
-    * Hamming distance ≤ `maxHamming`. Join is on the band value —
-    * bucketed, not all-pairs.
+  /** Band-blocked SimHash pair core shared by the production
+    * [[simhashPairs]] and the portable [[dedupSimhashPairsPortable]]
+    * (r17 review: the two hand-copied 4-way `unionByName` band
+    * explodes could drift, and each embedded the signature
+    * aggregation subplan 4× PER JOIN SIDE). One `posexplode` over the
+    * band array emits the same (band_idx, band) rows from ONE
+    * signature subplan per side; self-join on the bucket, exact
+    * Hamming by `bit_count(xor)`, ≤ `maxHamming` cutoff. Identical
+    * rows and band_idx numbering (posexplode positions = the old
+    * `lit(b)` indices).
     */
-  def simhashPairs(s: SparkSession, dir: String,
-                   maxHamming: Int = 8): DataFrame = {
-    val sh = simhash(s, dir).select("doc_id", "simhash", "band0", "band1",
-      "band2", "band3")
-    val bands = (0 to 3).map { b =>
-      sh.select(col("doc_id"), col("simhash"), col(s"band$b").as("band"),
-        lit(b).as("band_idx"))
-    }.reduce(_ unionByName _)
+  private def simhashBandPairs(sh: DataFrame, maxHamming: Int): DataFrame = {
+    val bands = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array(col("band0"), col("band1"), col("band2"),
+        col("band3"))).as(Seq("band_idx", "band")))
     val a = bands.select(col("doc_id").as("doc_a"),
       col("simhash").as("sh_a"), col("band"), col("band_idx"))
     val b = bands.select(col("doc_id").as("doc_b"),
@@ -729,9 +725,18 @@ object NearDup {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
       .select(col("doc_a"), col("doc_b"),
-        bit_count(expr("sh_a ^ sh_b")).as("hamming"))
+        bit_count(expr("sh_a ^ sh_b")).cast(LongType).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Near-dup candidate pairs from simhash band collisions, with exact
+    * Hamming distance ≤ `maxHamming`. Join is on the band value —
+    * bucketed, not all-pairs.
+    */
+  def simhashPairs(s: SparkSession, dir: String,
+                   maxHamming: Int = 8): DataFrame =
+    simhashBandPairs(simhash(s, dir).select("doc_id", "simhash",
+      "band0", "band1", "band2", "band3"), maxHamming)
 
   /** `dedup_ngram` — exact Jaccard over *distinctive* 3-token shingles
     * (document frequency ≤ `maxDf`). Candidates come from an inverted
@@ -941,7 +946,7 @@ object NearDup {
     * stays self-contained for the oracle.
     */
   def decontaminateAgainst(s: SparkSession, train: DataFrame,
-                           evalSet: DataFrame, maxDf: Int = 20,
+                           evalSet: DataFrame, maxDf: Int = DefaultMaxDf,
                            n: Int = 3,
                            dfPrePass: Boolean = false): DataFrame = {
     val both = train.select(col("doc_id"), col("text"),
@@ -1057,23 +1062,36 @@ object NearDup {
   /** [[dedupBloom]] over any `(doc_id, text)` relation. */
   def dedupBloom(s: SparkSession, docs: DataFrame, fpp: Double): DataFrame = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    // persist: the hashed split feeds FOUR consumers (distinct count,
+    // bloom build, exact join side, probe side) — without it each
+    // re-ran sha2 over the full text column (r17 review). The bloom
+    // filter also sizes from the DISTINCT corpus hash count now: a
+    // dedup corpus is full of exact duplicates by definition, and
+    // sizing from raw rows over-allocated the broadcast bitset for
+    // keys the filter stores once. Eager output (the result is a
+    // 1-row summary) releases the cache before returning.
     val d = docs
       .select(col("doc_id"),
         sha2(trim(lower(col("text"))), 256).as("h"),
         (Sampling.hexNibble(col("doc_id")) >= "8").as("is_new"))
-    val corpus = d.filter(!col("is_new")).select("h")
-    val bf = corpus.stat.bloomFilter("h", math.max(corpus.count(), 1L), fpp)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = d.filter(!col("is_new")).select("h").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bf = exact.stat.bloomFilter("h", math.max(exact.count(), 1L), fpp)
     val bfB = s.sparkContext.broadcast(bf)
     val probe = graft.functions.VectorFunctions.mightContain(
       s, col("h"), bfB)
-    val exact = corpus.distinct().withColumn("in_corpus", lit(true))
-    d.filter(col("is_new"))
-      .join(exact, Seq("h"), "left")
+    val out = d.filter(col("is_new"))
+      .join(exact.withColumn("in_corpus", lit(true)), Seq("h"), "left")
       .agg(count(lit(1)).as("n_new"),
         sum(when(probe, 1L).otherwise(0L))
           .as("n_bloom_flagged"),
         sum(when(col("in_corpus").isNotNull, 1L).otherwise(0L))
           .as("n_exact_dup"))
+      .localCheckpoint()
+    exact.unpersist(blocking = false)
+    d.unpersist(blocking = false)
+    out
   }
 
   /** `dedup_chunk` — span-level exact dedup: cut each document into
@@ -1710,8 +1728,15 @@ object NearDup {
     // would change semantics.
     val grpMin = min(col("vec_id")).over(
       org.apache.spark.sql.expressions.Window.partitionBy(col("v")))
+    // persist: `marked` (k-means assignment + the full-width v-keyed
+    // collapse window) feeds FOUR subtrees — both pair-join sides,
+    // exactDropped, and the final verdict join. Without the persist
+    // each re-runs the assignment and the window (r17 review); the
+    // eager localCheckpoint below releases the cache before returning,
+    // the file's standard entry-point discipline.
     val marked = assigned.withColumn("rep_id",
-      when(col("nrm") > 0.0, grpMin).otherwise(col("vec_id")))
+        when(col("nrm") > 0.0, grpMin).otherwise(col("vec_id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // zero-norm vectors never enter the pair stage at all: their
     // cosine is undefined (0/0 — under ANSI arithmetic the division
     // THROWS, it does not NaN), so they can never satisfy the drop
@@ -1737,10 +1762,13 @@ object NearDup {
     // disjoint by construction (pairDropped ⊆ representatives,
     // exactDropped = non-representatives), so plain union-all — a
     // distinct here would be a whole extra shuffle for nothing
-    marked
+    val out = marked
       .join(pairDropped.union(exactDropped)
         .withColumn("dup", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster_id").cast(LongType),
         coalesce(!col("dup"), lit(true)).as("kept"))
+      .localCheckpoint()
+    marked.unpersist(blocking = false)
+    out
   }
 }
