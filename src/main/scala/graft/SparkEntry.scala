@@ -704,7 +704,7 @@ object SparkEntry {
         |WHERE substring(md5(CAST(n.doc_id AS VARCHAR)), 1, 1) >= '8'""".stripMargin,
 
     "dedup_chunk" ->
-      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS words
+      """WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS words
         |           FROM documents),
         |c AS (SELECT doc_id,
         |  unnest(list_transform(range(0, CAST(ceil(len(words) / 20.0) AS INT)),

@@ -1119,7 +1119,14 @@ object NearDup {
         s" c -> concat_ws(' ', slice(w, c * $chunk + 1, $chunk))))[0]")
     Sources.table(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      // lower() before splitting (r17 review): every other exact-dedup
+      // path — [[TextSim.dedupText]], [[scrubSpans]], the shingle
+      // family — is case-insensitive; without it "Terms Of Service"
+      // and "terms of service" boilerplate spans hashed into different
+      // chunk groups and the shared span was silently missed by the
+      // op whose purpose is finding it
+      .select(col("doc_id"),
+        split(lower(trim(col("text"))), "\\s+").as("words"))
       .select(col("doc_id"), explode(chunks).as("chunk"))
       .groupBy("chunk")
       .agg(countDistinct(col("doc_id")).as("n_docs"))
@@ -1432,6 +1439,19 @@ object NearDup {
     * collapses pairs that collide in both blocks. Levenshtein itself
     * is the codegen'd built-in. The same shape scales to trigram
     * blocking for free-text columns where token blocks are too coarse.
+    *
+    * RECALL CONTRACT (r17 review — the blocking's miss classes,
+    * stated precisely; every pure blocking scheme has some): a true
+    * ≤ maxDist pair is found iff its first tokens match exactly OR
+    * its last tokens match exactly. Missed: pairs whose edits touch
+    * BOTH anchor tokens — in particular every single-token pair
+    * ("widget" vs "widgit": first == last == the edited token), and
+    * multi-token pairs with one edit in the first AND one in the
+    * last token. The oracle SQL blocks identically, so the declared
+    * query's semantics are exactly this contract; corpora where
+    * token-internal typos on short names matter should use q-gram
+    * blocking (the trigram note above) or [[dedupNgram]] at small n
+    * instead.
     */
   def dedupFuzzy(s: SparkSession, dir: String, maxDist: Int = 3): DataFrame =
     dedupFuzzy(s,

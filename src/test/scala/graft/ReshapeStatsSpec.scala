@@ -249,4 +249,21 @@ class ReshapeStatsSpec extends SparkSpec {
         "corpus has exact duplicate docs but chunk dedup found nothing")
     }
   }
+
+  test("dedup_chunk is case-insensitive like its span-dedup companions") {
+    // r17 review: a case-variant shared boilerplate span was silently
+    // missed while scrub_spans (trim+lower) caught it — the two
+    // span-level ops must agree on the normalization
+    import spark.implicits._
+    val span = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, span.toUpperCase + " unique tail one two three"),
+      (2L, span + " different ending four five six"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-chunk").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val found = NearDup.dedupChunk(spark, tmp).collect()
+    assert(found.exists(_.getLong(1) == 2L),
+      s"case-variant shared span missed: ${found.toSeq}")
+  }
 }
