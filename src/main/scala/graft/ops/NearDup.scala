@@ -1059,17 +1059,34 @@ object NearDup {
   def dedupBloom(s: SparkSession, dir: String, fpp: Double = 0.01): DataFrame =
     dedupBloom(s, Sources.table(s, dir, "documents"), fpp)
 
-  /** [[dedupBloom]] over any `(doc_id, text)` relation. */
+  /** [[dedupBloom]] over any `(doc_id, text)` relation.
+    *
+    * Eager (the result is a 1-row summary): runs [[dedupBloomPlan]]
+    * through `localCheckpoint` and releases its cached intermediates
+    * before returning.
+    */
   def dedupBloom(s: SparkSession, docs: DataFrame, fpp: Double): DataFrame = {
+    val (plan, cached) = dedupBloomPlan(s, docs, fpp)
+    val out = plan.localCheckpoint()
+    cached.foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  /** The lazy plan behind [[dedupBloom]], plus the persisted frames
+    * the caller must release after materializing (split out so plan
+    * shape stays testable — the [[dedupNgramPlan]] precedent).
+    *
+    * persist: the hashed split feeds FOUR consumers (distinct count,
+    * bloom build, exact join side, probe side) — without it each
+    * re-ran sha2 over the full text column (r17 review). The bloom
+    * filter also sizes from the DISTINCT corpus hash count: a dedup
+    * corpus is full of exact duplicates by definition, and sizing
+    * from raw rows over-allocated the broadcast bitset for keys the
+    * filter stores once.
+    */
+  private[graft] def dedupBloomPlan(s: SparkSession, docs: DataFrame,
+                                    fpp: Double): (DataFrame, Seq[DataFrame]) = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
-    // persist: the hashed split feeds FOUR consumers (distinct count,
-    // bloom build, exact join side, probe side) — without it each
-    // re-ran sha2 over the full text column (r17 review). The bloom
-    // filter also sizes from the DISTINCT corpus hash count now: a
-    // dedup corpus is full of exact duplicates by definition, and
-    // sizing from raw rows over-allocated the broadcast bitset for
-    // keys the filter stores once. Eager output (the result is a
-    // 1-row summary) releases the cache before returning.
     val d = docs
       .select(col("doc_id"),
         sha2(trim(lower(col("text"))), 256).as("h"),
@@ -1081,17 +1098,14 @@ object NearDup {
     val bfB = s.sparkContext.broadcast(bf)
     val probe = graft.functions.VectorFunctions.mightContain(
       s, col("h"), bfB)
-    val out = d.filter(col("is_new"))
+    val plan = d.filter(col("is_new"))
       .join(exact.withColumn("in_corpus", lit(true)), Seq("h"), "left")
       .agg(count(lit(1)).as("n_new"),
         sum(when(probe, 1L).otherwise(0L))
           .as("n_bloom_flagged"),
         sum(when(col("in_corpus").isNotNull, 1L).otherwise(0L))
           .as("n_exact_dup"))
-      .localCheckpoint()
-    exact.unpersist(blocking = false)
-    d.unpersist(blocking = false)
-    out
+    (plan, Seq(exact, d))
   }
 
   /** `dedup_chunk` — span-level exact dedup: cut each document into

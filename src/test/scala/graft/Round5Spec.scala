@@ -584,9 +584,11 @@ class Round5Spec extends SparkSpec {
     val docs = (0L until 100L).map(i => (i, s"text $i"))
       .toDF("doc_id", "text")
     // the probe must appear as the named catalyst expression, not as
-    // an opaque ScalaUDF black box
-    val plan = NearDup.dedupBloom(spark, docs, 0.01)
-      .queryExecution.executedPlan.toString
+    // an opaque ScalaUDF black box (the eager dedupBloom checkpoints
+    // its 1-row result, so the assertion targets the lazy plan half)
+    val (bloomPlan, cached) = NearDup.dedupBloomPlan(spark, docs, 0.01)
+    val plan = bloomPlan.queryExecution.executedPlan.toString
+    cached.foreach(_.unpersist(blocking = false))
     assert(plan.contains("graft_might_contain"),
       s"expected the codegen'd BloomProbe in the plan\n$plan")
     assert(!plan.contains("ScalaUDF") && !plan.contains("UDF("),
