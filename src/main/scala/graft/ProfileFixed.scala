@@ -48,18 +48,40 @@ object ProfileFixed {
       override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = tasks += 1
     })
+    // True-Catalyst accumulator (r18): the heavy "buildMs" entries are
+    // EAGER builders (Lloyd collects, localCheckpoint, bloom build),
+    // so buildMs conflates plan compilation with job execution. Every
+    // action's QueryPlanningTracker reports the actual
+    // analysis/optimization/planning wall — summing it over the
+    // actions fired during a phase splits "Catalyst" from "jobs +
+    // driver logic". localCheckpoint/collect/noop-write all run
+    // through Dataset.withAction, which fires this listener.
+    val catalystMs = new java.util.concurrent.atomic.AtomicLong
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = {
+          val ms = qe.tracker.phases.values
+            .map(p => p.endTimeMs - p.startTimeMs).sum
+          catalystMs.addAndGet(ms): Unit
+        }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            error: Exception): Unit = ()
+      })
     // listenerBus.waitUntilEmpty is private[spark]; a short sleep after
     // each phase lets the async bus drain — counts are diagnostics, a
     // ±1 race on a 100-job run is immaterial. The sleeps sit OUTSIDE
     // the timed window so they never pollute the ms numbers.
-    def counted[A](f: => A): (A, Int, Int, Double) = {
+    def counted[A](f: => A): (A, Int, Int, Double, Long) = {
       Thread.sleep(60)
-      val (j0, t0) = (jobs, tasks)
+      val (j0, t0, c0) = (jobs, tasks, catalystMs.get())
       val t = System.nanoTime()
       val r = f
       val ms = (System.nanoTime() - t) / 1e6
       Thread.sleep(60)
-      (r, jobs - j0, tasks - t0, ms)
+      (r, jobs - j0, tasks - t0, ms, catalystMs.get() - c0)
     }
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
@@ -68,20 +90,26 @@ object ProfileFixed {
     // warm pass first (codegen + JIT), matching Bench's pair rule:
     // the SECOND pass's numbers are the steady-state fixed cost
     case class Rec(name: String, buildPlanMs: Double, execMs: Double,
-                   buildJobs: Int, execJobs: Int, execTasks: Int)
+                   buildJobs: Int, execJobs: Int, execTasks: Int,
+                   catalystMs: Long)
     def one(name: String,
             fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Rec = {
       // build + force full planning; eager helper jobs (collects inside
       // the builder, e.g. exactPercentiles) are charged here
-      val (df, bj, _, buildMs) = counted {
+      val (df, bj, _, buildMs, bCat) = counted {
         val d = fn(spark, sfDir)
         d.queryExecution.executedPlan // force analyze/optimize/plan
         d
       }
-      val (_, ej, et, execMs) = counted {
+      // the executedPlan force above fires no action, so its tracker
+      // never reaches the listener — read it directly; for eager
+      // builders it is the trivial plan over the checkpointed result
+      val directCat = df.queryExecution.tracker.phases.values
+        .map(p => p.endTimeMs - p.startTimeMs).sum
+      val (_, ej, et, execMs, eCat) = counted {
         df.write.format("noop").mode("overwrite").save()
       }
-      Rec(name, buildMs, execMs, bj, ej, et)
+      Rec(name, buildMs, execMs, bj, ej, et, bCat + directCat + eCat)
     }
     val recs = qlist.flatMap { case (n, f) =>
       try { one(n, f); Some(one(n, f)) } // warm, then measure
@@ -90,15 +118,16 @@ object ProfileFixed {
     }
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
-    println(f"${"query"}%-28s${"buildMs"}%9s${"execMs"}%9s${"bJobs"}%7s${"eJobs"}%7s${"tasks"}%7s")
+    println(f"${"query"}%-28s${"buildMs"}%9s${"execMs"}%9s${"catMs"}%7s${"bJobs"}%7s${"eJobs"}%7s${"tasks"}%7s")
     recs.sortBy(r => -(r.buildPlanMs + r.execMs)).foreach { r =>
-      println(f"${r.name}%-28s${num(r.buildPlanMs)}%9s${num(r.execMs)}%9s${r.buildJobs}%7d${r.execJobs}%7d${r.execTasks}%7d")
+      println(f"${r.name}%-28s${num(r.buildPlanMs)}%9s${num(r.execMs)}%9s${r.catalystMs}%7d${r.buildJobs}%7d${r.execJobs}%7d${r.execTasks}%7d")
     }
     val n = recs.size.max(1)
     println(s"summary: n=$n buildMs total=${num(recs.map(_.buildPlanMs).sum)} " +
       s"(avg ${num(recs.map(_.buildPlanMs).sum / n)}) " +
       s"execMs total=${num(recs.map(_.execMs).sum)} " +
       s"(avg ${num(recs.map(_.execMs).sum / n)}) " +
+      s"catalystMs total=${recs.map(_.catalystMs).sum} " +
       s"buildJobs=${recs.map(_.buildJobs).sum} execJobs=${recs.map(_.execJobs).sum} " +
       s"tasks=${recs.map(_.execTasks).sum}")
     spark.stop()

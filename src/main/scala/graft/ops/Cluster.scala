@@ -39,20 +39,30 @@ object Cluster {
     */
   def kmeansAssign(s: SparkSession, emb: DataFrame, k: Int,
                    iters: Int = 5): DataFrame = {
+    // ONE persisted vector relation feeds both the Lloyd train and the
+    // final assignment (r18 fixed-cost pass: the assignment previously
+    // re-derived scan + cast + repartition that the train had already
+    // paid for). Eager like the NearDup entry points: the result is
+    // materialized through localCheckpoint so the cache is released
+    // before returning — the file's standard entry-point discipline.
     val e = vectors(s, emb)
-    val centroids = kmeansCentroids(s, emb, k, iters)
-    e.select(col("vec_id"), col("v"),
-        assignExpr(s, centroids).getField("cid").as("cluster_id"),
-        assignExpr(s, centroids).getField("d2").as("vd2"))
-      // d2 above omits |v|^2 (constant per vector, irrelevant to the
-      // argmin); add it back so the reported distance is the true one
-      .select(col("vec_id"), col("cluster_id"),
-        (col("vd2") + expr(
-          "aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)"))
-          .as("dist2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val centroids = kmeansCentroidsOn(e, k, iters)
+      e.select(col("vec_id"), col("v"),
+          assignExpr(s, centroids).getField("cid").as("cluster_id"),
+          assignExpr(s, centroids).getField("d2").as("vd2"))
+        // d2 above omits |v|^2 (constant per vector, irrelevant to the
+        // argmin); add it back so the reported distance is the true one
+        .select(col("vec_id"), col("cluster_id"),
+          (col("vd2") + expr(
+            "aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)"))
+            .as("dist2"))
+        .localCheckpoint()
+    } finally e.unpersist(blocking = false)
   }
 
-  private def vectors(s: SparkSession, emb: DataFrame): DataFrame =
+  private[ops] def vectors(s: SparkSession, emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
         col("embedding").cast(ArrayType(DoubleType)).as("v"))
       .repartition(s.sparkContext.defaultParallelism)
@@ -63,8 +73,16 @@ object Cluster {
     */
   def assignWith(s: SparkSession, emb: DataFrame,
                  centroids: Array[Array[Double]]): DataFrame =
-    vectors(s, emb).select(col("vec_id"), col("v"),
-      assignExpr(s, centroids).getField("cid").as("cluster_id"))
+    assignOn(vectors(s, emb), centroids)
+
+  /** [[assignWith]] over an already-derived `(vec_id, v)` relation —
+    * the cache-sharing entry [[graft.ops.NearDup.dedupSemantic]] uses
+    * to run train + assignment off one persisted vector relation.
+    */
+  private[ops] def assignOn(e: DataFrame,
+                            centroids: Array[Array[Double]]): DataFrame =
+    e.select(col("vec_id"), col("v"),
+      assignExpr(e.sparkSession, centroids).getField("cid").as("cluster_id"))
 
   // argmin_c ||v - c||^2 = argmin_c (|c|^2 - 2 v·c): ONE codegen'd
   // loop over the packed centroid matrix, ties to the lower id.
@@ -85,33 +103,49 @@ object Cluster {
     */
   def kmeansCentroids(s: SparkSession, emb: DataFrame, k: Int,
                       iters: Int): Array[Array[Double]] = {
-    require(k >= 1, s"k must be positive, got $k")
-    require(iters >= 1, s"iters must be positive, got $iters")
     // persist across the Lloyd loop: every iteration re-reads the
     // vector relation otherwise (scan + cast per round). Standard
     // practice for iterative algorithms; released before returning.
     val e = vectors(s, emb).persist()
-    try {
+    // finally, not straight-line: a mid-loop failure (executor loss,
+    // bad cast) must not leave the vector blocks pinned on the session
+    try kmeansCentroidsOn(e, k, iters)
+    finally e.unpersist(blocking = false)
+  }
+
+  /** The Lloyd loop over an already-persisted `(vec_id, v)` relation —
+    * split out (r18 fixed-cost pass) so [[kmeansAssign]] and
+    * [[graft.ops.NearDup.dedupSemantic]] can share ONE cached vector
+    * relation between the train and their own downstream stages
+    * instead of re-deriving scan + cast + repartition per consumer.
+    */
+  private[ops] def kmeansCentroidsOn(e: DataFrame, k: Int,
+                                     iters: Int): Array[Array[Double]] = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(iters >= 1, s"iters must be positive, got $iters")
+    val s = e.sparkSession
     var centroids: Array[Array[Double]] = e.orderBy("vec_id").limit(k)
       .collect().map(_.getSeq[Double](1).toArray)
     var converged = false
     for (_ <- 1 to iters if !converged) {
       val assigned = e.select(col("vec_id"), col("v"),
         assignExpr(s, centroids).getField("cid").as("cid"))
-      // per-dimension decimal-exact means, k*d rows on the shuffle
+      // per-dimension decimal-exact means: ONE k·d-row shuffle, the
+      // (cid, dim, m) triples collected directly — the former second
+      // groupBy (map_from_arrays re-assembly) was a whole extra
+      // shuffle + job per iteration carrying the same k·d doubles the
+      // driver receives either way (r18 fixed-cost pass)
       val means = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cid", "dim")
         .agg((sum(col("x").cast(DecimalType(28, 12))) / count(lit(1)))
           .cast(DoubleType).as("m"))
-        .groupBy("cid")
-        .agg(map_from_arrays(collect_list(col("dim")),
-          collect_list(col("m"))).as("dims"))
         .collect()
       val next = centroids.clone()
-      means.foreach { r =>
-        val dims = r.getMap[Int, Double](1)
-        next(r.getInt(0)) = Array.tabulate(dims.size)(dims(_))
+      means.groupBy(_.getInt(0)).foreach { case (cid, rows) =>
+        val c = new Array[Double](rows.size)
+        rows.foreach(r => c(r.getInt(1)) = r.getDouble(2))
+        next(cid) = c
       }
       // bit-exact fixed point (exact decimal means make this well-
       // defined): all further rounds would reproduce these centroids,
@@ -121,9 +155,6 @@ object Cluster {
       centroids = next
     }
     centroids
-    // finally, not straight-line: a mid-loop failure (executor loss,
-    // bad cast) must not leave the vector blocks pinned on the session
-    } finally e.unpersist(blocking = false)
   }
 
   /** `cluster_kmeans` — the declared-query wrapper: cluster the

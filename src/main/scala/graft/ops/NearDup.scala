@@ -323,13 +323,25 @@ object NearDup {
           .as("th"))
   }
 
+  /** The [[PortableSeeds]] affine permutations of the `th` column,
+    * parsed ONCE per JVM (r18 fixed-cost pass): Column trees are
+    * immutable and session-independent, and every portable-family
+    * plan build was re-running the SQL parser over all 16 ~300-char
+    * [[affineHashSql]] strings. Still built FROM the exact string the
+    * oracle interpolates, so the bit-identical-by-construction
+    * property is untouched.
+    */
+  private lazy val portableAffineTh: IndexedSeq[Column] =
+    PortableSeeds.map { case (a, b) =>
+      expr(affineHashSql("th", a, b, "div"))
+    }
+
   def portableSigs(s: SparkSession, docs: DataFrame,
                    numHashes: Int): DataFrame = {
     require(numHashes <= PortableSeeds.length,
       s"only ${PortableSeeds.length} portable seeds defined")
-    val mins = PortableSeeds.take(numHashes).zipWithIndex.map {
-      case ((a, b), i) =>
-        min(expr(affineHashSql("th", a, b, "div"))).as(s"mh$i")
+    val mins = portableAffineTh.take(numHashes).zipWithIndex.map {
+      case (h, i) => min(h).as(s"mh$i")
     }
     portableShingleHashes(s, docs).groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
@@ -443,7 +455,8 @@ object NearDup {
     val m = (1L << w) - 1
     df.select(col("doc_id") +: col("simhash") +:
       (0 to 3).map(b =>
-        expr(s"(simhash >> ${(3 - b) * w}) & $m").as(s"band$b")): _*)
+        shiftright(col("simhash"), (3 - b) * w).bitwiseAND(lit(m))
+          .as(s"band$b")): _*)
   }
 
   /** `dedup_simhash_pairs` — ORACLE-CHECKABLE SimHash pair detection:
@@ -477,13 +490,11 @@ object NearDup {
     * oracle gap on the fingerprint SEMANTICS (min over the doc's
     * shingle-hash set).
     */
-  def docFingerprintPortable(s: SparkSession, dir: String): DataFrame = {
-    val (a, b) = PortableSeeds.head
+  def docFingerprintPortable(s: SparkSession, dir: String): DataFrame =
     portableShingleHashes(s, Sources.table(s, dir, "documents"))
       .groupBy("doc_id")
-      .agg(min(expr(affineHashSql("th", a, b, "div"))).as("fingerprint"),
+      .agg(min(portableAffineTh.head).as("fingerprint"),
         count(lit(1)).cast(LongType).as("n_shingles"))
-  }
 
   /** `dedup_minhash_incr` — ORACLE-CHECKABLE incremental near-dup:
     * a probe batch (`doc_id % 4 == 0`, the "new arrivals") banded
@@ -504,12 +515,18 @@ object NearDup {
       s"bands ($bands) must divide numHashes ($numHashes)")
     val docs = Sources.table(s, dir, "documents")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val sigsP = portableSigs(s,
-      docs.filter(col("doc_id") % PortableProbeMod === 0),
-      numHashes).persist(lvl)
-    val sigsC = portableSigs(s,
-      docs.filter(col("doc_id") % PortableProbeMod =!= 0),
-      numHashes).persist(lvl)
+    // ONE signature pass over the whole table, split probe/corpus by a
+    // cache filter (r18 fixed-cost pass): a doc's signature is a pure
+    // per-doc function, so hashing the two halves separately ran the
+    // shingle + md5 + 16-min aggregation pipeline — and carried its
+    // whole expression tree through Catalyst — twice for identical
+    // per-doc results. The incremental SEMANTICS are unchanged: the
+    // probe side still bands against corpus-side signatures only.
+    val sigs = portableSigs(s, docs, numHashes)
+      .withColumn("is_probe", col("doc_id") % PortableProbeMod === 0)
+      .persist(lvl)
+    val sigsP = sigs.filter(col("is_probe"))
+    val sigsC = sigs.filter(!col("is_probe"))
     val cand = portableBandRows(sigsP, numHashes, bands)
       .select(col("doc_id").as("probe_doc"), col("band_idx"),
         col("band_key"))
@@ -520,8 +537,7 @@ object NearDup {
     val out = agreementScore(cand, sigsP, sigsC, "probe_doc",
         "corpus_doc", numHashes, minSim)
       .localCheckpoint()
-    sigsP.unpersist(blocking = false)
-    sigsC.unpersist(blocking = false)
+    sigs.unpersist(blocking = false)
     out
   }
 
@@ -626,9 +642,12 @@ object NearDup {
     * evaluates, so negative xxhash64 values round-trip identically.
     */
   private def simhashDecomposed(thDf: DataFrame, bits: Int): DataFrame = {
+    // pure Column DSL (r18 fixed-cost pass): the expr() spelling
+    // invoked the SQL parser once per bit — `bits` parses per plan
+    // build for byte-identical ShiftRight/BitwiseAnd trees
     val votes = (0 until bits).map(p =>
-      sum(when(expr(s"(th >> $p) & 1") === 1, 1L).otherwise(-1L))
-        .as(s"v$p"))
+      sum(when(shiftright(col("th"), p).bitwiseAND(lit(1L)) === lit(1L),
+        1L).otherwise(-1L)).as(s"v$p"))
     thDf
       // the fused aggregate SKIPS null hashes (If(IsNull, slot, …));
       // no caller produces one, but mirror the contract defensively —
@@ -1738,9 +1757,16 @@ object NearDup {
     val nd = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
       graft.functions.VectorFunctions.dot(s, a, b)
     // train once on the driver (k×d doubles), assign via ONE broadcast
-    // argmin projection — vectors never pair during clustering
-    val centroids = Cluster.kmeansCentroids(s, emb, k, iters)
-    val assigned = Cluster.assignWith(s, emb, centroids)
+    // argmin projection — vectors never pair during clustering. The
+    // Lloyd train and the assignment share ONE persisted vector
+    // relation (r18 fixed-cost pass: the assignment previously
+    // re-derived the scan + cast + repartition the train had already
+    // paid for); released after the localCheckpoint below, with the
+    // rest of the entry point's caches.
+    val vecs = Cluster.vectors(s, emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids = Cluster.kmeansCentroidsOn(vecs, k, iters)
+    val assigned = Cluster.assignOn(vecs, centroids)
       .withColumn("nrm", sqrt(nd(col("v"), col("v"))))
     // EXACT-VECTOR PRE-COLLAPSE: a real dedup corpus has massive
     // exact-duplicate groups (the whole point of deduping), and every
@@ -1803,6 +1829,7 @@ object NearDup {
         coalesce(!col("dup"), lit(true)).as("kept"))
       .localCheckpoint()
     marked.unpersist(blocking = false)
+    vecs.unpersist(blocking = false)
     out
   }
 }
