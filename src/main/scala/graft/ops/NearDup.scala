@@ -1103,13 +1103,49 @@ object NearDup {
     * from raw rows over-allocated the broadcast bitset for keys the
     * filter stores once.
     */
+  /** The hashed corpus/new split both bloom surfaces share: `(doc_id,
+    * h = sha2-256 of the trimmed lowercased text, is_new = md5-nibble
+    * ≥ '8')`. ONE definition so [[dedupBloomPlan]] and the oracle twin
+    * [[dedupBloomPortable]] can never drift on the hash or the split
+    * rule (the minhash-family discipline).
+    */
+  private def bloomHashedSplit(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      sha2(trim(lower(col("text"))), 256).as("h"),
+      (Sampling.hexNibble(col("doc_id")) >= "8").as("is_new"))
+
+  /** `dedup_bloom_portable` — the ORACLE TWIN for [[dedupBloom]]'s
+    * semantics (r17 VERDICT #6): per new-arrival document, the EXACT
+    * corpus-membership verdict `(doc_id, in_corpus)` — the predicate
+    * the broadcast bloom filter approximates (no false negatives;
+    * false positives at rate fpp). Same sha2-256 text hash, same
+    * md5-nibble split, same left join against the distinct corpus
+    * hash set as the production plan ([[bloomHashedSplit]] is shared
+    * code), minus the bloom probe itself — the bloom's VALUE is the
+    * no-shuffle plan, which a DuckDB oracle cannot time, but its
+    * keep/drop semantics at fpp→0 are exactly this relation, and
+    * DuckDB re-derives every row (`sha256`/`md5` are identical hex
+    * in both engines). BloomTwinSpec pins the production summary's
+    * `n_exact_dup` to this twin's flagged count, closing the loop:
+    * oracle → twin → production.
+    */
+  def dedupBloomPortable(s: SparkSession, dir: String): DataFrame =
+    dedupBloomPortableOn(s, Sources.table(s, dir, "documents"))
+
+  /** [[dedupBloomPortable]] over any `(doc_id, text)` relation. */
+  def dedupBloomPortableOn(s: SparkSession, docs: DataFrame): DataFrame = {
+    val d = bloomHashedSplit(docs)
+    val corpus = d.filter(!col("is_new")).select(col("h")).distinct()
+      .withColumn("hit", lit(true))
+    d.filter(col("is_new"))
+      .join(corpus, Seq("h"), "left")
+      .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("in_corpus"))
+  }
+
   private[graft] def dedupBloomPlan(s: SparkSession, docs: DataFrame,
                                     fpp: Double): (DataFrame, Seq[DataFrame]) = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
-    val d = docs
-      .select(col("doc_id"),
-        sha2(trim(lower(col("text"))), 256).as("h"),
-        (Sampling.hexNibble(col("doc_id")) >= "8").as("is_new"))
+    val d = bloomHashedSplit(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exact = d.filter(!col("is_new")).select("h").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
