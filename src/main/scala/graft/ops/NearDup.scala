@@ -1091,9 +1091,15 @@ object NearDup {
     out
   }
 
-  /** The lazy plan behind [[dedupBloom]], plus the persisted frames
-    * the caller must release after materializing (split out so plan
-    * shape stays testable — the [[dedupNgramPlan]] precedent).
+  /** The plan behind [[dedupBloom]], plus the persisted frames the
+    * caller must release after materializing (split out so plan shape
+    * stays testable — the [[dedupNgramPlan]] precedent). NOT fully
+    * lazy (r17 ADVICE): constructing it runs TWO Spark actions — the
+    * distinct-corpus `count()` that sizes the bloom filter and the
+    * `stat.bloomFilter` aggregation itself — because the broadcast
+    * bitset must exist before the summary plan can reference it. Only
+    * the 1-row summary query is deferred; a caller that wants pure
+    * plan inspection still pays the filter build.
     *
     * persist: the hashed split feeds FOUR consumers (distinct count,
     * bloom build, exact join side, probe side) — without it each

@@ -206,12 +206,29 @@ object Num {
     * the ARITHMETIC shift, so the per-row split and the linear sums
     * recombine exactly for negative units too.
     */
-  def unitsHi(u: Column): Column = shiftright(u, 32)
+  def unitsHi(u: Column, bits: Int = 32): Column = shiftright(u, bits)
 
-  /** Low 32 bits of a unit value (always in [0, 2³²)) — see
+  /** Low `bits` bits of a unit value (always in [0, 2^bits)) — see
     * [[unitsHi]].
+    *
+    * Split-point choice (r17 ADVICE on [[graft.ops.Aggregates]]'s
+    * grouping-set pre-aggregate): the sum headroom of the split is
+    * `2⁶³ / max(2^bits, u_max / 2^bits)` rows per group, maximized
+    * when the two halves BALANCE at `bits ≈ log₂(u_max)/2` — the
+    * default 32 only pays off for units near the 2⁵¹ magnitude bound,
+    * and is provably dead weight for cent-scale money (hi ≡ 0, Σlo =
+    * Σu, identical overflow bound to the plain sum — the r17 review's
+    * observation). A 14-bit split of ≤ 2²⁸-unit money (prices to
+    * ~$2.7M at 2 dp) bounds BOTH half-sums by n·2¹⁴, i.e. exactness
+    * by construction to ~5.6·10¹⁴ rows per group (~50 PB of rows) —
+    * past any 100 TB corpus slice. No runtime guard is needed for the
+    * bits choice itself: `u = (u >> b)·2^b + (u & (2^b−1))` is a bit
+    * identity at any magnitude or sign, every sum is exact or raises
+    * (ANSI), so a mis-sized split can only shrink headroom, never
+    * misround.
     */
-  def unitsLo(u: Column): Column = u.bitwiseAND(lit(0xFFFFFFFFL))
+  def unitsLo(u: Column, bits: Int = 32): Column =
+    u.bitwiseAND(lit((1L << bits) - 1))
 
   /** General exact sum for any decimal scale ≤ 6 (r13 VERDICT #6):
     * the hi/lo split rides two primitive long sums, buying 2³² more
@@ -247,8 +264,9 @@ object Num {
     * correctly rounded double — all decimal arithmetic exact
     * (≤ 19+10+scale digits inside DECIMAL(38,scale)).
     */
-  def fromUnitsHiLo(sumHi: Column, sumLo: Column, scale: Int): Column =
-    ((sumHi.cast(DecimalType(38, 0)) * lit(4294967296L) +
+  def fromUnitsHiLo(sumHi: Column, sumLo: Column, scale: Int,
+                    bits: Int = 32): Column =
+    ((sumHi.cast(DecimalType(38, 0)) * lit(1L << bits) +
       sumLo.cast(DecimalType(38, 0))) * pow10Inv(scale)).cast(DoubleType)
 
   // --- Packed lexicographic argmax/argmin -------------------------------

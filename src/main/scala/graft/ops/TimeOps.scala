@@ -60,6 +60,13 @@ object TimeOps {
     * a per-partition two-pointer sweep, never quadratic. Tied
     * timestamps are frame-peers (RANGE semantics), so the result is
     * deterministic without a tiebreak column.
+    *
+    * INPUT CONTRACT: the frame sum rides [[graft.ops.Num.lsumOver]]
+    * at scale 4, so a `value` not exactly representable at 4 dp
+    * RAISES rather than silently rounding (the decimal cast it
+    * replaced rounded) — see [[graft.ops.Aggregates.aggSalted]] for
+    * the full contract statement and the [[graft.ops.Num.dsum]]
+    * escape for ingest-facing callers.
     */
   def windowRange(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))

@@ -159,6 +159,37 @@ class UnitSumSpec extends SparkSpec {
       s"two-phase hi/lo $twoPhase != one-level $direct")
   }
 
+  test("balanced-bits split recombines bit-identically at any split point") {
+    // r18 (closing the r17 preAggregated-overflow ADVICE): the
+    // parametrized split u = (u >> b)*2^b + (u & (2^b-1)) is a bit
+    // identity for every sign and magnitude, so two-phase split sums
+    // at ANY bits equal the one-level dsum; negative and wide values
+    // included (the identity is what lets cube/rollup/salted pick a
+    // BALANCED split sized to the money domain instead of the dead
+    // 32-bit one).
+    import org.apache.spark.sql.types.DecimalType
+    import spark.implicits._
+    val vals = Seq(0.01, -0.02, 123456.78, -98765.43, 0.0,
+      16383.99, 16384.00, 21474836.47, -21474836.48)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val direct = df.agg(Num.dsum(col("v"), 2)).collect()(0).getDouble(0)
+    for (bits <- Seq(1, 11, 14, 24, 32, 40)) {
+      val u = Num.units(col("v"), 2)
+      val split = df
+        .withColumn("g", pmod(col("id"), lit(3L)))
+        .groupBy("g")
+        .agg(sum(Num.unitsHi(u, bits)).as("hi"),
+          sum(Num.unitsLo(u, bits)).as("lo"))
+        .agg(Num.fromUnitsHiLo(sum(col("hi").cast(DecimalType(38, 0))),
+          sum(col("lo").cast(DecimalType(38, 0))), 2, bits))
+        .collect()(0).getDouble(0)
+      assert(java.lang.Double.doubleToRawLongBits(split) ==
+        java.lang.Double.doubleToRawLongBits(direct),
+        s"bits=$bits: split $split != dsum $direct")
+    }
+  }
+
   test("agg_group-class unit sums stay exact under the enforced guard") {
     // fixture columns are all in-contract: the guard must not fire
     val li = graft.ops.Sources.table(spark, sf, "lineitem")
