@@ -501,6 +501,17 @@ private[functions] object TokenRuns {
       if (t != null && t.numBytes() > 0) { w(n) = t; n += 1 }
       i += 1
     }
+    foreachRunOf(w, n)(f)
+  }
+
+  /** The sort + run-count core over an already-filtered token array
+    * (`w(0 until n)`, no nulls/empties) — shared by the array-input
+    * [[TokenCounts]] and the fused-text [[TokenCountsText]] so the
+    * two kernels cannot drift on ordering or counting.
+    */
+  def foreachRunOf(w: Array[org.apache.spark.unsafe.types.UTF8String],
+                   n: Int)(
+      f: (org.apache.spark.unsafe.types.UTF8String, Long) => Unit): Int = {
     if (n == 0) return 0
     java.util.Arrays.sort(w, 0, n,
       new java.util.Comparator[org.apache.spark.unsafe.types.UTF8String] {
@@ -509,7 +520,7 @@ private[functions] object TokenRuns {
             y: org.apache.spark.unsafe.types.UTF8String): Int = x.compareTo(y)
       })
     var run = 1L
-    i = 1
+    var i = 1
     while (i < n) {
       if (w(i - 1).equals(w(i))) run += 1
       else { f(w(i - 1), run); run = 1L }
@@ -605,6 +616,87 @@ object TokenCounts {
       out.toArray(new Array[org.apache.spark.sql.catalyst.InternalRow](0))
         .asInstanceOf[Array[Any]])
   }
+}
+
+/** FUSED tokenize + count over the raw text column — value-identical
+  * to `TokenCounts(split(lower(text), "\\s+"))` (pinned by
+  * TokenCountsTextSpec on fixture + pathological docs), one pass
+  * instead of three expressions. The split spelling decodes the
+  * UTF8String to a java.lang.String, runs the regex engine, and
+  * re-encodes every token back to UTF8String; here the document is
+  * lowercased ONCE at the UTF8String level and tokens are byte
+  * slices between ASCII whitespace runs — Java's regex `\s` without
+  * UNICODE_CHARACTER_CLASS is exactly [ \t\n\x0B\f\r], all < 0x80,
+  * so a byte scan can never split inside a multi-byte character and
+  * the separator set matches the regex bit for bit (a leading
+  * whitespace run produces the same dropped empty token, non-ASCII
+  * whitespace stays inside tokens in both spellings). Counting rides
+  * the shared [[TokenRuns]] sort + run core, so ordering/count
+  * semantics cannot drift from the array-input kernel.
+  */
+case class TokenCountsText(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_token_counts_text requires a string column, got $t")
+    }
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("token",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("tf",
+        org.apache.spark.sql.types.LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_token_counts_text"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val lowered = input
+      .asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toLowerCase
+    // `b` is a stable heap array the emitted token slices may alias
+    // without the per-token clone() the array-input kernel needs: a
+    // row/vector-backed input has a non-zero base offset, so getBytes
+    // COPIES; a heap-exact input only reaches here via a literal,
+    // whose buffer is never reused. (TokenCounts clones because its
+    // tokens point into the reusable ArrayData row buffer.)
+    val b = lowered.getBytes
+    // upper bound on token count: ceil((len+1)/2) tokens need len
+    // alternating separator bytes; one slot per run start is enough
+    val w = new Array[org.apache.spark.unsafe.types.UTF8String](
+      b.length / 2 + 1)
+    var n = 0
+    var i = 0
+    val len = b.length
+    def isWs(c: Byte): Boolean =
+      c == 0x20 || c == 0x09 || c == 0x0A || c == 0x0B || c == 0x0C ||
+        c == 0x0D
+    while (i < len) {
+      while (i < len && isWs(b(i))) i += 1
+      val start = i
+      while (i < len && !isWs(b(i))) i += 1
+      if (i > start) {
+        w(n) = org.apache.spark.unsafe.types.UTF8String
+          .fromBytes(b, start, i - start)
+        n += 1
+      }
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.catalyst.InternalRow]()
+    val kept = TokenRuns.foreachRunOf(w, n) { (tok, tf) =>
+      out.add(org.apache.spark.sql.catalyst.InternalRow(tok, tf))
+    }
+    if (kept == 0) return null
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[org.apache.spark.sql.catalyst.InternalRow](0))
+        .asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(c: Expression): TokenCountsText =
+    copy(child = c)
 }
 
 /** n-token shingles of `child` (an `array<string>`) as the joined
@@ -1066,6 +1158,29 @@ object VectorFunctions {
   def tokenCounts(spark: SparkSession, toks: Column): Column = {
     registerTokenCounts(spark)
     call_function("graft_token_counts", toks)
+  }
+
+  /** Idempotently register `graft_token_counts_text(text)` — the
+    * fused tokenize+count kernel ([[TokenCountsText]]).
+    */
+  def registerTokenCountsText(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_token_counts_text",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 1,
+          s"graft_token_counts_text expects (text), got ${exprs.length} args")
+        TokenCountsText(exprs.head)
+      },
+      "built-in")
+
+  /** Fused per-doc token frequencies straight off the text column
+    * (`array<struct<token, tf>>`, null when tokenless) — see
+    * [[TokenCountsText]] for the equivalence contract with
+    * `tokenCounts(split(lower(text), "\\s+"))`.
+    */
+  def tokenCountsText(spark: SparkSession, text: Column): Column = {
+    registerTokenCountsText(spark)
+    call_function("graft_token_counts_text", text)
   }
 
   /** Idempotently register `graft_shingle2(toks, n)` — the 128-bit
