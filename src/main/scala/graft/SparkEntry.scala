@@ -154,6 +154,9 @@ object SparkEntry {
     // filter approximates, DuckDB-checkable end to end (r17 VERDICT #6)
     "dedup_bloom_portable" -> ((s, d) => NearDup.dedupBloomPortable(s, d)),
     "freq_items" -> ((s, d) => Aggregates.freqItems(s, d)),
+    // exact heavy hitters at the same support — the oracle-checked
+    // set the KPS sketch must superset (r18)
+    "freq_items_portable" -> ((s, d) => Aggregates.freqItemsPortable(s, d)),
     "cluster_kmeans" -> ((s, d) => Cluster.clusterKmeans(s, d)),
     "cluster_assign_portable" -> ((s, d) => Cluster.clusterAssignPortable(s, d)),
     "dedup_semantic_portable" -> ((s, d) => Cluster.dedupSemanticPortable(s, d)),
@@ -166,6 +169,12 @@ object SparkEntry {
     "doc_winnow_portable" -> ((s, d) => TextSim.docWinnowPortable(s, d)),
     "sim_ann_lsh" -> ((s, d) => Ann.simAnnLsh(s, d)),
     "sim_ann_ivf" -> ((s, d) => Ann.simAnnIvf(s, d)),
+    // full probe (nProbe = nLists) scans every list, so the IVF plan
+    // provably returns the brute-force result — the oracle row for
+    // the on-the-fly IVF search, same device as sim_knn_bucketed_full
+    "sim_ann_ivf_full" ->
+      ((s, d) => Ann.simAnnIvf(s, d, queryId = 0L, k = 10, nLists = 16,
+        nProbe = 16)),
     "sim_knn_bucketed" -> ((s, d) => Ann.simKnnBucketed(s, d)),
     // full probe (nProbe = nLists) makes the candidate set all pairs,
     // so the IVF plan provably returns the brute-force result — the
@@ -235,6 +244,19 @@ object SparkEntry {
     * identical rounded similarities — AnnRecallSpec pins the
     * row-for-row equality against [[graft.ops.TextSim.simKnn]]).
     */
+  /** Exact brute-force cosine top-10 for query vector 0 — shared by
+    * `sim_search` and `sim_ann_ivf_full` (IVF at nProbe = nLists
+    * scans every list, so its candidate set is exactly this query's
+    * pair set; see the queries-map note).
+    */
+  private val SimSearchOracleSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+      |SELECT vec_id, round(list_dot_product(v, qv) /
+      |(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
+      |FROM e, q WHERE vec_id <> 0 ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+
   private val SimKnnOracleSql: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
       |WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
@@ -933,13 +955,12 @@ object SparkEntry {
         |(SELECT doc_id, sha256(trim(lower(text))) AS text_hash FROM documents) t
         |GROUP BY text_hash""".stripMargin,
 
-    "sim_search" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        |WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
-        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
-        |SELECT vec_id, round(list_dot_product(v, qv) /
-        |(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
-        |FROM e, q WHERE vec_id <> 0 ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "sim_search" -> SimSearchOracleSql,
+    // full probe makes the IVF candidate set every non-query vector,
+    // so the brute-force top-10 oracle verifies the IVF assignment
+    // and scoring arithmetic per row (ties break on (cos_sim, vec_id)
+    // in both plans)
+    "sim_ann_ivf_full" -> SimSearchOracleSql,
 
     "multimodal_join" ->
       """SELECT label, count(*) AS n_docs,
@@ -1024,6 +1045,23 @@ object SparkEntry {
          |  AS kurt_excess
          |FROM t""".stripMargin
     },
+
+    // exact heavy hitters at support 0.1 over the same filtered
+    // relation freq_items sketches; string_agg ORDER BY matches
+    // sort_array (binary collation on types, numeric on buckets —
+    // buckets sort as LONGs before the string cast on both sides);
+    // coalesce('') mirrors concat_ws over an empty list
+    "freq_items_portable" ->
+      """WITH p AS (SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bucket
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |n AS (SELECT count(*) AS n FROM p),
+        |t AS (SELECT event_type FROM p, n GROUP BY event_type, n.n
+        |  HAVING count(*) > 0.1 * n.n),
+        |b AS (SELECT bucket FROM p, n GROUP BY bucket, n.n
+        |  HAVING count(*) > 0.1 * n.n)
+        |SELECT
+        |coalesce((SELECT string_agg(event_type, ',' ORDER BY event_type) FROM t), '') AS freq_types,
+        |coalesce((SELECT string_agg(CAST(bucket AS VARCHAR), ',' ORDER BY bucket) FROM b), '') AS freq_buckets""".stripMargin,
 
     "agg_mode" ->
       """WITH b AS (SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bucket,

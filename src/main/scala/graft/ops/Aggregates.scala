@@ -697,7 +697,9 @@ object Aggregates {
     * sibling of HLL distinct counts, t-digest quantiles, and the Bloom
     * membership filter; the exact baselines are `agg_having` /
     * `agg_mode`. NO ORACLE (sketch contents are engine-specific); the
-    * unit spec asserts the superset guarantee against exact counts.
+    * unit spec asserts the superset guarantee against exact counts,
+    * and [[freqItemsPortable]] is the oracle-checked EXACT twin the
+    * sketch must superset (r18 — the bloom/minhash twin pattern).
     * Output: one row per column with the sorted frequent-item list
     * rendered as a string.
     */
@@ -712,6 +714,41 @@ object Aggregates {
       concat_ws(",", sort_array(col("event_type_freqItems"))).as("freq_types"),
       concat_ws(",", sort_array(col("bucket_freqItems"))
         .cast(ArrayType(StringType))).as("freq_buckets"))
+  }
+
+  /** `freq_items_portable` — the ORACLE TWIN for [[freqItems]]'s
+    * semantics: the EXACT heavy hitters above the same support
+    * threshold (`count > support·N` over the same filtered
+    * (event_type, width-50 bucket) relation), rendered in the same
+    * sorted-comma-list shape. The KPS sketch guarantees a SUPERSET of
+    * exactly this set, so the pair (sketch rows-only + exact twin
+    * oracle + the superset unit in SketchSpec's family) pins the
+    * production query's semantics without pretending sketch contents
+    * are portable. Plan: two map-side-combined hash aggregates (per
+    * type, per bucket) against a 1-row broadcast total — no sketch,
+    * no driver state; at 100 TB the aggregate is bounded by the
+    * distinct type/bucket counts. `concat_ws` over an empty list and
+    * the oracle's `coalesce(string_agg, '')` both render "no frequent
+    * items" as the empty string, so the boundary case hash-matches.
+    */
+  def freqItemsPortable(s: SparkSession, dir: String,
+                        support: Double = 0.1): DataFrame = {
+    val prepared = Sources.table(s, dir, "events")
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_type"),
+        floor(col("value") / 50.0).cast(LongType).as("bucket"))
+    val tot = prepared.agg(count(lit(1)).as("n"))
+    def frequent(key: String): DataFrame =
+      prepared.groupBy(key).agg(count(lit(1)).as("c"))
+        .crossJoin(broadcast(tot))
+        .filter(col("c") > col("n") * support)
+    val types = frequent("event_type")
+      .agg(concat_ws(",", sort_array(collect_list(col("event_type"))))
+        .as("freq_types"))
+    val buckets = frequent("bucket")
+      .agg(concat_ws(",", sort_array(collect_list(col("bucket")))
+        .cast(ArrayType(StringType))).as("freq_buckets"))
+    types.crossJoin(buckets)
   }
 
   /** `agg_grouping_id` — rollup with explicit `grouping()` flags: the

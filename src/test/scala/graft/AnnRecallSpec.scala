@@ -75,6 +75,19 @@ class AnnRecallSpec extends SparkSpec {
       s"degraded single-probe recall $r1 passes the floor — floor too loose")
   }
 
+  test("IVF search at nProbe = nLists equals brute-force sim_search") {
+    // the sim_ann_ivf_full oracle row's premise (r18): full probe
+    // admits every non-query vector, so the IVF plan must reproduce
+    // the brute-force top-10 row for row (ties on (cos_sim, vec_id))
+    val brute = TextSim.simSearch(spark, sf01, 0L, 10).collect()
+      .map(_.toString).toSeq
+    val ivf = Ann.simAnnIvf(spark, sf01, 0L, 10, nLists = 16,
+        nProbe = 16).collect()
+      .map(_.toString).toSeq
+    assert(ivf == brute,
+      "full-probe IVF must equal sim_search row-for-row")
+  }
+
   test("bucketed k-NN at nProbe = nLists equals the brute-force join") {
     val brute = TextSim.simKnn(spark, sf01, 5).collect()
       .map(_.toString).sorted.toSeq

@@ -484,6 +484,15 @@ class Round5Spec extends SparkSpec {
     val sketched = r.getString(0).split(",").toSet
     assert(exactTypes.subsetOf(sketched),
       s"missing above-support items: ${exactTypes -- sketched}")
+    // and the oracle-checked exact twin computes exactly that set
+    // (r18) — sketch ⊇ twin closes the loop oracle → twin → sketch
+    val twin = Aggregates.freqItemsPortable(spark, sf).collect().head
+    val twinTypes =
+      twin.getString(0).split(",").filter(_.nonEmpty).toSet
+    assert(twinTypes == exactTypes,
+      s"twin types $twinTypes != exact $exactTypes")
+    assert(twinTypes.subsetOf(sketched),
+      s"sketch must superset the twin: ${twinTypes -- sketched}")
   }
 
   test("round-5 scans prune to the needed columns") {
