@@ -183,6 +183,10 @@ object SparkEntry {
     "sim_knn_bucketed_full" ->
       ((s, d) => Ann.simKnnBucketed(s, d, k = 5, nLists = 8, nProbe = 8)),
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
+    // oracle twin: header fields of the REAL encoded payloads are
+    // closed-form in doc_id, so DuckDB predicts per-row what the
+    // byte-level parse must recover (pins the binary round-trip)
+    "multimodal_meta_portable" -> (Multimodal.multimodalMetaPortable _),
     "dedup_semantic" -> ((s, d) => NearDup.dedupSemantic(s, d)),
     // feature preparation + CDC + fuzzy matching (round 5)
     "agg_weighted" -> (Aggregates.aggWeighted _),
@@ -961,6 +965,10 @@ object SparkEntry {
     // and scoring arithmetic per row (ties break on (cos_sim, vec_id)
     // in both plans)
     "sim_ann_ivf_full" -> SimSearchOracleSql,
+
+    // the header fields of the real encoded payloads, predicted
+    // closed-form from doc_id (SQL kept beside the parser it twins)
+    "multimodal_meta_portable" -> graft.ops.Multimodal.MetaPortableOracleSql,
 
     "multimodal_join" ->
       """SELECT label, count(*) AS n_docs,

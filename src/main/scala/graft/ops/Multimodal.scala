@@ -280,10 +280,87 @@ object Multimodal {
           s" i -> substr(media, CAST(i * $stride + 1 AS INT), $frameBytes))"))
         .as(Seq("frame_idx", "frame_bytes")))
 
+  /** Big-endian 4-byte unsigned int at 1-based byte `pos` of the
+    * binary `media` column — hex() of the slice, parsed base-16.
+    * Built-in expressions only (substr on BINARY stays binary), so the
+    * parse is whole-stage-codegen'd.
+    */
+  private def beInt32(pos: Int) =
+    conv(hex(expr(s"substr(media, $pos, 4)")), 16, 10).cast(LongType)
+
+  /** Little-endian 4-byte unsigned int at 1-based byte `pos`: the four
+    * single-byte slices re-concatenated in reverse, then as [[beInt32]].
+    */
+  private def leInt32(pos: Int) =
+    conv(hex(concat((pos + 3).to(pos, -1).map(i =>
+      expr(s"substr(media, $i, 1)")): _*)), 16, 10).cast(LongType)
+
+  /** `multimodal_meta_portable` — ORACLE TWIN for the multimodal
+    * binary plumbing. The payloads are REAL containers written by the
+    * JDK codecs, but their header fields are closed-form in `doc_id`
+    * (the synthesis is deterministic: every PNG/JPEG is 8×8 RGB, every
+    * WAV is mono 16-bit 8 kHz with `64 + doc_id % 64` samples), so a
+    * SQL oracle that never sees the bytes can still predict — per row —
+    * what a correct encoder must have produced and a correct binary
+    * parse must recover:
+    *
+    *  - magic/container tags (PNG signature, JPEG SOI, RIFF/WAVE/data),
+    *  - PNG IHDR width/height (big-endian at offsets 17/21),
+    *  - WAV fmt-chunk sample rate (little-endian at offset 25),
+    *  - WAV data-chunk byte count (offset 41) = `2·(64 + doc_id % 64)`,
+    *  - WAV container overhead = `length(media) − data` = the canonical
+    *    44-byte RIFF/PCM header.
+    *
+    * JPEG dimensions live in entropy-coded segments at variable
+    * offsets, and PNG/JPEG total sizes are compressor-dependent — those
+    * stay NULL here and are covered by MultimodalGridSpec's decoded
+    * checks instead. The hash-compare therefore pins the full binary
+    * round-trip (synthesize → encode → BINARY column → byte-level
+    * parse) for every row, which is exactly the plumbing a production
+    * media pipeline needs verified; the pixel/PCM FEATURE math is
+    * pinned by the closed-form property grid (rows-only by design —
+    * codec decode is not expressible in the SQL oracle).
+    */
+  def multimodalMetaPortable(s: SparkSession, dir: String): DataFrame = {
+    val wav = col("format") === "wav"
+    val png = col("format") === "png"
+    mediaTable(s, dir).select(
+      col("doc_id"),
+      col("format"),
+      when(png, hex(expr("substr(media, 1, 8)")) === "89504E470D0A1A0A")
+        .when(col("format") === "jpeg", hex(expr("substr(media, 1, 2)")) === "FFD8")
+        .otherwise(hex(expr("substr(media, 1, 4)")) === "52494646" && // 'RIFF'
+          hex(expr("substr(media, 9, 4)")) === "57415645" &&          // 'WAVE'
+          hex(expr("substr(media, 37, 4)")) === "64617461")           // 'data'
+        .as("magic_ok"),
+      when(png, beInt32(17)).as("hdr_w"),
+      when(png, beInt32(21)).as("hdr_h"),
+      when(wav, leInt32(25)).as("sample_rate"),
+      when(wav, leInt32(41)).as("payload_bytes"),
+      when(wav, col("n_bytes") - leInt32(41)).as("container_bytes"))
+  }
+
+  /** The closed-form SQL the oracle twin is checked against — kept next
+    * to the parser so the two evolve together (SparkEntry interpolates
+    * it verbatim).
+    */
+  val MetaPortableOracleSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
+      |  TRUE AS magic_ok,
+      |  CASE WHEN doc_id % 3 = 0 THEN CAST(8 AS BIGINT) END AS hdr_w,
+      |  CASE WHEN doc_id % 3 = 0 THEN CAST(8 AS BIGINT) END AS hdr_h,
+      |  CASE WHEN doc_id % 3 = 2 THEN CAST(8000 AS BIGINT) END AS sample_rate,
+      |  CASE WHEN doc_id % 3 = 2 THEN CAST(2 * (64 + doc_id % 64) AS BIGINT) END AS payload_bytes,
+      |  CASE WHEN doc_id % 3 = 2 THEN CAST(44 AS BIGINT) END AS container_bytes
+      |FROM documents""".stripMargin
+
   /** `multimodal_features` — the declared (rows-only) query: media
     * table (real encoded payloads) → real codec decode → per-format
     * feature statistics. NO ORACLE (binary decode is not expressible
     * in the DuckDB harness); determinism is asserted in unit tests.
+    * The binary PLUMBING feeding it is hash-oracled per row by
+    * [[multimodalMetaPortable]].
     */
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     implicit val sp: SparkSession = s

@@ -1148,6 +1148,15 @@ object NearDup {
       .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("in_corpus"))
   }
 
+  /** The plan behind [[dedupBloom]] plus the caches to release. NOT
+    * fully lazy: constructing it RUNS two Spark actions — the distinct
+    * corpus-hash `count()` that sizes the bloom filter and the
+    * `stat.bloomFilter` build itself — because the broadcast filter
+    * must exist before the summary plan can reference it. Callers
+    * wanting plan-shape inspection only still pay those two jobs
+    * (bounded: one long and one `-log2(fpp)·n`-bit filter on the
+    * driver); the returned DataFrame is lazy from there.
+    */
   private[graft] def dedupBloomPlan(s: SparkSession, docs: DataFrame,
                                     fpp: Double): (DataFrame, Seq[DataFrame]) = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")

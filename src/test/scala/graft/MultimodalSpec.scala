@@ -147,4 +147,35 @@ class MultimodalSpec extends SparkSpec {
       .filter(col("n_frames") < 2).count()
     assert(tooFew == 0)
   }
+
+  test("meta twin recovers the closed-form header fields from the real bytes") {
+    val rows = Multimodal.multimodalMetaPortable(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(r.fieldIndex("doc_id"))
+      val fmt = r.getString(r.fieldIndex("format"))
+      assert(r.getBoolean(r.fieldIndex("magic_ok")),
+        s"doc $id ($fmt): container magic failed")
+      fmt match {
+        case "png" =>
+          assert(r.getLong(r.fieldIndex("hdr_w")) == 8L &&
+            r.getLong(r.fieldIndex("hdr_h")) == 8L)
+          assert(r.isNullAt(r.fieldIndex("sample_rate")))
+        case "jpeg" =>
+          assert(r.isNullAt(r.fieldIndex("hdr_w")) &&
+            r.isNullAt(r.fieldIndex("payload_bytes")))
+        case "wav" =>
+          assert(r.getLong(r.fieldIndex("sample_rate")) == 8000L)
+          assert(r.getLong(r.fieldIndex("payload_bytes")) ==
+            2L * (64 + id % 64), s"doc $id: wrong data-chunk size")
+          // javax writes the canonical 44-byte RIFF/PCM header
+          assert(r.getLong(r.fieldIndex("container_bytes")) == 44L)
+      }
+    }
+    // the parse is pure expression work on the binary column — no
+    // exchange may appear between the synth stage and the projection
+    val plan = Multimodal.multimodalMetaPortable(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "meta parse must not shuffle")
+  }
 }
