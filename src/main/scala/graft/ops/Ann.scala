@@ -234,9 +234,29 @@ object Ann {
       col("nrm").as("qn"), explode(col("probe_lists")).as("list_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
-    // a candidate lives in exactly one list and probe lists are
-    // distinct, so each (qid, nid) pair appears at most once
-    probes.join(cand, Seq("list_id"))
+    // `list_id` has only nLists distinct values, so a plain shuffle
+    // join caps the expensive stage (the per-pair dot products) at
+    // nLists-way parallelism whenever nLists < available cores — the
+    // few-key skew [[graft.ops.Relational.joinSalted]] documents.
+    // Salt by a deterministic hash of the probe id with fan-out
+    // `cores / nLists` (candidate side replicated `fan` times): at
+    // real IVF scale nLists ≫ cores, fan collapses to 1 and this is
+    // byte-identical to the unsalted join; on a fixture (or any
+    // stage) where nLists < cores it spreads the pair stream across
+    // every core at a bounded constant replication. Each (qid, nid)
+    // pair still appears at most once: a candidate lives in exactly
+    // one list, probe lists are distinct, and a probe row carries
+    // exactly one salt value.
+    val fan = math.max(1, s.sparkContext.defaultParallelism / nLists)
+    val candS =
+      if (fan == 1) cand
+      else cand.withColumn("salt",
+        explode(array((0 until fan).map(lit): _*)))
+    val probesS =
+      if (fan == 1) probes
+      else probes.withColumn("salt", pmod(hash(col("qid")), lit(fan)))
+    val joinKeys = if (fan == 1) Seq("list_id") else Seq("list_id", "salt")
+    probesS.join(candS, joinKeys)
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         round(nd(col("qv"), col("nv")) / (col("qn") * col("nn")), 4)
