@@ -172,10 +172,14 @@ class MultimodalSpec extends SparkSpec {
           assert(r.getLong(r.fieldIndex("container_bytes")) == 44L)
       }
     }
-    // the parse is pure expression work on the binary column — no
-    // exchange may appear between the synth stage and the projection
+    // the parse is pure expression work on the binary column — the
+    // ONLY exchange allowed is the doc_id round-robin re-spread that
+    // parallelizes the codec stage (8 bytes/row); the header parse
+    // itself must not shuffle
     val plan = Multimodal.multimodalMetaPortable(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), "meta parse must not shuffle")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1 && plan.contains("RoundRobinPartitioning"),
+      s"expected exactly the round-robin re-spread, got:\n$plan")
   }
 }
