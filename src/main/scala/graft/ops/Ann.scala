@@ -236,27 +236,14 @@ object Ann {
       .partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
     // `list_id` has only nLists distinct values, so a plain shuffle
     // join caps the expensive stage (the per-pair dot products) at
-    // nLists-way parallelism whenever nLists < available cores — the
-    // few-key skew [[graft.ops.Relational.joinSalted]] documents.
-    // Salt by a deterministic hash of the probe id with fan-out
-    // `cores / nLists` (candidate side replicated `fan` times): at
-    // real IVF scale nLists ≫ cores, fan collapses to 1 and this is
-    // byte-identical to the unsalted join; on a fixture (or any
-    // stage) where nLists < cores it spreads the pair stream across
-    // every core at a bounded constant replication. Each (qid, nid)
-    // pair still appears at most once: a candidate lives in exactly
-    // one list, probe lists are distinct, and a probe row carries
-    // exactly one salt value.
-    val fan = math.max(1, s.sparkContext.defaultParallelism / nLists)
-    val candS =
-      if (fan == 1) cand
-      else cand.withColumn("salt",
-        explode(array((0 until fan).map(lit): _*)))
-    val probesS =
-      if (fan == 1) probes
-      else probes.withColumn("salt", pmod(hash(col("qid")), lit(fan)))
-    val joinKeys = if (fan == 1) Seq("list_id") else Seq("list_id", "salt")
-    probesS.join(candS, joinKeys)
+    // nLists-way parallelism whenever nLists < available cores —
+    // [[Relational.fewKeySaltedJoin]] spreads it (fan = cores/nLists,
+    // collapsing to the identical plain join at real IVF scale where
+    // nLists ≫ cores). Each (qid, nid) pair appears at most once: a
+    // candidate lives in exactly one list and probe lists are
+    // distinct.
+    Relational.fewKeySaltedJoin(s, probes, cand,
+        Seq("list_id"), col("qid"), nLists)
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         round(nd(col("qv"), col("nv")) / (col("qn") * col("nn")), 4)

@@ -204,7 +204,10 @@ object Cluster {
       col("v").as("va"), col("nrm").as("na"))
     val b = reps.select(col("cluster_id"), col("vec_id").as("vec_b"),
       col("v").as("vb"), col("nrm").as("nb"))
-    val dropped = a.join(b, Seq("cluster_id"))
+    // same few-key spread as the production dedupSemantic pair stage
+    // (k blocks < cores on the fixture; identical plain join at scale)
+    val dropped = Relational.fewKeySaltedJoin(s, a, b,
+        Seq("cluster_id"), col("vec_a"), k)
       .filter(col("vec_a") < col("vec_b") &&
         round(nd(col("va"), col("vb")) / (col("na") * col("nb")), 4)
           >= minSim)

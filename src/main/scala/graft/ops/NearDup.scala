@@ -1860,8 +1860,13 @@ object NearDup {
       col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
     // the blocked self-join: shuffle both sides on cluster_id, score
     // pairs in-cell only; `vec_a < vec_b` halves the pair scan and
-    // makes "dropped" well-defined (the larger id of each hot pair)
-    val pairDropped = a.join(b, Seq("cluster_id"))
+    // makes "dropped" well-defined (the larger id of each hot pair).
+    // cluster_id has only k distinct values, so the pair scoring
+    // would run k-way wherever k < cores — fewKeySaltedJoin spreads
+    // it (fan = cores/k; identical plain join once cluster counts
+    // grow past core counts, the at-scale setting)
+    val pairDropped = Relational.fewKeySaltedJoin(s, a, b,
+        Seq("cluster_id"), col("vec_a"), k)
       .filter(col("vec_a") < col("vec_b") &&
         round(nd(col("va"), col("vb")) / (col("na") * col("nb")), 4)
           >= minSim)

@@ -366,6 +366,38 @@ object Relational {
     }
   }
 
+  /** Equi-join `left ⋈ right` on `keys` when the join key space has
+    * only `nKeys` distinct values — a plain shuffle join then runs
+    * everything downstream of the join at nKeys-way parallelism
+    * wherever nKeys < cores (the blocked self-joins of the ANN and
+    * SemDedup families: the block id is the key, and the per-pair
+    * scoring AFTER the join is the expensive part). Salts the LEFT
+    * side by a deterministic hash of `saltOn` with fan-out
+    * `cores / nKeys` and replicates the RIGHT side `fan` times: every
+    * original match still pairs exactly once (a left row carries one
+    * salt value; the right copy with that salt is unique), and when
+    * nKeys ≥ cores — every at-scale setting, where block counts grow
+    * with the corpus — fan collapses to 1 and the plan is
+    * byte-identical to the plain join. Replication is bounded by the
+    * constant fan, never by data. Unlike [[saltedJoin]] (measured
+    * per-key skew on a large key space) this treats the WHOLE key
+    * space as hot because its cardinality, not its histogram, is the
+    * bottleneck. The fan is read off `defaultParallelism` at plan
+    * build — a construction-time snapshot, same documented class as
+    * `sizeGatedBroadcast`.
+    */
+  def fewKeySaltedJoin(s: SparkSession, left: DataFrame, right: DataFrame,
+                       keys: Seq[String], saltOn: Column,
+                       nKeys: Int): DataFrame = {
+    val fan = math.max(1,
+      s.sparkContext.defaultParallelism / math.max(nKeys, 1))
+    if (fan == 1) left.join(right, keys)
+    else left.withColumn("__salt", pmod(hash(saltOn), lit(fan)))
+      .join(right.withColumn("__salt",
+        explode(array((0 until fan).map(lit): _*))), keys :+ "__salt")
+      .drop("__salt")
+  }
+
   private def exactHotKeys(skewed: DataFrame, key: String,
                            hotThreshold: Long, maxHotKeys: Int): Seq[Any] =
     skewed.groupBy(col(key))
