@@ -124,11 +124,26 @@ object Cluster {
     require(k >= 1, s"k must be positive, got $k")
     require(iters >= 1, s"iters must be positive, got $iters")
     val s = e.sparkSession
-    var centroids: Array[Array[Double]] = e.orderBy("vec_id").limit(k)
+    // train on HEALTHY vectors only (finite positive norm): a null
+    // embedding NPEs the seed collect below, and a NaN/Inf element
+    // would propagate through the per-dimension means into every
+    // centroid, silently corrupting all k cells. The trainer's
+    // exact-decimal mean accumulator (the determinism device below)
+    // additionally bounds trainable elements to |x| < 10¹⁵ — the
+    // Decimal(28, 12) cast is ANSI-loud at 10¹⁶, and one 10³⁰-element
+    // vector would otherwise fail the whole train (real embedding
+    // pipelines emit O(1)-magnitude vectors; a magnitude outlier is
+    // upstream corruption, not signal). Assignment still covers every
+    // input row (bad vectors get a null/edge cell from the argmin,
+    // never a crash); both filters are inert on the committed
+    // fixtures, which carry no such vectors.
+    val healthy = e.filter(TextSim.nonZeroNorm(s, col("v")) &&
+      expr("forall(v, x -> abs(x) < 1e15)"))
+    var centroids: Array[Array[Double]] = healthy.orderBy("vec_id").limit(k)
       .collect().map(_.getSeq[Double](1).toArray)
     var converged = false
     for (_ <- 1 to iters if !converged) {
-      val assigned = e.select(col("vec_id"), col("v"),
+      val assigned = healthy.select(col("vec_id"), col("v"),
         assignExpr(s, centroids).getField("cid").as("cid"))
       // per-dimension decimal-exact means: ONE k·d-row shuffle, the
       // (cid, dim, m) triples collected directly — the former second
@@ -199,7 +214,10 @@ object Cluster {
         col("embedding").cast(ArrayType(DoubleType)).as("v"))
       .join(assigned, Seq("vec_id"))
       .withColumn("nrm", sqrt(nd(col("v"), col("v"))))
-    val reps = m.filter(col("nrm") > 0.0)
+    // finite-positive-norm gate, mirroring the production pair stage
+    // (NaN compares greater than every double — see dedupSemantic)
+    val reps = m.filter(col("nrm") > 0.0 && !isnan(col("nrm")) &&
+      col("nrm") < lit(Double.PositiveInfinity))
     val a = reps.select(col("cluster_id"), col("vec_id").as("vec_a"),
       col("v").as("va"), col("nrm").as("na"))
     val b = reps.select(col("cluster_id"), col("vec_id").as("vec_b"),

@@ -1845,15 +1845,21 @@ object NearDup {
     // each re-runs the assignment and the window (r17 review); the
     // eager localCheckpoint below releases the cache before returning,
     // the file's standard entry-point discipline.
+    // `nrm > 0` alone is not the pair-stage health gate: NaN compares
+    // GREATER than every double, so a NaN norm passes it AND its NaN
+    // cosine passes `>= minSim` — a NaN vector would be silently
+    // DROPPED by a comparison that never meant anything (measured).
+    // Same finite-positive-norm rule as TextSim.nonZeroNorm.
+    val pairable = col("nrm") > 0.0 && !isnan(col("nrm")) &&
+      col("nrm") < lit(Double.PositiveInfinity)
     val marked = assigned.withColumn("rep_id",
-        when(col("nrm") > 0.0, grpMin).otherwise(col("vec_id")))
+        when(pairable, grpMin).otherwise(col("vec_id")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // zero-norm vectors never enter the pair stage at all: their
-    // cosine is undefined (0/0 — under ANSI arithmetic the division
-    // THROWS, it does not NaN), so they can never satisfy the drop
-    // rule; they pass through as kept
-    val reps = marked.filter(col("vec_id") === col("rep_id") &&
-      col("nrm") > 0.0)
+    // zero-norm (and NaN/Inf-norm) vectors never enter the pair stage
+    // at all: their cosine is undefined (0/0 — under ANSI arithmetic
+    // the division THROWS, it does not NaN) or meaningless, so they
+    // can never satisfy the drop rule; they pass through as kept
+    val reps = marked.filter(col("vec_id") === col("rep_id") && pairable)
     val a = reps.select(col("cluster_id"),
       col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
     val b = reps.select(col("cluster_id"),

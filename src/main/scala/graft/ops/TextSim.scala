@@ -204,7 +204,19 @@ object TextSim {
     */
   private[ops] def nonZeroNorm(s: SparkSession, c: Column): Column = {
     val d = c.cast(ArrayType(DoubleType))
-    graft.functions.VectorFunctions.dot(s, d, d) > 0.0
+    val n = graft.functions.VectorFunctions.dot(s, d, d)
+    // `n > 0` alone is NOT a health check: Spark orders NaN GREATER
+    // than every double, so a NaN norm (any NaN element) and a +Inf
+    // norm (an infinite element, or finite elements whose squares
+    // overflow) both pass it — and ONE such vector poisons every
+    // top-k it meets, because its NaN cos_sim ranks FIRST under
+    // ORDER BY DESC (measured: a single NaN vector put 3 NaN rows at
+    // the head of sim_search's top-5). A usable cosine needs a
+    // finite positive norm; null and empty embeddings fail the
+    // predicate too (null norm / zero norm). The oracle CTEs apply
+    // the same rule — inert on the committed fixtures, which carry
+    // no zero-norm or non-finite vectors.
+    n > 0.0 && !isnan(n) && n < lit(Double.PositiveInfinity)
   }
 
   /** `sim_search` — L5, brute-force cosine top-k against a broadcast
@@ -1193,7 +1205,15 @@ object TextSim {
   /** [[embedQuantize]] over any `(vec_id, embedding)` relation. */
   def embedQuantize(s: SparkSession, emb: DataFrame): DataFrame = {
     val e = emb.select(col("vec_id"),
-      col("embedding").cast(ArrayType(DoubleType)).as("v"))
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      // quantization needs actual numbers: drop null/empty vectors
+      // (an empty array would even index-error below — SQL
+      // `sequence(0, -1)` DESCENDS to [0, -1], it is not empty) and
+      // any vector with a NaN/Inf element, which would otherwise
+      // poison its dimension's fitted [lo, hi] range for the WHOLE
+      // corpus. Inert on the committed fixtures (no such vectors).
+      .filter(size(col("v")) > 0 && expr(
+        "forall(v, x -> NOT isnan(x) AND abs(x) < CAST('Infinity' AS DOUBLE))"))
     val ranges = e.select(posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy("dim").agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
       .orderBy("dim").collect()
