@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Focused CC bench at corpus scale — built for the r18 VERDICT ask #5
+  * A/B (session-isolated child conf vs the legacy session-global
+  * override) and kept as the standing connected-components scale
+  * fixture. The candidate pair set is generated ONCE from the
+  * graft-docs connector corpus and written to parquet so every run
+  * times exactly [[graft.ops.NearDup.connectedComponents]] — not the
+  * ngram candidate generation — over identical bytes.
+  *
+  * A/B record (1M docs, ~49k-node pair graph, interleaved min-of-3
+  * per arm, 3 rounds): isolated 1.14/1.04/1.13 s vs legacy
+  * conf-mutation 1.15/1.05/1.05 s — parity, so the legacy spelling
+  * was deleted (see [[graft.ops.NearDup]] `ccOnEdges` scaladoc for
+  * the three fixes that got the isolation to parity).
+  *
+  *   SPARK_GRAFT_DOCS=1000000 sbt "runMain graft.CcAb"
+  */
+object CcAb {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val n = sys.env.getOrElse("SPARK_GRAFT_DOCS", "1000000").toLong
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    val pairsPath = sys.env.getOrElse("SPARK_GRAFT_CC_PAIRS",
+      s"/tmp/graft_cc_pairs_$n")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(pairsPath))) {
+      val corpus = spark.read.format("graft-docs")
+        .option("numDocs", n).option("numPartitions", cpus.toInt * 2)
+        .option("seed", 42).load()
+      graft.ops.NearDup.dedupNgram(spark, corpus, 3, 20, 0.5)
+        .select("doc_a", "doc_b")
+        .write.mode("overwrite").parquet(pairsPath)
+      println(s"pairs written to $pairsPath")
+    }
+    val pairs = spark.read.parquet(pairsPath)
+    val arm = "session_isolated"
+    val times = (1 to runs).map { i =>
+      val t0 = System.nanoTime()
+      val rows = graft.ops.NearDup.connectedComponents(pairs).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"cc_ab arm=$arm run=$i sec=$sec%.2f rows=$rows")
+      sec
+    }
+    println(f"cc_ab RESULT arm=$arm docs=$n min=${times.min}%.2f " +
+      s"samples=${times.map(t => f"$t%.2f").mkString(",")}")
+    spark.stop()
+  }
+}

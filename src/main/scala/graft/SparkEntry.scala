@@ -163,6 +163,8 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) => NearDup.dedupMinhash(s, d)),
     "agg_distinct_approx" -> (Aggregates.aggDistinctApprox _),
     "agg_profile_approx" -> (Aggregates.aggProfileApprox _),
+    "agg_distinct_bound" -> (Aggregates.aggDistinctBound _),
+    "agg_profile_bound" -> (Aggregates.aggProfileBound _),
     "dedup_simhash" -> (NearDup.dedupSimhash _),
     "doc_fingerprint" -> (TextSim.docFingerprint _),
     "doc_winnow" -> (TextSim.docWinnow _),
@@ -510,6 +512,22 @@ object SparkEntry {
     "agg_distinct" ->
       """SELECT count(DISTINCT user_id) AS distinct_users,
         |count(DISTINCT event_type) AS distinct_types FROM events""".stripMargin,
+
+    // The bound-verdict oracles (r18 VERDICT ask #4): DuckDB re-derives
+    // the exact arithmetic and PREDICTS the boolean sketch verdicts —
+    // an estimator outside its documented error contract flips the hash.
+    "agg_distinct_bound" ->
+      """SELECT count(DISTINCT user_id) AS exact_users,
+        |count(DISTINCT event_type) AS exact_types,
+        |TRUE AS users_in_bound, TRUE AS types_in_bound FROM events""".stripMargin,
+
+    "agg_profile_bound" -> {
+      def p(c: String) =
+        s"""SELECT '$c' AS col_name, quantile_cont($c, 0.5) AS median,
+           |TRUE AS median_in_bound FROM lineitem""".stripMargin
+      s"""SELECT * FROM (${p("l_quantity")} UNION ALL ${p("l_extendedprice")}
+         |UNION ALL ${p("l_discount")}) t""".stripMargin
+    },
 
     "agg_profile" -> {
       def p(c: String) =

@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming depth probe (r18 VERDICT ask #6): T1–T6 are unit-green on
+  * MemoryStream, but a MemoryStream never exercises file listing,
+  * archive-on-consume, checkpoint commits, or the state store under
+  * real micro-batch pressure. This main drives the two
+  * production-shaped streaming paths against an actual file-source
+  * directory at 100k-event scale and prints wall-clock + state-store
+  * metrics (recorded in NOTES_r19):
+  *
+  *   1. [[Pipelines.streaming2025]] — file source with archive
+  *      cleanup → validated transform → idempotent per-batch parquet;
+  *      files arrive in WAVES while the query runs, so discovery,
+  *      archive moves and batch commits happen incrementally the way
+  *      an SQS-fed drop directory behaves, not as one catch-up batch.
+  *   2. [[graft.ops.TimeOps.statefulSessionize]] — the
+  *      flatMapGroupsWithState path over a file stream of events,
+  *      waves split mid-user-history so session state must survive
+  *      across micro-batches; prints the state operator's
+  *      rows/memory from the final progress.
+  *
+  * Usage: sbt "runMain graft.StreamProbe"
+  *   SPARK_GRAFT_STREAM_WAVES (default 10), _FILES_PER_WAVE (default
+  *   100), _ROWS_PER_FILE (default 100) → 100k rows over 1000 files.
+  */
+object StreamProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val waves = sys.env.getOrElse("SPARK_GRAFT_STREAM_WAVES", "10").toInt
+    val filesPerWave =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES_PER_WAVE", "100").toInt
+    val rowsPerFile =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS_PER_FILE", "100").toInt
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-streamprobe").toString
+    val totalRows = waves.toLong * filesPerWave * rowsPerFile
+
+    def writeWave(dir: String, wave: Int, mk: Int => DataFrame): Unit =
+      // one parquet file per (wave, slot): a real drop-directory
+      // delivers many small files, and listing cost is the point
+      (0 until filesPerWave).foreach { slot =>
+        mk(wave * filesPerWave + slot).coalesce(1)
+          .write.mode("append").parquet(dir)
+      }
+
+    // ---- probe 1: streaming2025 (file source + archive + foreachBatch)
+    {
+      val in = s"$root/users_in"; val outDir = s"$root/users_out"
+      val ck = s"$root/users_ck"; val arch = s"$root/users_arch"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      def usersFile(fileId: Int): DataFrame =
+        spark.range(rowsPerFile).select(
+          concat(lit(s"user_${fileId}_"), col("id")).as("name"),
+          // ~5% invalid ages so the validation filter has work
+          when(col("id") % 20 === 0, lit("not-a-number"))
+            .otherwise((col("id") % 90).cast("string")).as("age"),
+          concat(lit("u"), col("id"), lit(s"_$fileId@example.com"))
+            .as("email"))
+      val t0 = System.nanoTime()
+      val q = Pipelines.streaming2025(spark, in, outDir, ck, arch).start()
+      var batches = 0
+      (0 until waves).foreach { w =>
+        writeWave(in, w, usersFile)
+        q.processAllAvailable()
+        batches = q.recentProgress.count(_.numInputRows > 0)
+      }
+      q.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val outRows = spark.read.parquet(outDir).count()
+      def countFiles(p: String): Long = {
+        val d = new java.io.File(p)
+        if (!d.exists()) 0L
+        else java.nio.file.Files.walk(d.toPath).filter(f =>
+          f.toString.endsWith(".parquet")).count()
+      }
+      println(f"stream_probe streaming2025: $totalRows rows / " +
+        f"${waves * filesPerWave} files in $sec%.1f s " +
+        f"(${totalRows / sec}%.0f rows/s), batches=$batches, " +
+        s"out_rows=$outRows, archived_files=${countFiles(arch)}, " +
+        s"unconsumed_in=${countFiles(in)}")
+    }
+
+    // ---- probe 2: statefulSessionize over a file stream ------------
+    {
+      val in = s"$root/events_in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      val nUsers = 2000
+      // wave w covers ts window [w*3h, w*3h+...): every user appears in
+      // every wave, so each user's session state is read+updated across
+      // all `waves` micro-batches; within a wave a user gets
+      // filesPerWave*rowsPerFile/nUsers events a few minutes apart,
+      // with a >30min gap between waves forcing a new session per wave
+      def eventsFile(fileId: Int): DataFrame = {
+        val wave = fileId / filesPerWave
+        spark.range(rowsPerFile).select(
+          (lit(fileId.toLong * rowsPerFile) + col("id")).as("event_id"),
+          timestamp_micros((lit(wave.toLong * 3 * 3600 * 1000000L) +
+            (col("id") + lit((fileId % filesPerWave).toLong * rowsPerFile))
+              * 1000000L)).as("ts"),
+          ((col("id") + lit(fileId.toLong)) % nUsers).as("user_id"))
+      }
+      val stream = spark.readStream
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG")
+        .parquet(in)
+        .as[graft.ops.TimeOps.SessionEvent]
+      val sessions = graft.ops.TimeOps.statefulSessionize(stream)
+      val t0 = System.nanoTime()
+      val q = sessions.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$root/events_ck")
+        .format("memory").queryName("probe_sessions").start()
+      (0 until waves).foreach { w =>
+        writeWave(in, w, eventsFile)
+        q.processAllAvailable()
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val outRows = spark.table("probe_sessions").count()
+      val maxSession = spark.table("probe_sessions")
+        .agg(max("session_id")).head().getLong(0)
+      val stateOps = Option(q.lastProgress).toSeq
+        .flatMap(_.stateOperators.toSeq)
+      q.stop()
+      println(f"stream_probe statefulSessionize: $totalRows events in " +
+        f"$sec%.1f s (${totalRows / sec}%.0f rows/s), out_rows=$outRows, " +
+        s"max_session_id=$maxSession, state=" +
+        stateOps.map(s => s"rows=${s.numRowsTotal} " +
+          s"memBytes=${s.memoryUsedBytes}").mkString(";"))
+    }
+    spark.stop()
+    // probe artifacts are large (100k-row parquet x2 + archives);
+    // delete on the way out
+    import java.nio.file.{Files, Path, Paths}
+    import java.util.Comparator
+    scala.util.Using.resource(Files.walk(Paths.get(root))) { walk =>
+      walk.sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p): Unit)
+    }
+  }
+}

@@ -78,6 +78,70 @@ object Aggregates {
       .unionByName(profile("l_discount"))
   }
 
+  /** `agg_distinct_bound` — the error-bound ORACLE row for
+    * [[aggDistinctApprox]] (r18 VERDICT ask #4), closing the last
+    * untwinned verification gap: the HLL++ estimate itself is
+    * engine-specific and can never hash-match DuckDB, but its
+    * documented accuracy contract CAN — emit the exact distinct
+    * counts (oracle-checkable arithmetic) plus one BOOLEAN verdict
+    * per sketch: `|approx − exact| ≤ 3·rsd·exact` at the explicit
+    * `rsd = 0.05`. The verdict is deterministic: HLL register maxima
+    * are insertion-order independent (same device that makes
+    * `agg_distinct_approx` deterministic across local[32]/local[4] in
+    * detcheck), and the 3σ band turns the probabilistic rsd contract
+    * into a fixed predicate on this fixed dataset. DuckDB predicts
+    * `TRUE` without running a sketch — a Spark-side estimator drifting
+    * outside its own documented 3σ bound flips the hash.
+    */
+  def aggDistinctBound(s: SparkSession, dir: String): DataFrame = {
+    val rsd = 0.05
+    val bound = 3 * rsd
+    Sources.table(s, dir, "events")
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        countDistinct(col("event_type")).as("exact_types"),
+        approx_count_distinct(col("user_id"), rsd).as("au"),
+        approx_count_distinct(col("event_type"), rsd).as("at"))
+      .select(col("exact_users"), col("exact_types"),
+        (abs(col("au") - col("exact_users")) <=
+          col("exact_users").cast(DoubleType) * bound).as("users_in_bound"),
+        (abs(col("at") - col("exact_types")) <=
+          col("exact_types").cast(DoubleType) * bound).as("types_in_bound"))
+  }
+
+  /** `agg_profile_bound` — the same error-bound oracle device for
+    * [[aggProfileApprox]]'s t-digest median: per profile column, the
+    * exact interpolated median (the arithmetic `agg_profile` already
+    * hash-matches against DuckDB's `quantile_cont`) plus a BOOLEAN
+    * rank-window verdict for the sketch. `approx_percentile(c, 0.5,
+    * 10000)` guarantees a returned DATA VALUE whose rank is within
+    * ε = 1/10000 of the true median rank; the verdict checks it lies
+    * inside the exact [0.5−δ, 0.5+δ] interpolated-percentile window
+    * at δ = 0.005 — 50× the rank bound, so merge slack in the
+    * quantile-summary compression can never flip it, while a genuinely
+    * broken sketch (rank off by > 0.5 % of the distribution) still
+    * fails loudly. δ > ε makes the interpolated window safe for a
+    * discrete sketch value: if the returned value sat below the
+    * interpolated 0.5−δ point, its maximum rank would be below
+    * (0.5−δ)·n < (0.5−ε)·n, outside the sketch's own guarantee.
+    */
+  def aggProfileBound(s: SparkSession, dir: String): DataFrame = {
+    val li = Sources.table(s, dir, "lineitem")
+    val delta = 0.005
+    def one(c: String): DataFrame =
+      li.agg(
+        expr(s"percentile($c, 0.5)").as("median"),
+        expr(s"percentile($c, ${0.5 - delta})").as("lo"),
+        expr(s"percentile($c, ${0.5 + delta})").as("hi"),
+        expr(s"approx_percentile($c, 0.5, 10000)").as("ap"))
+        .select(lit(c).as("col_name"), col("median"),
+          (col("ap").cast(DoubleType) >= col("lo") &&
+            col("ap").cast(DoubleType) <= col("hi"))
+            .as("median_in_bound"))
+    one("l_quantity")
+      .unionByName(one("l_extendedprice"))
+      .unionByName(one("l_discount"))
+  }
+
   /** `agg_profile` — A1/A4/A5, per-column profile (etl_2022.py:98-105):
     * count/mean/median/std/min/max for each numeric, one row per
     * column (all three single-scan aggregates, unioned).

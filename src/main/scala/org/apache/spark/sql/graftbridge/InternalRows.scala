@@ -1,0 +1,66 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.plans.physical.UnknownPartitioning
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.types.StructType
+
+/** The one `private[sql]` access point the library uses, kept in its
+  * own clearly-marked bridge package (the standard Spark-ecosystem
+  * device — connector libraries ship the same shim): re-bind an
+  * already-compiled frame to another session WITHOUT the
+  * `Dataset.rdd` → `createDataFrame` round-trip, which deserializes
+  * every row to an external `Row` and re-encodes it back on every
+  * scan. Measured on the CC loop (graft.CcAb, 1M-doc pair set): the
+  * external-Row handoff cost ~+0.9 s per call on a ~100k-edge graph.
+  *
+  * [[rebind]] additionally carries the source plan's `Statistics`
+  * into the new `LogicalRDD` — without them the target session sees
+  * `defaultSizeInBytes` and every downstream join of the handed-off
+  * frame silently degrades from broadcast to sort-merge (measured:
+  * the CC round job doubled; the plan probe showed BroadcastHashJoin
+  * on the home session vs SortMergeJoin + three exchanges across a
+  * stats-less handoff). `localCheckpoint()` itself plans a
+  * `LogicalRDD` with origin stats — the bridge reproduces exactly
+  * that node on the target session.
+  */
+object InternalRows {
+  /** `df`'s compiled internal-row RDD (forces planning, runs no job). */
+  def toInternalRdd(df: DataFrame): RDD[InternalRow] =
+    df.queryExecution.toRdd
+
+  /** Wrap an internal-row RDD as a DataFrame on `target` (no stats —
+    * prefer [[rebind]] when the frame will be joined downstream). */
+  def dataFrame(target: SparkSession, rdd: RDD[InternalRow],
+                schema: StructType): DataFrame =
+    target.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
+
+  /** Re-bind `df` to `target`: compiled internal-row RDD (no row
+    * conversion, no recompute for a checkpointed frame) wrapped in a
+    * `LogicalRDD` carrying the source plan's size/row-count stats so
+    * the target session keeps making the same broadcast decisions as
+    * the home session. When the source is itself a `LogicalRDD` (a
+    * checkpointed frame), its output attributes, partitioning and
+    * ordering are reused verbatim — attribute ids are globally unique,
+    * so the partitioning's references stay valid and the target
+    * session elides the same exchanges the home session would. */
+  def rebind(target: SparkSession, df: DataFrame): DataFrame = {
+    val t = target.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val qe = df.queryExecution
+    val stats = qe.optimizedPlan.stats
+    val node = qe.logical match {
+      case lr: LogicalRDD =>
+        LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
+          lr.outputOrdering, lr.isStreaming, None)(t, Some(stats), None)
+      case _ =>
+        LogicalRDD(DataTypeUtils.toAttributes(df.schema), qe.toRdd,
+          UnknownPartitioning(0), Nil, isStreaming = false, None)(
+          t, Some(stats), None)
+    }
+    org.apache.spark.sql.classic.Dataset.ofRows(t, node)
+  }
+}
