@@ -102,14 +102,28 @@ object Cluster {
     * [[Ann.simAnnIvfTrained]] plugs into its search plan.
     */
   def kmeansCentroids(s: SparkSession, emb: DataFrame, k: Int,
-                      iters: Int): Array[Array[Double]] = {
+                      iters: Int): Array[Array[Double]] =
+    kmeansCentroids(s, emb, k, iters, None)
+
+  /** [[kmeansCentroids]] with a WARM START (r19 job-count pass): a
+    * production pipeline re-training periodically — the SemDedup /
+    * IVF refresh cadence — passes its previous centroids and skips
+    * the seed-collect job entirely (and usually converges in fewer
+    * Lloyd rounds, each of which is a job; the bit-exact fixed-point
+    * early exit then stops the loop). `init` must be k rows of the
+    * embedding dimensionality; it only seeds the iteration, so a poor
+    * warm start costs convergence speed, never correctness.
+    */
+  def kmeansCentroids(s: SparkSession, emb: DataFrame, k: Int, iters: Int,
+                      init: Option[Array[Array[Double]]])
+      : Array[Array[Double]] = {
     // persist across the Lloyd loop: every iteration re-reads the
     // vector relation otherwise (scan + cast per round). Standard
     // practice for iterative algorithms; released before returning.
     val e = vectors(s, emb).persist()
     // finally, not straight-line: a mid-loop failure (executor loss,
     // bad cast) must not leave the vector blocks pinned on the session
-    try kmeansCentroidsOn(e, k, iters)
+    try kmeansCentroidsOn(e, k, iters, init)
     finally e.unpersist(blocking = false)
   }
 
@@ -119,10 +133,13 @@ object Cluster {
     * relation between the train and their own downstream stages
     * instead of re-deriving scan + cast + repartition per consumer.
     */
-  private[ops] def kmeansCentroidsOn(e: DataFrame, k: Int,
-                                     iters: Int): Array[Array[Double]] = {
+  private[ops] def kmeansCentroidsOn(e: DataFrame, k: Int, iters: Int,
+                                     init: Option[Array[Array[Double]]] = None)
+      : Array[Array[Double]] = {
     require(k >= 1, s"k must be positive, got $k")
     require(iters >= 1, s"iters must be positive, got $iters")
+    require(init.forall(_.length == k),
+      s"warm start must supply exactly k=$k centroids")
     val s = e.sparkSession
     // train on HEALTHY vectors only (finite positive norm): a null
     // embedding NPEs the seed collect below, and a NaN/Inf element
@@ -139,8 +156,9 @@ object Cluster {
     // fixtures, which carry no such vectors.
     val healthy = e.filter(TextSim.nonZeroNorm(s, col("v")) &&
       expr("forall(v, x -> abs(x) < 1e15)"))
-    var centroids: Array[Array[Double]] = healthy.orderBy("vec_id").limit(k)
-      .collect().map(_.getSeq[Double](1).toArray)
+    var centroids: Array[Array[Double]] = init.getOrElse(
+      healthy.orderBy("vec_id").limit(k)
+        .collect().map(_.getSeq[Double](1).toArray))
     // a corpus whose every embedding is null/NaN/Inf leaves nothing to
     // seed from — fail with the cause, not an obscure assignExpr error
     // on an empty centroid array downstream

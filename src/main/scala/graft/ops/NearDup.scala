@@ -1883,7 +1883,20 @@ object NearDup {
 
   /** [[dedupSemantic]] over any `(vec_id, embedding)` relation. */
   def dedupSemantic(s: SparkSession, emb: DataFrame, k: Int,
-                    iters: Int, minSim: Double): DataFrame = {
+                    iters: Int, minSim: Double): DataFrame =
+    dedupSemantic(s, emb, k, iters, minSim, None)
+
+  /** [[dedupSemantic]] with a Lloyd WARM START (r19 job-count pass):
+    * a periodic re-dedup over a growing corpus passes the previous
+    * round's centroids, skipping the seed-collect job and typically
+    * most Lloyd iterations (the bit-exact fixed-point exit stops the
+    * loop as soon as the means stabilize). Blocking quality — and so
+    * recall — degrades gracefully with a stale warm start; drop
+    * decisions stay exact within whatever cells the quantizer forms.
+    */
+  def dedupSemantic(s: SparkSession, emb: DataFrame, k: Int, iters: Int,
+                    minSim: Double,
+                    warmStart: Option[Array[Array[Double]]]): DataFrame = {
     // cos(u, u) = 1.0 exactly, so the exact pre-collapse below may
     // assume identical nonzero vectors always pair; a minSim above 1
     // would silently break that assumption
@@ -1899,7 +1912,7 @@ object NearDup {
     // rest of the entry point's caches.
     val vecs = Cluster.vectors(s, emb)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val centroids = Cluster.kmeansCentroidsOn(vecs, k, iters)
+    val centroids = Cluster.kmeansCentroidsOn(vecs, k, iters, warmStart)
     val assigned = Cluster.assignOn(vecs, centroids)
       .withColumn("nrm", sqrt(nd(col("v"), col("v"))))
     // EXACT-VECTOR PRE-COLLAPSE: a real dedup corpus has massive

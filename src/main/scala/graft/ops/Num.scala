@@ -54,38 +54,67 @@ object Num {
     * single-partition funnel, and the driver collects only the
     * ≤ 2·|ps| targeted order statistics.
     *
-    * Runs 1 + 2 jobs at CALL time (count, then sort + zipWithIndex's
-    * partition-count pass) — the eager-build pattern the dedup family
-    * already uses; callers embed the returned values as literals, so
-    * the big-side transform stays a pure broadcast-free projection.
-    * RDD zipWithIndex is the one genuinely per-partition-imperative
-    * step (global order index over a sorted relation has no
-    * DataFrame spelling that avoids a one-partition window).
+    * Runs 2 jobs at CALL time (r19 job-count pass, down from 4): the
+    * sorted relation is persisted, so ONE job both materializes the
+    * sort and collects per-partition sizes (whose sum replaces the
+    * former standalone `count()` job, and whose prefix sums replace
+    * `zipWithIndex`'s separate partition-count pass), and the pick
+    * job reads the cache — the former spelling re-executed the whole
+    * sort (plus its internal range-boundary sample job) for the
+    * second pass. At 100 TB that saves a full re-sort of the column,
+    * not just driver latency. The per-partition index walk is the one
+    * genuinely per-partition-imperative step (a global order index
+    * over a sorted relation has no DataFrame spelling that avoids a
+    * one-partition window). Callers embed the returned values as
+    * literals, so the big-side transform stays a pure
+    * broadcast-free projection.
     */
   def exactPercentiles(df: org.apache.spark.sql.DataFrame, c: String,
                        ps: Seq[Double]): Seq[Double] =
     exactPercentiles(df, c, ps, knownCount = -1L)
 
-  /** [[exactPercentiles]] with the non-null count already known (a
-    * caller that just ran a fused aggregate over the same relation has
-    * it for free — passing it skips this function's count job, one of
-    * the eager per-profile jobs the bench's fixed cost decomposed
-    * into). Pass -1 to count here.
+  /** [[exactPercentiles]] with the non-null count already known. The
+    * count no longer saves a job (the single-sort spelling sizes
+    * partitions for free), so the parameter is now a CONSISTENCY CHECK:
+    * a caller-supplied count that disagrees with the relation fails
+    * loudly instead of silently shifting every order statistic. Pass
+    * -1 to skip the check.
     */
   def exactPercentiles(df: org.apache.spark.sql.DataFrame, c: String,
                        ps: Seq[Double], knownCount: Long): Seq[Double] = {
     val vals = df.select(col(c).cast(DoubleType).as("v"))
       .filter(col("v").isNotNull)
-    val n = if (knownCount >= 0) knownCount else vals.count()
-    require(n > 0, s"exactPercentiles($c): no non-null rows")
-    val wanted = ps.flatMap { p =>
-      val pos = p * (n - 1)
-      Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
-    }.toSet
-    val picked = vals.sort("v").rdd.zipWithIndex()
-      .filter { case (_, i) => wanted.contains(i) }
-      .map { case (r, i) => (i, r.getDouble(0)) }
-      .collect().toMap
+    val sorted = vals.sort("v").rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (n, picked) = try {
+      // job 1: materialize the sorted cache and size every partition —
+      // the sum IS the non-null count, the prefix sums are the global
+      // offsets zipWithIndex used to compute in a pass of its own
+      val sizes = sorted
+        .mapPartitions(it => Iterator(it.size.toLong), true).collect()
+      val total = sizes.sum
+      require(total > 0, s"exactPercentiles($c): no non-null rows")
+      // a stale caller-supplied count would silently shift every order
+      // statistic; the true count is now free, so verify instead of trust
+      require(knownCount < 0 || knownCount == total,
+        s"exactPercentiles($c): knownCount=$knownCount but the relation " +
+          s"has $total non-null rows — stale count")
+      val offsets = sizes.scanLeft(0L)(_ + _)
+      val wanted = ps.flatMap { p =>
+        val pos = p * (total - 1)
+        Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
+      }.toSet
+      // job 2: targeted pick from the cached sorted partitions
+      val m = sorted.mapPartitionsWithIndex { (pi, it) =>
+        var i = offsets(pi)
+        it.flatMap { r =>
+          val idx = i; i += 1
+          if (wanted.contains(idx)) Iterator(idx -> r.getDouble(0))
+          else Iterator.empty
+        }
+      }.collect().toMap
+      (total, m)
+    } finally sorted.unpersist(blocking = false)
     ps.map { p =>
       val pos = p * (n - 1)
       val lo = math.floor(pos).toLong

@@ -117,4 +117,26 @@ class CentroidParitySpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getInt(1))).toSeq ==
       old.map(r => (r.getLong(0), r.getInt(1))).toSeq)
   }
+
+  test("warm start: converged centroids are a fixed point and skip the seed") {
+    val emb = ops.Sources.table(spark, sf, "embeddings")
+    // generous cap so the fixed-point early exit, not the cap, ends
+    // the train — the assertion below needs a genuinely converged fit
+    val trained = ops.Cluster.kmeansCentroids(spark, emb, 8, 50)
+    // re-training FROM the trained centroids must reproduce them
+    // bit-for-bit in one round (the decimal-exact means make the
+    // fixed point well-defined), regardless of how many extra rounds
+    // the caller allows
+    val warm = ops.Cluster.kmeansCentroids(spark, emb, 8, 50, Some(trained))
+    assert(warm.length == trained.length)
+    warm.indices.foreach { i =>
+      assert(java.util.Arrays.equals(warm(i), trained(i)),
+        s"centroid $i drifted under a converged warm start")
+    }
+    // a wrong-sized warm start fails loudly, not with a shape error
+    intercept[IllegalArgumentException] {
+      ops.Cluster.kmeansCentroids(spark, emb, 8, 2,
+        Some(trained.take(3)))
+    }
+  }
 }
