@@ -279,8 +279,20 @@ object SparkEntry {
   /** Exact decimal sum cast back to double — the SQL mirror of
     * [[graft.ops.Num.dsum]].
     */
+  /** Exact decimal sum, closed to DOUBLE through a VARCHAR round-trip
+    * (r19, found by the sf1.0-equivalent whole-suite pass): DuckDB's
+    * direct decimal→double cast converts the scaled integer to double
+    * FIRST and divides by 10^scale second — two roundings — so once a
+    * group's unit sum crosses 2⁵³ (agg_group's sum_charge at ~2.8e16
+    * micro-units) it lands one ulp away from the correctly-rounded
+    * value Spark's single decimal→double conversion produces
+    * (measured: exact 27845339640.098010 → direct cast …098007,
+    * varchar route …09801). The string parse is correctly rounded
+    * (fast_float), and below the cliff both spellings agree bit for
+    * bit, so the committed gate hashes are unchanged.
+    */
   private def dsumSql(c: String, scale: Int = 4): String =
-    s"CAST(SUM(CAST($c AS DECIMAL(18,$scale))) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST($c AS DECIMAL(18,$scale))) AS VARCHAR) AS DOUBLE)"
 
   /** `price·(1−disc)` / `·(1+tax)` as EXACT DECIMAL factor products
     * (r17 — the ~sf1 spot-run showed the old spelling's per-row
@@ -594,11 +606,14 @@ object SparkEntry {
       // banned here. The old DECIMAL(18,6)-of-double-product spelling
       // rounded fl(y·y) (error ~1.2e-6 — crosses 6-dp boundaries), so
       // its sums differ from the exact ones pre-round.
+      // the VARCHAR round-trip is the same 2^53 double-rounding guard
+      // as dsumSql — see its scaladoc
       def us(u: String, scale: Int): String =
-        if (scale == 0) s"CAST(CAST(SUM($u) AS DECIMAL(38,0)) AS DOUBLE)"
+        if (scale == 0)
+          s"CAST(CAST(CAST(SUM($u) AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE)"
         else {
           val inv = java.math.BigDecimal.ONE.movePointLeft(scale).toPlainString
-          s"CAST(CAST(SUM($u) AS DECIMAL(38,0)) * CAST($inv AS DECIMAL($scale,$scale)) AS DOUBLE)"
+          s"CAST(CAST(CAST(SUM($u) AS DECIMAL(38,0)) * CAST($inv AS DECIMAL($scale,$scale)) AS VARCHAR) AS DOUBLE)"
         }
       s"""SELECT l_returnflag, n,
          |round((sxy - sx * sy / nd) / (nd - 1), 2) AS qp_covar,
