@@ -99,11 +99,18 @@ object StreamProbe {
       // all `waves` micro-batches; within a wave a user gets
       // filesPerWave*rowsPerFile/nUsers events a few minutes apart,
       // with a >30min gap between waves forcing a new session per wave
+      // wave period 8h vs an in-wave ts staircase that tops out at
+      // ~2.8h: a user spanning two waves sees a >5h silence — far past
+      // the 30-minute gap — so cross-BATCH session splits must happen,
+      // which is exactly the state-store behavior the probe pins (the
+      // first cut of this fixture used a 3h period, the boundary gap
+      // came out ~15min, and max_session_id=1 proved only state
+      // persistence, not session splitting)
       def eventsFile(fileId: Int): DataFrame = {
         val wave = fileId / filesPerWave
         spark.range(rowsPerFile).select(
           (lit(fileId.toLong * rowsPerFile) + col("id")).as("event_id"),
-          timestamp_micros((lit(wave.toLong * 3 * 3600 * 1000000L) +
+          timestamp_micros((lit(wave.toLong * 8 * 3600 * 1000000L) +
             (col("id") + lit((fileId % filesPerWave).toLong * rowsPerFile))
               * 1000000L)).as("ts"),
           ((col("id") + lit(fileId.toLong)) % nUsers).as("user_id"))
@@ -126,12 +133,16 @@ object StreamProbe {
       val outRows = spark.table("probe_sessions").count()
       val maxSession = spark.table("probe_sessions")
         .agg(max("session_id")).head().getLong(0)
+      // users whose session id ever advanced past 1 — each is a
+      // session split that crossed at least one micro-batch boundary
+      val splitUsers = spark.table("probe_sessions")
+        .filter(col("session_id") > 1).select("user_id").distinct().count()
       val stateOps = Option(q.lastProgress).toSeq
         .flatMap(_.stateOperators.toSeq)
       q.stop()
       println(f"stream_probe statefulSessionize: $totalRows events in " +
         f"$sec%.1f s (${totalRows / sec}%.0f rows/s), out_rows=$outRows, " +
-        s"max_session_id=$maxSession, state=" +
+        s"max_session_id=$maxSession, users_with_splits=$splitUsers, state=" +
         stateOps.map(s => s"rows=${s.numRowsTotal} " +
           s"memBytes=${s.memoryUsedBytes}").mkString(";"))
     }
