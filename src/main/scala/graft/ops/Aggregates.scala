@@ -127,15 +127,32 @@ object Aggregates {
   def aggProfileBound(s: SparkSession, dir: String): DataFrame = {
     val li = Sources.table(s, dir, "lineitem")
     val delta = 0.005
+    val ps = Seq(0.5 - delta, 0.5, 0.5 + delta)
+    // Exact-percentile path per column, costed (measured at sf0.1):
+    // the builtin percentile builds a boxed value→count map per
+    // partial, so its cost is the column's DISTINCT count — three
+    // scalar calls on the 600k-distinct price column took 6.4 s, the
+    // array form (one shared map) 3.1 s, and the range-partitioned
+    // sort ([[Num.exactPercentiles]]) 0.4 s. quantity/discount have
+    // ~50/11 distinct values, where the tiny map is cheaper than an
+    // extra sort job pair — so the high-cardinality column takes the
+    // sort path and the discrete ones keep the one-pass array form,
+    // the same cardinality rule encode_bucket's scaladoc records.
+    val sortPath = Set("l_extendedprice")
     def one(c: String): DataFrame =
-      li.agg(
-        expr(s"percentile($c, 0.5)").as("median"),
-        expr(s"percentile($c, ${0.5 - delta})").as("lo"),
-        expr(s"percentile($c, ${0.5 + delta})").as("hi"),
+      if (sortPath(c)) {
+        val Seq(lo, med, hi) = Num.exactPercentiles(li, c, ps)
+        li.agg(expr(s"approx_percentile($c, 0.5, 10000)").as("ap"))
+          .select(lit(c).as("col_name"), lit(med).as("median"),
+            (col("ap").cast(DoubleType) >= lo &&
+              col("ap").cast(DoubleType) <= hi).as("median_in_bound"))
+      } else li.agg(
+        expr(s"percentile($c, array(${ps.mkString(", ")}))").as("pcts"),
         expr(s"approx_percentile($c, 0.5, 10000)").as("ap"))
-        .select(lit(c).as("col_name"), col("median"),
-          (col("ap").cast(DoubleType) >= col("lo") &&
-            col("ap").cast(DoubleType) <= col("hi"))
+        .select(lit(c).as("col_name"),
+          element_at(col("pcts"), 2).as("median"),
+          (col("ap").cast(DoubleType) >= element_at(col("pcts"), 1) &&
+            col("ap").cast(DoubleType) <= element_at(col("pcts"), 3))
             .as("median_in_bound"))
     one("l_quantity")
       .unionByName(one("l_extendedprice"))
