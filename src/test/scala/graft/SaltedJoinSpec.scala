@@ -120,4 +120,19 @@ class SaltedJoinSpec extends SparkSpec {
     val salted = Relational.saltedJoin(li, o, "k", salts = 4).count()
     assert(salted == plain)
   }
+
+  test("fewKeySaltedJoin refuses inputs that already carry __salt") {
+    import spark.implicits._
+    val clean = Seq((1L, 10L)).toDF("k", "v")
+    val tainted = clean.withColumn("__salt", lit(0))
+    // the guard must fire on EITHER side: the salt column is appended
+    // to both, and a pre-existing one would be an ambiguous reference
+    // or a silently wrong join key set (r18 ADVICE)
+    for ((l, r) <- Seq((tainted, clean), (clean, tainted))) {
+      val e = intercept[IllegalArgumentException] {
+        Relational.fewKeySaltedJoin(spark, l, r, Seq("k"), col("k"), 1)
+      }
+      assert(e.getMessage.contains("__salt"))
+    }
+  }
 }
