@@ -143,9 +143,21 @@ object Pipelines {
     */
   def streaming2025(spark: SparkSession, inDir: String, outDir: String,
                     checkpoint: String, archiveDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    streaming2025(spark, inDir, outDir, checkpoint, archiveDir, None)
+
+  /** [[streaming2025]] with a `maxFilesPerTrigger` cap — see the
+    * measured sizing guidance on [[graft.ops.TimeOps.fileStream]]
+    * (per-batch fixed cost ~1.3–1.7 s on a real drop directory, so
+    * None/large caps amortize best; small caps are a latency choice).
+    */
+  def streaming2025(spark: SparkSession, inDir: String, outDir: String,
+                    checkpoint: String, archiveDir: String,
+                    maxFilesPerTrigger: Option[Int])
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val stream = TimeOps.fileStream(spark, inDir, usersSchema,
-      archiveDir = Some(archiveDir))
+      archiveDir = Some(archiveDir),
+      maxFilesPerTrigger = maxFilesPerTrigger)
     TimeOps.foreachBatchSink(stream, outDir, checkpoint)(batch =>
       transformUsers(batch.filter(validUser)))
   }

@@ -34,6 +34,10 @@ object StreamProbe {
       sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES_PER_WAVE", "100").toInt
     val rowsPerFile =
       sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS_PER_FILE", "100").toInt
+    // r20: probe the maxFilesPerTrigger amortization curve — same
+    // waves, capped batch size (None = consume all available)
+    val maxFiles =
+      sys.env.get("SPARK_GRAFT_STREAM_MAXFILES").map(_.toInt)
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
@@ -66,7 +70,8 @@ object StreamProbe {
           concat(lit("u"), col("id"), lit(s"_$fileId@example.com"))
             .as("email"))
       val t0 = System.nanoTime()
-      val q = Pipelines.streaming2025(spark, in, outDir, ck, arch).start()
+      val q = Pipelines.streaming2025(spark, in, outDir, ck, arch,
+        maxFiles).start()
       var batches = 0
       (0 until waves).foreach { w =>
         writeWave(in, w, usersFile)
@@ -85,6 +90,7 @@ object StreamProbe {
       println(f"stream_probe streaming2025: $totalRows rows / " +
         f"${waves * filesPerWave} files in $sec%.1f s " +
         f"(${totalRows / sec}%.0f rows/s), batches=$batches, " +
+        s"maxFilesPerTrigger=${maxFiles.getOrElse(-1)}, " +
         s"out_rows=$outRows, archived_files=${countFiles(arch)}, " +
         s"unconsumed_in=${countFiles(in)}")
     }

@@ -1374,8 +1374,27 @@ object NearDup {
         // a conf set after startup (session timezone, ANSI mode) would
         // otherwise silently revert inside the loop and change plan
         // semantics. Immutable keys throw on set and are skipped.
-        ph("confcopy")(sess.conf.getAll.foreach { case (k, v) =>
-          try loopSess.conf.set(k, v) catch { case _: Throwable => () } })
+        // r20 (ADVICE): the copy must also UNDO — a key the caller set
+        // before an earlier CC call and later unset on the parent
+        // would otherwise stay set on the reused cached child, so the
+        // loop would plan under drifted semantics exactly the way the
+        // scaladoc promises it can't. Track the key set each copy
+        // applied; unset (revert to default) whatever the previous
+        // copy set that the current parent snapshot no longer carries.
+        ph("confcopy") {
+          val snapshot = sess.conf.getAll
+          val previous = ccCopiedKeys.synchronized {
+            Option(ccCopiedKeys.get(loopSess)).getOrElse(Set.empty[String])
+          }
+          (previous -- snapshot.keySet).foreach { k =>
+            try loopSess.conf.unset(k) catch { case _: Throwable => () }
+          }
+          snapshot.foreach { case (k, v) =>
+            try loopSess.conf.set(k, v) catch { case _: Throwable => () } }
+          ccCopiedKeys.synchronized {
+            ccCopiedKeys.put(loopSess, snapshot.keySet): Unit
+          }
+        }
         loopSess.conf.set("spark.sql.shuffle.partitions", parts.toString)
         // internal-row handoff with stats + partitioning preserved —
         // NOT `createDataFrame(edges.rdd, schema)`: the external-Row
@@ -1404,11 +1423,26 @@ object NearDup {
     * collectible. */
   private val ccLoopSessions =
     new java.util.WeakHashMap[SparkSession, SparkSession]()
+  /** Keys the last conf copy applied to each cached child — consulted
+    * so a key UNSET on the parent between CC calls is unset on the
+    * child too instead of silently surviving (r20 ADVICE). Weak on the
+    * child session, same lifecycle as [[ccLoopSessions]]. */
+  private val ccCopiedKeys =
+    new java.util.WeakHashMap[SparkSession, Set[String]]()
   private def ccLoopSessionFor(sess: SparkSession): SparkSession =
     ccLoopSessions.synchronized {
       val cached = ccLoopSessions.get(sess)
       if (cached != null) cached
       else { val c = sess.newSession(); ccLoopSessions.put(sess, c); c }
+    }
+
+  /** TEST PROBE (package-private): the cached CC child session's view
+    * of `key`, so the conf copy-AND-UNDO contract (r20 ADVICE) is
+    * assertable without exposing the child session itself. */
+  private[graft] def ccChildConf(sess: SparkSession,
+                                 key: String): Option[String] =
+    ccLoopSessions.synchronized {
+      Option(ccLoopSessions.get(sess)).flatMap(_.conf.getOption(key))
     }
 
   /** The label-propagation rounds themselves, running entirely at the

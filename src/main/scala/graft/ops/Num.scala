@@ -90,8 +90,16 @@ object Num {
       // job 1: materialize the sorted cache and size every partition —
       // the sum IS the non-null count, the prefix sums are the global
       // offsets zipWithIndex used to compute in a pass of its own
+      // count with a Long accumulator, NOT Iterator.size (an Int —
+      // a >2^31-row partition would silently overflow and corrupt
+      // every prefix offset; r20 ADVICE, and this path is pitched at
+      // scales where such partitions are plausible)
       val sizes = sorted
-        .mapPartitions(it => Iterator(it.size.toLong), true).collect()
+        .mapPartitions({ it =>
+          var n = 0L
+          while (it.hasNext) { it.next(); n += 1L }
+          Iterator(n)
+        }, true).collect()
       val total = sizes.sum
       require(total > 0, s"exactPercentiles($c): no non-null rows")
       // a stale caller-supplied count would silently shift every order

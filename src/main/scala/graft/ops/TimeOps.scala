@@ -448,16 +448,39 @@ object TimeOps {
     * poll loop (etl_2025.py:233-263). New files in `dir` become
     * micro-batches; `cleanSource archive` replaces the manual move to
     * `processed/` (etl_2025.py:255-257).
+    *
+    * `maxFilesPerTrigger` bounds how many NEW files one micro-batch
+    * consumes — the throughput/latency knob for a drop directory.
+    * MEASURED (StreamProbe r19/r20, real file source, 1,000 small
+    * files / 100k rows, local[32]): per-BATCH fixed cost is ~1.3–1.7 s
+    * (listing + checkpoint commit + archive moves + state round-trip),
+    * near-independent of batch size — so small caps multiply fixed
+    * cost: cap=25 → 40 batches; cap=100 → 10 batches ≈ 4× fewer
+    * fixed-cost payments for the same rows (see NOTES_r20 table).
+    * RECOMMENDATION: leave it None (consume everything available —
+    * the default, lowest cost per row) unless a single catch-up batch
+    * would exceed executor memory or downstream latency SLOs; then
+    * size the cap so a batch still carries at least a few seconds of
+    * data-side work (≥ 100 small files per trigger at this fixture's
+    * shape), and pair it with a processing-time trigger no shorter
+    * than the measured fixed cost (e.g. `Trigger.ProcessingTime("5
+    * seconds")`) so the query never spins paying fixed cost on empty
+    * or tiny batches.
     */
   def fileStream(s: SparkSession, dir: String, schema: StructType,
-                 archiveDir: Option[String] = None): DataFrame = {
+                 archiveDir: Option[String] = None,
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val r = s.readStream.schema(schema)
     val withClean = archiveDir match {
       case Some(a) => r.option("cleanSource", "archive")
         .option("sourceArchiveDir", a)
       case None => r
     }
-    withClean.parquet(dir)
+    val withCap = maxFilesPerTrigger match {
+      case Some(m) => withClean.option("maxFilesPerTrigger", m)
+      case None => withClean
+    }
+    withCap.parquet(dir)
   }
 
   /** T3 — tumbling-window counts with a watermark. */
