@@ -272,16 +272,55 @@ object Cluster {
     */
   private[ops] def chainedCentroids(healthy: DataFrame, k: Int,
                                     iters: Int): Array[Array[Double]] = {
-    val s = healthy.sparkSession
+    val caller = healthy.sparkSession
+    // The train runs on an ISOLATED child session (the CC loop's r19
+    // machinery, shared via SessionIso) with two overrides, both
+    // stack-sample-measured at sf0.1:
+    //  - TRAIN-SIZED shuffle partitions (k/64+1 ≈ k·d/65536 at
+    //    d≈1024, the CC loop's 64k-rows-per-partition rule, clamped
+    //    to the caller's sizing): every train exchange carries at
+    //    most maps × k·d tiny rows, and caller-sized exchanges paid
+    //    more in shuffle-file create/commit than they won (sampled:
+    //    DiskBlockObjectWriter/writeMetadataFile dominated).
+    //  - useIdInClassName=false: the per-round stages are identical
+    //    text EXCEPT for the codegen stage id Spark embeds in the
+    //    generated class NAME, so with ids on, every round recompiled
+    //    and re-JIT-warmed its decimal-sum aggregate (sampled:
+    //    BigDecimal.valueOf dominated).
+    val parentParts = caller.sessionState.conf.numShufflePartitions
+    val parts = math.max(1, math.min(k / 64 + 1, parentParts))
+    SessionIso.withChild(caller, Map(
+      "spark.sql.shuffle.partitions" -> parts.toString,
+      "spark.sql.codegen.useIdInClassName" -> "false")) { s =>
+      chainedCentroidsOn(s,
+        org.apache.spark.sql.graftbridge.InternalRows.rebind(s, healthy),
+        k, iters)
+    }
+  }
+
+  /** The chained train itself, on an already-rebound `healthy` whose
+    * session carries the train-sized conf. */
+  private def chainedCentroidsOn(s: SparkSession, healthy: DataFrame,
+                                 k: Int, iters: Int): Array[Array[Double]] = {
     def nl(df: DataFrame): DataFrame = df.hint("shuffle_replicate_nl")
     // norms from the packed matrix: same fold order as the literal
-    // argmin's driver-side tabulate (left-to-right sum of squares)
+    // argmin's driver-side tabulate (left-to-right sum of squares).
+    // The repartition(1) is LOAD-BEARING: it puts a shuffle boundary
+    // at every matrix frame's output, so the frame's narrow tail is
+    // "read one buffered row" for every consumer task. Without it the
+    // tail is [final-agg ∘ cartesian ∘ interpreted HOF transforms]
+    // NESTING the previous round's tail — a cartesian recomputes its
+    // right side per left task, so each task re-ran EVERY earlier
+    // round's pack arithmetic: measured 2.3 → 5.0 s/train at sf0.1
+    // when this boundary was removed (and +0.5→1.0 s/round,
+    // superlinear, in the pre-child-session spelling).
     def withNorms(m: DataFrame): DataFrame =
       m.select(col("mat"),
         expr("transform(sequence(0, greatest(kk, 1) - 1), " +
           "c -> aggregate(slice(mat, c * d + 1, d), " +
           "cast(0.0 as double), (acc, x) -> acc + x * x))").as("norms"),
         col("kk"), col("d"))
+        .repartition(1)
     // seed matrix: the k lowest-id healthy vectors, row-major — the
     // exact init the driver loop collects, packed in-plan instead
     val seed = withNorms(healthy.orderBy("vec_id").limit(k)

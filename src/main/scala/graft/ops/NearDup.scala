@@ -1362,40 +1362,15 @@ object NearDup {
           r
         }
       }
-      val loopSess = ph("loopSession")(ccLoopSessionFor(sess))
-      // holding the child's monitor for the whole loop serializes
-      // CONCURRENT CC calls on one parent session (each needs its own
-      // partition sizing on the shared child) — a far narrower window
-      // than the pre-r19 spelling, which raced the override against
-      // EVERY query on the caller's session
-      loopSess.synchronized {
-        // carry the caller's RUNTIME conf onto the child: newSession()
-        // re-derives session state from the builder-time SparkConf, so
-        // a conf set after startup (session timezone, ANSI mode) would
-        // otherwise silently revert inside the loop and change plan
-        // semantics. Immutable keys throw on set and are skipped.
-        // r20 (ADVICE): the copy must also UNDO — a key the caller set
-        // before an earlier CC call and later unset on the parent
-        // would otherwise stay set on the reused cached child, so the
-        // loop would plan under drifted semantics exactly the way the
-        // scaladoc promises it can't. Track the key set each copy
-        // applied; unset (revert to default) whatever the previous
-        // copy set that the current parent snapshot no longer carries.
-        ph("confcopy") {
-          val snapshot = sess.conf.getAll
-          val previous = ccCopiedKeys.synchronized {
-            Option(ccCopiedKeys.get(loopSess)).getOrElse(Set.empty[String])
-          }
-          (previous -- snapshot.keySet).foreach { k =>
-            try loopSess.conf.unset(k) catch { case _: Throwable => () }
-          }
-          snapshot.foreach { case (k, v) =>
-            try loopSess.conf.set(k, v) catch { case _: Throwable => () } }
-          ccCopiedKeys.synchronized {
-            ccCopiedKeys.put(loopSess, snapshot.keySet): Unit
-          }
-        }
-        loopSess.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      // the isolated-child machinery (cached child, conf copy-AND-UNDO,
+      // monitor held for the loop so concurrent CC calls serialize
+      // their phases) lives in [[SessionIso]] since r20 — the chained
+      // k-means trainer shares it. The r20 ADVICE fix rides there: a
+      // key the caller set before an earlier CC call and later unset
+      // on the parent is unset on the reused child too, so the loop
+      // can never plan under drifted semantics.
+      SessionIso.withChild(sess,
+        Map("spark.sql.shuffle.partitions" -> parts.toString)) { loopSess =>
         // internal-row handoff with stats + partitioning preserved —
         // NOT `createDataFrame(edges.rdd, schema)`: the external-Row
         // spelling deserializes + re-encodes every edge per scan
@@ -1414,36 +1389,13 @@ object NearDup {
     }
   }
 
-  /** One cached loop session per caller session: a `newSession()` per
-    * CC call re-pays first-analysis session-state warmup every time
-    * (~0.3–0.5 s measured in the graft.CcAb probe — fresh-child first
-    * query 2.4 s vs 0.7 s warm on the same plan). WeakHashMap so a
-    * discarded caller session releases its child; the child references
-    * the shared context, never the parent, so the entry stays
-    * collectible. */
-  private val ccLoopSessions =
-    new java.util.WeakHashMap[SparkSession, SparkSession]()
-  /** Keys the last conf copy applied to each cached child — consulted
-    * so a key UNSET on the parent between CC calls is unset on the
-    * child too instead of silently surviving (r20 ADVICE). Weak on the
-    * child session, same lifecycle as [[ccLoopSessions]]. */
-  private val ccCopiedKeys =
-    new java.util.WeakHashMap[SparkSession, Set[String]]()
-  private def ccLoopSessionFor(sess: SparkSession): SparkSession =
-    ccLoopSessions.synchronized {
-      val cached = ccLoopSessions.get(sess)
-      if (cached != null) cached
-      else { val c = sess.newSession(); ccLoopSessions.put(sess, c); c }
-    }
-
-  /** TEST PROBE (package-private): the cached CC child session's view
-    * of `key`, so the conf copy-AND-UNDO contract (r20 ADVICE) is
-    * assertable without exposing the child session itself. */
+  /** TEST PROBE (package-private): the cached child session's view of
+    * `key`, so the conf copy-AND-UNDO contract (r20 ADVICE) is
+    * assertable without exposing the child session itself. Delegates
+    * to [[SessionIso]], which owns the cached-child machinery. */
   private[graft] def ccChildConf(sess: SparkSession,
                                  key: String): Option[String] =
-    ccLoopSessions.synchronized {
-      Option(ccLoopSessions.get(sess)).flatMap(_.conf.getOption(key))
-    }
+    SessionIso.childConf(sess, key)
 
   /** The label-propagation rounds themselves, running entirely at the
     * conf of `edges`' own session — [[ccOnEdges]] owns the sizing. */
