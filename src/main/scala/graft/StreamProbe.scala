@@ -56,8 +56,12 @@ object StreamProbe {
           .write.mode("append").parquet(dir)
       }
 
+    // r20: SPARK_GRAFT_STREAM_PROBE=1|2 runs a single probe (the
+    // maxFilesPerTrigger curve re-runs probe 1 at several settings —
+    // no need to pay the stateful probe each time); unset = both.
+    val which = sys.env.get("SPARK_GRAFT_STREAM_PROBE")
     // ---- probe 1: streaming2025 (file source + archive + foreachBatch)
-    {
+    if (which.forall(_ == "1")) {
       val in = s"$root/users_in"; val outDir = s"$root/users_out"
       val ck = s"$root/users_ck"; val arch = s"$root/users_arch"
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
@@ -69,15 +73,29 @@ object StreamProbe {
             .otherwise((col("id") % 90).cast("string")).as("age"),
           concat(lit("u"), col("id"), lit(s"_$fileId@example.com"))
             .as("email"))
+      // r20: SPARK_GRAFT_STREAM_PREWRITE=true lands the WHOLE backlog
+      // before the query starts — the catch-up regime, the only one
+      // where maxFilesPerTrigger actually controls batch size (in the
+      // steady-drip regime below, batch size tracks the arrival rate
+      // and the cap barely binds: ~310-345 batches at EVERY setting)
+      val prewrite =
+        sys.env.get("SPARK_GRAFT_STREAM_PREWRITE").exists(_ == "true")
+      if (prewrite) (0 until waves).foreach(writeWave(in, _, usersFile))
       val t0 = System.nanoTime()
       val q = Pipelines.streaming2025(spark, in, outDir, ck, arch,
         maxFiles).start()
       var batches = 0
-      (0 until waves).foreach { w =>
+      if (prewrite) q.processAllAvailable()
+      else (0 until waves).foreach { w =>
         writeWave(in, w, usersFile)
         q.processAllAvailable()
-        batches = q.recentProgress.count(_.numInputRows > 0)
       }
+      // recentProgress is RING-BUFFERED (default 100 entries), so
+      // counting it SATURATES on long runs — batchId is monotone
+      // and survives the buffer (r20; the r19 number read 99 at
+      // every setting for exactly this reason)
+      batches = Option(q.lastProgress).map(_.batchId.toInt + 1)
+        .getOrElse(0)
       q.stop()
       val sec = (System.nanoTime() - t0) / 1e9
       val outRows = spark.read.parquet(outDir).count()
@@ -96,7 +114,7 @@ object StreamProbe {
     }
 
     // ---- probe 2: statefulSessionize over a file stream ------------
-    {
+    if (which.forall(_ == "2")) {
       val in = s"$root/events_in"
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
       val nUsers = 2000

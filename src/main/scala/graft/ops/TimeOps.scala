@@ -451,21 +451,25 @@ object TimeOps {
     *
     * `maxFilesPerTrigger` bounds how many NEW files one micro-batch
     * consumes — the throughput/latency knob for a drop directory.
-    * MEASURED (StreamProbe r19/r20, real file source, 1,000 small
-    * files / 100k rows, local[32]): per-BATCH fixed cost is ~1.3–1.7 s
-    * (listing + checkpoint commit + archive moves + state round-trip),
-    * near-independent of batch size — so small caps multiply fixed
-    * cost: cap=25 → 40 batches; cap=100 → 10 batches ≈ 4× fewer
-    * fixed-cost payments for the same rows (see NOTES_r20 table).
-    * RECOMMENDATION: leave it None (consume everything available —
-    * the default, lowest cost per row) unless a single catch-up batch
-    * would exceed executor memory or downstream latency SLOs; then
-    * size the cap so a batch still carries at least a few seconds of
-    * data-side work (≥ 100 small files per trigger at this fixture's
-    * shape), and pair it with a processing-time trigger no shorter
-    * than the measured fixed cost (e.g. `Trigger.ProcessingTime("5
-    * seconds")`) so the query never spins paying fixed cost on empty
-    * or tiny batches.
+    * MEASURED (StreamProbe r20, real file source, 1,000 small files /
+    * 100k rows, local[32], catch-up regime = whole backlog on disk
+    * before the query starts, the only regime where the cap binds):
+    * wall ≈ 9.5 s + 1.2 s × batches — None → 1 batch / 10.4 s,
+    * cap 250 → 4 / 12.8 s, cap 100 → 10 / 22.2 s, cap 25 → 40 /
+    * 55.9 s. The ~1.2 s per-BATCH fixed cost (listing + checkpoint
+    * commit + archive moves) is near-independent of batch size, so
+    * small caps multiply it ~linearly. In the STEADY-DRIP regime
+    * (files landing while the query runs) batch size tracks the
+    * arrival rate and the cap barely binds: ~310–345 batches at every
+    * setting on the same corpus. RECOMMENDATION: leave it None
+    * (consume everything available — the default, lowest cost per
+    * row) unless a single catch-up batch would exceed executor memory
+    * or downstream latency SLOs; then size the cap so a batch still
+    * carries several seconds of data-side work (≥ 100 small files per
+    * trigger at this fixture's shape), and pair it with a
+    * processing-time trigger no shorter than the measured fixed cost
+    * (e.g. `Trigger.ProcessingTime("5 seconds")`) so the query never
+    * spins paying fixed cost on empty or tiny batches.
     */
   def fileStream(s: SparkSession, dir: String, schema: StructType,
                  archiveDir: Option[String] = None,
