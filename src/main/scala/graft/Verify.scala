@@ -26,7 +26,14 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): the single-file dump is only
+      // so the driver's DuckDB compare reads one parquet per query —
+      // but coalesce(1) COLLAPSES the whole (shuffle-free) query into
+      // one task, which at a scaled fixture serialized a broadcast
+      // nested-loop query into a 12-minute single-thread grind (r20
+      // sf2 pass). The repartition shuffle keeps the computation at
+      // full parallelism and single-tasks only the (small) result.
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
