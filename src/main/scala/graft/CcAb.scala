@@ -60,14 +60,17 @@ object CcAb {
         graft.ops.NearDup.connectedComponents(pairs).count()
       else {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
-        implicit val ec: scala.concurrent.ExecutionContext =
-          scala.concurrent.ExecutionContext.fromExecutor(pool)
-        val fs = (1 to threads).map(_ => scala.concurrent.Future(
-          graft.ops.NearDup.connectedComponents(pairs).count()))
-        val total = fs.map(scala.concurrent.Await.result(_,
-          scala.concurrent.duration.Duration.Inf)).sum
-        pool.shutdown()
-        total / threads
+        // shutdown in finally: if Await.result throws, the non-daemon
+        // pool would otherwise leak and keep the probe JVM alive
+        try {
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutor(pool)
+          val fs = (1 to threads).map(_ => scala.concurrent.Future(
+            graft.ops.NearDup.connectedComponents(pairs).count()))
+          val total = fs.map(scala.concurrent.Await.result(_,
+            scala.concurrent.duration.Duration.Inf)).sum
+          total / threads
+        } finally pool.shutdown()
       }
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"cc_ab arm=$arm run=$i sec=$sec%.2f rows=$rows")

@@ -1036,14 +1036,21 @@ case class CentroidArgmin(child: Expression, cents: Array[Double],
   * the chained trainer detects that shape on the driver after the
   * single train job and fails loudly before anything is returned.
   *
-  * Hot-path note: the matrix column is CONSTANT within a partition
-  * (it comes from a 1-row join side), so per-task codegen state
-  * caches its flat `double[]` image keyed on the backing storage —
-  * the inner loop then runs over primitive arrays exactly like the
-  * literal form; a cache miss costs one k·d copy, never correctness.
+  * Hot-path note: in the chained trainer the matrix column is
+  * CONSTANT within a partition (it comes from a 1-row join side), so
+  * the trainer's spelling (`cached = true`, registered only as the
+  * internal `graft_argmin_centroid_col_cached`) keeps a per-task flat
+  * `double[]` image keyed on the backing storage plus a first/last-
+  * word content fingerprint — the inner loop then runs over primitive
+  * arrays exactly like the literal form. The PUBLIC registration
+  * `graft_argmin_centroid_col` takes arbitrary columns, where a
+  * recycled row buffer (same base/offset/length, new bytes) could
+  * alias a per-row-varying matrix past a storage-keyed cache; that
+  * spelling therefore copies the matrix per row (`cached = false`) —
+  * correct for any input, and not on any hot path.
   */
 case class CentroidArgminCol(vec: Expression, mat: Expression,
-                             norms: Expression)
+                             norms: Expression, cached: Boolean = false)
     extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
 
   override def first: Expression = vec
@@ -1093,11 +1100,20 @@ case class CentroidArgminCol(vec: Expression, mat: Expression,
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode = {
-    val cacheCls = classOf[CentroidArgminCol.MatCache].getName
-    val matCache = ctx.addMutableState(cacheCls, "argminMatCache",
-      v => s"$v = new $cacheCls();")
-    val normCache = ctx.addMutableState(cacheCls, "argminNormCache",
-      v => s"$v = new $cacheCls();")
+    // cached = true: per-task flat-array reuse (trainer-only spelling;
+    // the matrix is partition-constant there). cached = false: copy
+    // per row — the only always-correct choice for arbitrary columns.
+    val (matImg, nrmImg): (String => String, String => String) =
+      if (cached) {
+        val cacheCls = classOf[CentroidArgminCol.MatCache].getName
+        val matCache = ctx.addMutableState(cacheCls, "argminMatCache",
+          v => s"$v = new $cacheCls();")
+        val normCache = ctx.addMutableState(cacheCls, "argminNormCache",
+          v => s"$v = new $cacheCls();")
+        (m => s"$matCache.get($m)", nm => s"$normCache.get($nm)")
+      } else {
+        (m => s"$m.toDoubleArray()", nm => s"$nm.toDoubleArray()")
+      }
     nullSafeCodeGen(ctx, ev, (v, m, nm) => {
       val cents = ctx.freshName("cents")
       val nrm = ctx.freshName("nrm")
@@ -1112,8 +1128,8 @@ case class CentroidArgminCol(vec: Expression, mat: Expression,
       val bestD2 = ctx.freshName("bestD2")
       val bestC = ctx.freshName("bestC")
       s"""
-         |double[] $cents = $matCache.get($m);
-         |double[] $nrm = $normCache.get($nm);
+         |double[] $cents = ${matImg(m)};
+         |double[] $nrm = ${nrmImg(nm)};
          |int $k = $nrm.length;
          |int $d = ($k == 0) ? 0 : $cents.length / $k;
          |int $n = java.lang.Math.min($v.numElements(), $d);
@@ -1147,30 +1163,50 @@ case class CentroidArgminCol(vec: Expression, mat: Expression,
 object CentroidArgminCol {
   /** Per-task flat-array cache for a column that is constant within a
     * partition: keyed on the backing storage (base object + offset +
-    * length for UnsafeArrayData, reference identity otherwise), so the
-    * steady state is two comparisons per row and zero allocation. One
-    * instance per generated-code object — generated classes are
+    * length for UnsafeArrayData, reference identity + length
+    * otherwise) PLUS a first/last-word content fingerprint, so the
+    * steady state is a handful of comparisons per row and zero
+    * allocation. The fingerprint is insurance against a recycled
+    * buffer presenting the old key over new bytes (UnsafeRow buffer
+    * reuse); it is cheap, not airtight — which is why only the
+    * trainer's partition-constant spelling uses this cache at all
+    * (the public function copies per row, see [[CentroidArgminCol]]).
+    * One instance per generated-code object — generated classes are
     * per-task, so no cross-thread sharing.
     */
   final class MatCache {
     private var base: AnyRef = null
     private var off: Long = -1L
     private var n: Int = -1
+    private var fpFirst: Long = 0L
+    private var fpLast: Long = 0L
     private var flat: Array[Double] = null
+    private def fingerprintOk(a: ArrayData): Boolean =
+      n == 0 ||
+        (java.lang.Double.doubleToRawLongBits(a.getDouble(0)) == fpFirst &&
+          java.lang.Double.doubleToRawLongBits(a.getDouble(n - 1)) == fpLast)
+    private def fill(a: ArrayData): Array[Double] = {
+      n = a.numElements(); flat = a.toDoubleArray()
+      if (n > 0) {
+        fpFirst = java.lang.Double.doubleToRawLongBits(flat(0))
+        fpLast = java.lang.Double.doubleToRawLongBits(flat(n - 1))
+      }
+      flat
+    }
     def get(a: ArrayData): Array[Double] = a match {
       case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
         if ((u.getBaseObject eq base) && u.getBaseOffset == off &&
-            u.numElements() == n) flat
+            u.numElements() == n && fingerprintOk(u)) flat
         else {
           base = u.getBaseObject; off = u.getBaseOffset
-          n = u.numElements(); flat = u.toDoubleArray(); flat
+          fill(u)
         }
       case other =>
         if ((other.asInstanceOf[AnyRef] eq base) &&
-            other.numElements() == n) flat
+            other.numElements() == n && fingerprintOk(other)) flat
         else {
           base = other.asInstanceOf[AnyRef]; off = -1L
-          n = other.numElements(); flat = other.toDoubleArray(); flat
+          fill(other)
         }
     }
   }
@@ -1428,26 +1464,48 @@ object VectorFunctions {
     * ([[CentroidArgminCol]] — the column-matrix form the chained Lloyd
     * trainer uses).
     */
-  def registerCentroidArgminCol(spark: SparkSession): Unit =
+  def registerCentroidArgminCol(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_argmin_centroid_col",
       { exprs: Seq[Expression] =>
         require(exprs.length == 3,
           "graft_argmin_centroid_col expects (v, mat, norms), got " +
             s"${exprs.length} args")
-        CentroidArgminCol(exprs(0), exprs(1), exprs(2))
+        // public spelling: arbitrary columns → per-row copy, no cache
+        CentroidArgminCol(exprs(0), exprs(1), exprs(2), cached = false)
       },
       "built-in")
+    // internal trainer spelling: the matrix column is partition-
+    // constant (1-row nested-loop join side), so the per-task
+    // flat-array cache is sound there — and it carries a first/last-
+    // word fingerprint as insurance anyway
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_argmin_centroid_col_cached",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 3,
+          "graft_argmin_centroid_col_cached expects (v, mat, norms), " +
+            s"got ${exprs.length} args")
+        CentroidArgminCol(exprs(0), exprs(1), exprs(2), cached = true)
+      },
+      "built-in")
+  }
 
   /** Column-matrix argmin assignment: `struct(d2, cid)` of the nearest
     * centroid per vector, with the packed row-major matrix and the
     * per-centroid squared norms supplied as COLUMNS (typically from a
     * 1-row join side) instead of plan-time literals.
+    *
+    * `cached = true` is for callers (the chained Lloyd trainer) whose
+    * matrix column is constant within every partition; it enables the
+    * per-task flat-array reuse. Leave it false for arbitrary inputs.
     */
   def centroidArgminCol(spark: SparkSession, vec: Column, mat: Column,
-                        norms: Column): Column = {
+                        norms: Column, cached: Boolean = false): Column = {
     registerCentroidArgminCol(spark)
-    call_function("graft_argmin_centroid_col", vec, mat, norms)
+    call_function(
+      if (cached) "graft_argmin_centroid_col_cached"
+      else "graft_argmin_centroid_col",
+      vec, mat, norms)
   }
 
   /** Idempotently register `graft_dbits(d)` ([[DoubleOrderBits]]). */

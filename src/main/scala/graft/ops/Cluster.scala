@@ -332,7 +332,8 @@ object Cluster {
     def round(matDf: DataFrame): DataFrame = {
       val assigned = healthy.crossJoin(nl(matDf))
         .select(graft.functions.VectorFunctions
-            .centroidArgminCol(s, col("v"), col("mat"), col("norms"))
+            .centroidArgminCol(s, col("v"), col("mat"), col("norms"),
+              cached = true)
             .getField("cid").as("cid"),
           col("v"))
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))

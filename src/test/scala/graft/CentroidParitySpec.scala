@@ -118,6 +118,63 @@ class CentroidParitySpec extends SparkSpec {
       old.map(r => (r.getLong(0), r.getInt(1))).toSeq)
   }
 
+  test("public column-matrix argmin is correct on a PER-ROW-VARYING " +
+      "matrix (no flat-array cache on the public spelling)") {
+    // r20 ADVICE: the storage-keyed per-task cache could serve a stale
+    // matrix image when a recycled row buffer presents the old key
+    // over new bytes. The public registration now copies per row; a
+    // matrix that varies row to row must therefore always yield the
+    // per-row-correct assignment. 64 rows, each row's 2x2 matrix puts
+    // centroid 1 at the row's own vector, so cid must be 1 everywhere
+    // (centroid 0 is fixed far away) — a stale cache would leave some
+    // rows assigned to a neighbour row's matrix instead.
+    val df = spark.range(64).select(col("id"),
+      expr("array(CAST(id AS DOUBLE), CAST(id AS DOUBLE))").as("v"),
+      expr("array(CAST(-1000.0 AS DOUBLE), CAST(-1000.0 AS DOUBLE), " +
+        "CAST(id AS DOUBLE), CAST(id AS DOUBLE))").as("mat"),
+      expr("array(CAST(2000000.0 AS DOUBLE), " +
+        "CAST(2.0 * id * id AS DOUBLE))").as("norms"))
+    val out = df.select(col("id"),
+      VectorFunctions.centroidArgminCol(spark, col("v"), col("mat"),
+        col("norms")).getField("cid").as("cid")).collect()
+    assert(out.length == 64)
+    out.foreach { r =>
+      assert(r.getInt(1) == 1,
+        s"row ${r.getLong(0)}: per-row matrix ignored (cid=${r.getInt(1)})")
+    }
+  }
+
+  test("trainer spelling (cached) matches the public spelling on a " +
+      "partition-constant matrix") {
+    val df = spark.range(128).repartition(2)
+      .select(col("id"),
+        expr("transform(sequence(1, 4), i -> CAST(id * i AS DOUBLE) / 8.0)")
+          .as("v"),
+        // constant matrix + norms per row (what the 1-row nl-join side
+        // produces in the chained trainer)
+        expr("array(CAST(0.5 AS DOUBLE), CAST(1.0 AS DOUBLE), " +
+          "CAST(1.5 AS DOUBLE), CAST(2.0 AS DOUBLE), " +
+          "CAST(8.0 AS DOUBLE), CAST(6.0 AS DOUBLE), " +
+          "CAST(4.0 AS DOUBLE), CAST(2.0 AS DOUBLE))").as("mat"),
+        expr("array(CAST(7.5 AS DOUBLE), CAST(120.0 AS DOUBLE))")
+          .as("norms"))
+    val both = df.select(col("id"),
+      VectorFunctions.centroidArgminCol(spark, col("v"), col("mat"),
+        col("norms")).as("pub"),
+      VectorFunctions.centroidArgminCol(spark, col("v"), col("mat"),
+        col("norms"), cached = true).as("tr"))
+      .select(col("id"),
+        col("pub.cid").as("pc"), col("tr.cid").as("tc"),
+        graft.functions.VectorFunctions.dbits(spark, col("pub.d2")).as("pd"),
+        graft.functions.VectorFunctions.dbits(spark, col("tr.d2")).as("td"))
+      .collect()
+    assert(both.length == 128)
+    both.foreach { r =>
+      assert(r.getInt(1) == r.getInt(2), s"cid drift on row ${r.getLong(0)}")
+      assert(r.getLong(3) == r.getLong(4), s"d2 drift on row ${r.getLong(0)}")
+    }
+  }
+
   test("warm start: converged centroids are a fixed point and skip the seed") {
     val emb = ops.Sources.table(spark, sf, "embeddings")
     // generous cap so the fixed-point early exit, not the cap, ends

@@ -92,6 +92,9 @@ class KmeansChainSpec extends SparkSpec {
       "per-exchange jobs for chained and legacy alike)") {
     // warm the relation cache first so table-listing jobs don't count
     embeddings.count()
+    // drain the async bus BEFORE registering, so a late event from the
+    // warm-up count() cannot land inside the counting window
+    org.apache.spark.grafttest.ListenerDrain.drain(spark.sparkContext)
     @volatile var jobs = 0
     val l = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
@@ -101,8 +104,9 @@ class KmeansChainSpec extends SparkSpec {
     spark.sparkContext.addSparkListener(l)
     try {
       ops.Cluster.kmeansCentroids(spark, embeddings, 8, 3)
-      // listener bus is async; give it a moment to drain
-      Thread.sleep(300)
+      // listener bus is async; drain it deterministically (a fixed
+      // sleep flaked under load — r20 ADVICE)
+      org.apache.spark.grafttest.ListenerDrain.drain(spark.sparkContext)
       assert(jobs == 1,
         s"chained train fired $jobs jobs, expected 1 — a broadcast " +
           "or subquery crept into the chain (the shuffle_replicate_nl" +
