@@ -1,0 +1,46 @@
+package graft
+
+/** Dumps `explain("formatted")` for a set of declared queries to
+  * per-query files — the before/after plan evidence an optimization
+  * round commits under `plans/rNN/` (the judge cannot run Spark, so
+  * plan-shape claims in OPTIMIZATION_rNN.md are checked against these
+  * files). Plans go through [[ExplainDump.normalize]] so the text is a
+  * deterministic function of plan shape, and the session is the same
+  * canonical bench config ExplainDump records (AQE off, 8 shuffle
+  * partitions, UTC).
+  *
+  * Usage:
+  *   SPARK_GRAFT_ONLY=dedup_ngram,window_dist \
+  *     sbt "runMain graft.PlanSnap plans/r21 before"
+  * writes plans/r21/dedup_ngram_before.txt etc. With no
+  * SPARK_GRAFT_ONLY, dumps every declared query.
+  */
+object PlanSnap {
+  def main(args: Array[String]): Unit = {
+    val outDir = args.headOption.getOrElse("plans/snap")
+    val suffix = args.lift(1).getOrElse("before")
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", ExplainDump.DefaultSf)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val (spark, owned) = ExplainDump.acquire()
+    spark.sparkContext.setLogLevel("ERROR")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val dp = spark.sparkContext.defaultParallelism
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
+        try {
+          val plan = ExplainDump.normalize(fn(spark, sf).queryExecution
+              .explainString(org.apache.spark.sql.execution.FormattedMode))
+            .replace(s"RoundRobinPartitioning($dp)",
+              "RoundRobinPartitioning(defaultParallelism)")
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$outDir/${name}_$suffix.txt"), plan)
+          println(s"wrote $outDir/${name}_$suffix.txt")
+        } catch { case e: Throwable =>
+          println(s"plansnap: $name FAILED: ${e.getMessage}")
+        }
+      }
+    if (owned) spark.stop()
+  }
+}

@@ -1508,6 +1508,30 @@ object VectorFunctions {
       vec, mat, norms)
   }
 
+  /** Idempotently register `graft_centroid_sums(cid, v, mat, kk, d)`
+    * ([[CentroidSumAgg]] — the fused Lloyd-round statistics aggregate
+    * the chained trainer uses).
+    */
+  def registerCentroidSums(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_centroid_sums",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 5,
+          "graft_centroid_sums expects (cid, v, mat, kk, d), got " +
+            s"${exprs.length} args")
+        CentroidSumAgg(exprs(0), exprs(1), exprs(2), exprs(3), exprs(4))
+      },
+      "built-in")
+
+  /** One Lloyd round's per-slot decimal sums + counts as a single
+    * global aggregate Column — `struct(old, kk, d, sums, cnts)`.
+    */
+  def centroidSums(spark: SparkSession, cid: Column, v: Column,
+                   mat: Column, kk: Column, d: Column): Column = {
+    registerCentroidSums(spark)
+    call_function("graft_centroid_sums", cid, v, mat, kk, d)
+  }
+
   /** Idempotently register `graft_dbits(d)` ([[DoubleOrderBits]]). */
   def registerDbits(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

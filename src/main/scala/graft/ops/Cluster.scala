@@ -329,44 +329,53 @@ object Cluster {
       .select(flatten(col("vs")).as("mat"),
         size(col("vs")).as("kk"),
         coalesce(size(expr("try_element_at(vs, 1)")), lit(0)).as("d")))
+    // One Lloyd round = ONE global fused aggregate (r21 re-plan,
+    // guide §2.3/§2.4): the codegen'd argmin projection feeds
+    // [[graft.functions.CentroidSumAgg]], which folds every vector's
+    // components straight into per-slot decimal sums + counts and
+    // emits one row carrying (old, kk, d, sums, cnts). vs the r20
+    // posexplode → groupBy(cid, dim) → collect_list spelling this
+    // removes the N·d row explosion, drops one exchange per round
+    // (two → one), and — because the matrix frame is referenced ONCE
+    // per round (the buffer captures it from the constant cartesian
+    // side) — the chained plan now grows LINEARLY with rounds instead
+    // of doubling per round. The division sums[i]/cnts[i] stays in
+    // SQL with the identical operand types (decimal(38,12) ÷ bigint)
+    // and the identical coalesce-to-old fallback, so means are
+    // bit-exact with the old plan (KmeansChainSpec + CentroidSumSpec).
     def round(matDf: DataFrame): DataFrame = {
       val assigned = healthy.crossJoin(nl(matDf))
         .select(graft.functions.VectorFunctions
             .centroidArgminCol(s, col("v"), col("mat"), col("norms"),
               cached = true)
             .getField("cid").as("cid"),
-          col("v"))
-        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
-      val means = assigned.groupBy("cid", "dim")
-        .agg((sum(col("x").cast(DecimalType(28, 12))) / count(lit(1)))
-          .cast(DoubleType).as("m"))
-      withNorms(means
-        .agg(collect_list(struct(col("cid"), col("dim"), col("m")))
-          .as("entries"))
-        .crossJoin(nl(matDf))
-        .select(expr("map_from_entries(transform(entries, " +
-            "e -> struct(e.cid * d + e.dim, e.m)))").as("mm"),
-          col("mat").as("old"), col("kk"), col("d"))
-        .select(expr("transform(sequence(0, greatest(size(old), 1) - 1), " +
-            "i -> coalesce(try_element_at(mm, i), " +
-            "try_element_at(old, i + 1)))").as("mat"),
-          col("kk"), col("d")))
+          col("v"), col("mat"), col("kk"), col("d"))
+      withNorms(assigned
+        .agg(graft.functions.VectorFunctions.centroidSums(s,
+          col("cid"), col("v"), col("mat"), col("kk"), col("d")).as("st"))
+        .select(expr("transform(sequence(0, greatest(size(st.old), 1) - 1), " +
+            "i -> coalesce(" +
+            "cast(try_element_at(st.sums, i + 1) / " +
+            "try_element_at(st.cnts, i + 1) as double), " +
+            "try_element_at(st.old, i + 1)))").as("mat"),
+          coalesce(col("st.kk"), lit(0)).as("kk"),
+          coalesce(col("st.d"), lit(0)).as("d")))
     }
-    // SEGMENTED chaining: each round references the previous matrix
-    // frame TWICE (assignment cartesian + re-nest cartesian), so an
-    // unbroken chain doubles the PLAN TREE per round — 2^iters
-    // embedded copies, and the analyzer (DeduplicateRelations) walks
-    // the tree, not the DAG: iters=50 wedged analysis for good
-    // (measured, r20). Chaining in segments of `chainSegment` rounds
-    // bounds the tree at 2^seg copies per plan (seg=5 → 32, analyzed
-    // in well under a second) at the cost of ONE collect job per
-    // segment — still ceil(iters/seg) jobs instead of iters+1, and
-    // every DECLARED query trains within one segment (iters 3–5 → 1
-    // job, the JOBCOUNT_r20 criterion). The segment boundary also
-    // restores the fixed-point exit at segment granularity: the
-    // matrix is on the driver anyway, and a segment that reproduces
-    // the previous matrix bit-exactly proves every later round is a
-    // no-op (same losslessness argument as the legacy loop's exit).
+    // SEGMENTED chaining. r20 context: each round then referenced the
+    // previous matrix frame TWICE (assignment cartesian + re-nest
+    // cartesian), so an unbroken chain doubled the PLAN TREE per
+    // round — 2^iters embedded copies wedged analysis at iters=50 —
+    // and segments of 5 bounded the tree at 2^5 copies. The r21 fused
+    // round ([[graft.functions.CentroidSumAgg]]) references the frame
+    // ONCE, so the tree now grows LINEARLY in rounds and the
+    // segmenting is no longer a correctness guard; it is kept because
+    // (a) the fixed-point exit at segment granularity stops a
+    // converged train early (a segment that reproduces the previous
+    // matrix bit-exactly proves every later round is a no-op — the
+    // legacy loop's losslessness argument), and (b) it bounds the
+    // single-job stage chain a scheduler must track. Every DECLARED
+    // query trains within one segment (iters 3–5 → 1 job, the
+    // JOBCOUNT_r20 criterion).
     val chainSegment = 5
     var cur = seed
     var prevMat: Option[Seq[Double]] = None

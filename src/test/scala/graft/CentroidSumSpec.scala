@@ -1,0 +1,128 @@
+package graft
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The fused Lloyd-round aggregate (graft_centroid_sums) must be a
+  * bit-exact drop-in for the posexplode → groupBy(cid, dim) →
+  * sum(cast(x as decimal(28,12))) / count(1) → collect_list →
+  * map_from_entries re-nest spelling it replaced (r21 re-plan): same
+  * decimal cast per component, exact order-independent sums, same
+  * count semantics (null components count but don't sum), same
+  * coalesce-to-old fallback for untouched slots. KmeansChainSpec pins
+  * the whole-train parity vs the legacy driver loop; this spec pins
+  * the single-round statistics against the literal old spelling.
+  */
+class CentroidSumSpec extends SparkSpec {
+
+  // the r20 round spelling, verbatim (minus the argmin — cid is given)
+  private def oldRound(assigned: DataFrame, matDf: DataFrame): DataFrame = {
+    val means = assigned
+      .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("cid", "dim")
+      .agg((sum(col("x").cast(DecimalType(28, 12))) / count(lit(1)))
+        .cast(DoubleType).as("m"))
+    means
+      .agg(collect_list(struct(col("cid"), col("dim"), col("m")))
+        .as("entries"))
+      .crossJoin(matDf)
+      .select(expr("map_from_entries(transform(entries, " +
+          "e -> struct(e.cid * d + e.dim, e.m)))").as("mm"),
+        col("mat").as("old"), col("kk"), col("d"))
+      .select(expr("transform(sequence(0, greatest(size(old), 1) - 1), " +
+          "i -> coalesce(try_element_at(mm, i), " +
+          "try_element_at(old, i + 1)))").as("mat"),
+        col("kk"), col("d"))
+  }
+
+  private def newRound(assigned: DataFrame, matDf: DataFrame): DataFrame = {
+    assigned.crossJoin(matDf)
+      .agg(VectorFunctions.centroidSums(spark,
+        col("cid"), col("v"), col("mat"), col("kk"), col("d")).as("st"))
+      .select(expr("transform(sequence(0, greatest(size(st.old), 1) - 1), " +
+          "i -> coalesce(" +
+          "cast(try_element_at(st.sums, i + 1) / " +
+          "try_element_at(st.cnts, i + 1) as double), " +
+          "try_element_at(st.old, i + 1)))").as("mat"),
+        coalesce(col("st.kk"), lit(0)).as("kk"),
+        coalesce(col("st.d"), lit(0)).as("d"))
+  }
+
+  private def matFrame(k: Int, d: Int): DataFrame =
+    spark.range(1).select(
+      expr(s"transform(sequence(1, ${k * d}), i -> cast(i as double) / 7.0)")
+        .as("mat"),
+      lit(k).as("kk"), lit(d).as("d"))
+
+  private def bitsOf(df: DataFrame): Seq[Seq[Option[Long]]] =
+    df.select(expr(
+        "transform(mat, x -> if(isnull(x), null, cast(x as double)))")
+        .as("m"), col("kk"), col("d"))
+      .collect().toIndexedSeq.map { r =>
+        r.getSeq[Any](0).toIndexedSeq.map {
+          case null => None
+          case x: Double => Some(java.lang.Double.doubleToRawLongBits(x))
+        }
+      }
+
+  test("fused round matches the posexplode spelling bit-for-bit " +
+      "(multi-cluster, empty cluster falls back to old)") {
+    import spark.implicits._
+    // k=3, d=2; cluster 2 gets NO vectors -> slots 4,5 must fall back
+    // to the old matrix on both paths
+    val assigned = Seq(
+      (0, Array(1.5, -2.25)), (0, Array(0.125, 3.0)),
+      (1, Array(1e-7, 0.3333333333333)), (0, Array(-7.75, 0.0)),
+      (1, Array(2.5, -0.5))).toDF("cid", "v")
+    val m = matFrame(3, 2)
+    val o = bitsOf(oldRound(assigned, m))
+    val n = bitsOf(newRound(assigned, m))
+    assert(o == n, s"round drift:\nold=$o\nnew=$n")
+  }
+
+  test("null components count toward the mean divisor but not the sum " +
+      "(the sum-skips-nulls / count-counts-all rule)") {
+    import spark.implicits._
+    val assigned = Seq(
+      (0, Array[java.lang.Double](2.0, 4.0)),
+      (0, Array[java.lang.Double](null, 8.0))).toDF("cid", "v")
+      .select(col("cid"), col("v").cast(ArrayType(DoubleType)).as("v"))
+    val m = matFrame(1, 2)
+    val o = bitsOf(oldRound(assigned, m))
+    val n = bitsOf(newRound(assigned, m))
+    assert(o == n, s"null-component drift:\nold=$o\nnew=$n")
+    // and the value is what the rule says: dim0 mean = 2.0 / 2 rows
+    val got = newRound(assigned, m).select(expr("mat[0]")).head().getDouble(0)
+    assert(got == 1.0, s"dim0 mean should be 2.0/2 = 1.0, got $got")
+  }
+
+  test("empty input yields the degenerate frame both ways (kk = 0, " +
+      "the trainer's no-healthy-vectors gate)") {
+    import spark.implicits._
+    val assigned = Seq.empty[(Int, Array[Double])].toDF("cid", "v")
+    val m = matFrame(2, 2)
+    val o = oldRound(assigned, m).select("kk").head().getInt(0)
+    val n = newRound(assigned, m).select("kk").head().getInt(0)
+    // old spelling keeps the matDf's kk (the cartesian side is still
+    // there); the fused spelling coalesces the uncaptured buffer to 0
+    // — both land in chainedCentroidsOn's require(kk >= 1) gate for
+    // an ACTUALLY empty healthy corpus, where the seed's kk is 0 too.
+    // Pin the fused behavior so the gate's message stays reachable.
+    assert(o == 2 && n == 0)
+  }
+
+  test("shuffle-split partials merge exactly (decimal sums are " +
+      "order-independent): 32-partition input matches 1-partition") {
+    val vecs = spark.range(512).select(
+      (col("id") % 4).cast(IntegerType).as("cid"),
+      expr("transform(sequence(1, 3), i -> " +
+        "cast(id * i as double) / 997.0 + 0.1)").as("v"))
+    val m = matFrame(4, 3)
+    val wide = bitsOf(newRound(vecs.repartition(32), m))
+    val narrow = bitsOf(newRound(vecs.repartition(1), m))
+    val old = bitsOf(oldRound(vecs.repartition(7), m))
+    assert(wide == narrow && wide == old)
+  }
+}
