@@ -26,18 +26,43 @@ object PlanSnap {
     spark.sparkContext.setLogLevel("ERROR")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     val dp = spark.sparkContext.defaultParallelism
+    // Entry points that materialize through an eager localCheckpoint
+    // return a checkpoint-scan plan; their REAL pipeline is dumped
+    // under "<name>_pipeline" via the same package-private accessors
+    // ExplainDump's checkpointed section uses.
+    def docs = graft.ops.Sources.table(spark, sf, "documents")
+    val internal: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "dedup_ngram_pipeline" -> (() => {
+        val (pairs, posts) = graft.ops.NearDup.dedupNgramPlan(spark, docs, 3,
+          graft.ops.NearDup.DefaultMaxDf, graft.ops.NearDup.DefaultMinJaccard)
+        posts.unpersist(blocking = false)
+        pairs
+      }),
+      "dedup_containment_pipeline" -> (() =>
+        graft.ops.NearDup.containmentPairsPlan(spark, docs, 3,
+          graft.ops.NearDup.DefaultMaxDf, graft.ops.NearDup.DefaultMinContain)))
+    def dump(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val plan = ExplainDump.normalize(df.queryExecution
+          .explainString(org.apache.spark.sql.execution.FormattedMode))
+        .replace(s"RoundRobinPartitioning($dp)",
+          "RoundRobinPartitioning(defaultParallelism)")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$outDir/${name}_$suffix.txt"), plan)
+      println(s"wrote $outDir/${name}_$suffix.txt")
+    }
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
-        try {
-          val plan = ExplainDump.normalize(fn(spark, sf).queryExecution
-              .explainString(org.apache.spark.sql.execution.FormattedMode))
-            .replace(s"RoundRobinPartitioning($dp)",
-              "RoundRobinPartitioning(defaultParallelism)")
-          java.nio.file.Files.writeString(
-            java.nio.file.Paths.get(s"$outDir/${name}_$suffix.txt"), plan)
-          println(s"wrote $outDir/${name}_$suffix.txt")
-        } catch { case e: Throwable =>
+        try dump(name, fn(spark, sf))
+        catch { case e: Throwable =>
+          println(s"plansnap: $name FAILED: ${e.getMessage}")
+        }
+      }
+    internal
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, mk) =>
+        try dump(name, mk())
+        catch { case e: Throwable =>
           println(s"plansnap: $name FAILED: ${e.getMessage}")
         }
       }

@@ -311,8 +311,17 @@ object NearDup {
     */
   private def portableShingleHashes(s: SparkSession,
                                     docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      split(lower(col("text")), "\\s+").as("toks"))
+    val toks = docs
+      // spread the per-token work exactly like [[shingleHashesOf]]: a
+      // small single-file corpus is ONE input split, which pinned the
+      // whole tokenize + md5-per-shingle stage to a single task on
+      // local[32] — measured 0.79 s serial of dedup_simhash_pairs'
+      // 0.86 s total at sf0.1 (r21 stage probe) while 31 cores idled.
+      // At real scale the input already has many splits and this
+      // shuffle moves only the raw text once.
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        split(lower(col("text")), "\\s+").as("toks"))
     toks
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(array_distinct(
