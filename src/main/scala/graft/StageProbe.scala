@@ -86,10 +86,8 @@ object StageProbe {
     })
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-      .getOrElse(Set("src_scan", "agg_group", "window_rank", "sim_knn",
-        "decontaminate", "scrub_spans", "scale_robust"))
     val qlist = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.contains(n) }
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     for ((name, fn) <- qlist) {
       var lastWall = 0.0
       for (r <- 1 to runs) {

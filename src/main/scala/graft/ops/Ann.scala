@@ -59,8 +59,18 @@ object Ann {
     */
   private def nonZero(s: SparkSession, emb: DataFrame): DataFrame =
     emb.filter(TextSim.nonZeroNorm(s, col("embedding")))
+      // native array CAST, not a transform(x -> cast(x)) lambda — the
+      // lambda is CodegenFallback and split the scan's codegen span
+      // (bit-identical value, see TextSim.nonZeroNorm). Deliberately
+      // NOT repartitioned here (r21 A/B): every ANN query re-derives
+      // this relation for several branches (centroid sample, probe
+      // row, candidate side), so a spread exchange is paid per branch
+      // while the per-vector assignment work is small — measured
+      // net-WORSE on all six ANN queries at sf0.1 (e.g. sim_ann_ivf
+      // 0.29 → 0.46 s); the pair-scoring stage is already spread by
+      // fewKeySaltedJoin.
       .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
 
   /** `sim_ann_ivf` — IVF (inverted-file) cosine top-k: the other
     * classic ANN layout. A fixed set of `nLists` coarse centroids

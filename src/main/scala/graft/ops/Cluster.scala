@@ -508,6 +508,11 @@ object Cluster {
           lit(0.0), (acc, x) => acc + x).as("d2"),
         lit(cid).as("cid"))
     }
+    // NOT spread (r21 A/B): the O(N·k·d) interpreted fold reads as a
+    // serial stage in probes, but at fixture scale the repartition
+    // exchange cost more than it bought (cluster_assign_portable
+    // 0.28 → 0.32 s, dedup_semantic_portable 0.63 → 0.68 s) — the
+    // downstream pair stage is already spread by fewKeySaltedJoin.
     e.select(col("vec_id"), array_min(array(candidates: _*)).as("best"))
       .select(col("vec_id"), col("best.cid").as("cluster_id"),
         col("best.d2").as("dist2"))

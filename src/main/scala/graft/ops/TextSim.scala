@@ -26,6 +26,24 @@ object TextSim {
   private def docs(s: SparkSession, dir: String) =
     Sources.table(s, dir, "documents")
 
+  /** [[docs]] spread across the session's cores — the entry for every
+    * query whose first move is per-token work (tokenize / shingle /
+    * explode): a small single-file corpus is ONE input split, which
+    * pinned those map stages to a single task on local[32] (r21 stage
+    * probe: 150–460 ms serial per text query at sf0.1 while 31 cores
+    * idled — the same finding NearDup.shingleHashesOf fixed for the
+    * hash families in r6). At real scale the input already has many
+    * splits and this shuffle moves only the raw text once. Light
+    * queries (plain token explode + hash-agg, per-doc metadata
+    * aggregates, projections) stay on [[docs]]: the r21 A/B measured
+    * the exchange costing MORE than the serial kernel for those
+    * (text_tokens 0.12 → 0.20 s, zipf_slope 0.17 → 0.27 s), while the
+    * heavy-kernel queries (winnow, char-class langId, Gopher rules,
+    * repetition folds, tfidf/bigram-LM streams) each won 25–60%.
+    */
+  private def spreadDocs(s: SparkSession, dir: String) =
+    docs(s, dir).repartition(s.sparkContext.defaultParallelism)
+
   /** Broadcast `rel` only while the optimizer's size estimate fits the
     * session broadcast threshold. Corpus-statistic relations (distinct
     * tokens, distinct bigrams) are small at test scale but grow with
@@ -188,8 +206,14 @@ object TextSim {
   /** Embedding column cast FLOAT→DOUBLE so all similarity arithmetic
     * is double on both engine and oracle sides.
     */
+  // native array CAST, not a transform(x -> cast(x)) lambda: the
+  // lambda spelling is CodegenFallback, so the projection broke out
+  // of whole-stage codegen and ran one interpreted Project per vector
+  // (r21 plan audit: sim_knn's scan span split at exactly this
+  // operator). Elementwise float→double cast is exact, so the value
+  // is bit-identical either way — same argument as [[nonZeroNorm]].
   private def vecAsDouble(c: Column): Column =
-    transform(c, x => x.cast(DoubleType))
+    c.cast(ArrayType(DoubleType))
 
   /** `|v|² > 0` on the RAW embedding column — the zero-norm exclusion
     * predicate of the similarity surface. Built from a native array
@@ -360,7 +384,7 @@ object TextSim {
     * since every intermediate is an exact decimal or integer).
     */
   def textEntropy(s: SparkSession, dir: String): DataFrame =
-    textEntropy(docs(s, dir))
+    textEntropy(spreadDocs(s, dir))
 
   /** [[textEntropy]] over any `(doc_id, text)` relation.
     *
@@ -434,7 +458,7 @@ object TextSim {
     * formulation the oracle uses.
     */
   def langId(s: SparkSession, dir: String): DataFrame =
-    langId(docs(s, dir))
+    langId(spreadDocs(s, dir))
 
   /** [[langId]] over any `(doc_id, text)` relation. */
   def langId(docs: DataFrame): DataFrame = {
@@ -553,7 +577,7 @@ object TextSim {
     * are long enough to flip the trade.
     */
   def textTfidf(s: SparkSession, dir: String, k: Int = 3): DataFrame =
-    textTfidf(docs(s, dir), k)
+    textTfidf(spreadDocs(s, dir), k)
 
   /** [[textTfidf]] over any `(doc_id, text)` relation. */
   def textTfidf(d: DataFrame, k: Int): DataFrame = {
@@ -611,7 +635,7 @@ object TextSim {
     * summation would drift with partition merge order).
     */
   def textLogprob(s: SparkSession, dir: String): DataFrame =
-    textLogprob(docs(s, dir))
+    textLogprob(spreadDocs(s, dir))
 
   /** [[textLogprob]] over any `(doc_id, text)` relation.
     *
@@ -686,7 +710,7 @@ object TextSim {
     * means.
     */
   def textBigramLm(s: SparkSession, dir: String): DataFrame =
-    textBigramLm(docs(s, dir))
+    textBigramLm(spreadDocs(s, dir))
 
   /** [[textBigramLm]] over any `(doc_id, text)` relation. */
   def textBigramLm(docs: DataFrame): DataFrame = {
@@ -757,7 +781,7 @@ object TextSim {
     * of length ≥ k+w−1 — the index key for plagiarism-style dedup.
     */
   def docWinnow(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+    spreadDocs(s, dir)
       .select(col("doc_id"),
         graft.functions.VectorFunctions
           .winnow(s, col("text"), WinnowK, WinnowW).as("fps"))
@@ -806,7 +830,7 @@ object TextSim {
     * portability), embarrassingly parallel at any scale.
     */
   def docWinnowPortable(s: SparkSession, dir: String): DataFrame =
-    docWinnowPortable(docs(s, dir))
+    docWinnowPortable(spreadDocs(s, dir))
 
   /** [[docWinnowPortable]] over any `(doc_id, text)` relation.
     *
@@ -905,7 +929,7 @@ object TextSim {
     * than 3 tokens have no shingles → null fingerprint.
     */
   def docFingerprint(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+    spreadDocs(s, dir)
       .select(col("doc_id"),
         array_min(graft.functions.VectorFunctions
           .shingle(s, tokens(col("text")), 3)).as("fingerprint"))
@@ -958,7 +982,7 @@ object TextSim {
     * behavioral equality under composition.
     */
   def textRepetition(s: SparkSession, dir: String): DataFrame =
-    textRepetition(docs(s, dir))
+    textRepetition(spreadDocs(s, dir))
 
   /** [[textRepetition]] over any `(doc_id, text)` relation. */
   def textRepetition(docs: DataFrame): DataFrame = {
@@ -1272,7 +1296,7 @@ object TextSim {
     * 1000-executor cluster runs this with no data movement at all.
     */
   def qualityGopher(s: SparkSession, dir: String): DataFrame =
-    qualityGopher(docs(s, dir))
+    qualityGopher(spreadDocs(s, dir))
 
   /** [[qualityGopher]] over any `(doc_id, text)` relation. */
   def qualityGopher(docs: DataFrame): DataFrame =
