@@ -38,8 +38,16 @@ object TextSim {
     * aggregates, projections) stay on [[docs]]: the r21 A/B measured
     * the exchange costing MORE than the serial kernel for those
     * (text_tokens 0.12 → 0.20 s, zipf_slope 0.17 → 0.27 s), while the
-    * heavy-kernel queries (winnow, char-class langId, Gopher rules,
+    * heavy-kernel queries (char-class langId, Gopher rules,
     * repetition folds, tfidf/bigram-LM streams) each won 25–60%.
+    * PURE PER-ROW PROJECTIONS (doc_winnow, doc_winnow_portable,
+    * doc_fingerprint) stay unspread even though their kernels are
+    * heavy: their committed contract is ZERO exchanges (PlanAuditSpec
+    * pins doc_winnow_portable's r17 re-plan), and at scale a shuffle
+    * of the raw text for a per-row statistic is pure waste — the
+    * queries kept here all feed an aggregate, so a shuffle exists in
+    * their lifecycle anyway and the spread only re-orders where the
+    * text crosses the wire.
     */
   private def spreadDocs(s: SparkSession, dir: String) =
     docs(s, dir).repartition(s.sparkContext.defaultParallelism)
@@ -781,7 +789,7 @@ object TextSim {
     * of length ≥ k+w−1 — the index key for plagiarism-style dedup.
     */
   def docWinnow(s: SparkSession, dir: String): DataFrame =
-    spreadDocs(s, dir)
+    docs(s, dir)
       .select(col("doc_id"),
         graft.functions.VectorFunctions
           .winnow(s, col("text"), WinnowK, WinnowW).as("fps"))
@@ -830,7 +838,7 @@ object TextSim {
     * portability), embarrassingly parallel at any scale.
     */
   def docWinnowPortable(s: SparkSession, dir: String): DataFrame =
-    docWinnowPortable(spreadDocs(s, dir))
+    docWinnowPortable(docs(s, dir))
 
   /** [[docWinnowPortable]] over any `(doc_id, text)` relation.
     *
@@ -929,7 +937,7 @@ object TextSim {
     * than 3 tokens have no shingles → null fingerprint.
     */
   def docFingerprint(s: SparkSession, dir: String): DataFrame =
-    spreadDocs(s, dir)
+    docs(s, dir)
       .select(col("doc_id"),
         array_min(graft.functions.VectorFunctions
           .shingle(s, tokens(col("text")), 3)).as("fingerprint"))
