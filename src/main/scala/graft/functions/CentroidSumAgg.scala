@@ -139,6 +139,13 @@ case class CentroidSumAgg(cid: Expression, v: Expression,
                      o: CentroidSumAgg.State): CentroidSumAgg.State = {
     if (!o.captured) return b
     if (!b.captured) return o
+    // both sides captured their frame from the same constant cartesian
+    // side, so the slot layouts must agree; a mismatch means the input
+    // was not partition-constant — fail loudly, never index past
+    require(b.kk == o.kk && b.d == o.d,
+      s"graft_centroid_sums: partials captured different frames " +
+        s"((kk=${b.kk}, d=${b.d}) vs (kk=${o.kk}, d=${o.d})) — the " +
+        "matrix frame must be constant across the aggregated input")
     var i = 0
     while (i < b.cnts.length) {
       b.cnts(i) += o.cnts(i)
