@@ -116,16 +116,22 @@ case class CentroidSumAgg(cid: Expression, v: Expression,
         if (!vec.isNullAt(i)) {
           // exact replication of cast(x as decimal(28,12)):
           // Decimal(double) -> changePrecision(28,12) (HALF_UP, the
-          // same rounding Cast uses); overflow throws under ANSI
-          // (like Cast) and skips otherwise (null into sum = skipped)
-          val dec = Decimal(vec.getDouble(i))
-          if (dec.changePrecision(28, 12)) {
+          // same rounding Cast uses); overflow/NaN/±Inf throws under
+          // ANSI (like Cast) and skips otherwise (null into sum =
+          // counted but not summed). The isFinite guard (r22, VERDICT
+          // r21 #9) is load-bearing: Decimal(NaN) would throw
+          // NumberFormatException even under non-ANSI, where Cast
+          // yields null — unreachable via the trainer's finite-norm
+          // filter but graft_centroid_sums is publicly registered.
+          val dbl = vec.getDouble(i)
+          val dec = if (java.lang.Double.isFinite(dbl)) Decimal(dbl) else null
+          if (dec != null && dec.changePrecision(28, 12)) {
             val s = b.sums(off + i)
             b.sums(off + i) =
               if (s == null) dec.toJavaBigDecimal else s.add(dec.toJavaBigDecimal)
           } else if (ansi) {
             throw new ArithmeticException(
-              s"graft_centroid_sums: ${vec.getDouble(i)} cannot be " +
+              s"graft_centroid_sums: $dbl cannot be " +
                 "represented as Decimal(28, 12)")
           }
         }

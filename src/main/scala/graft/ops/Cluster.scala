@@ -63,9 +63,11 @@ object Cluster {
   }
 
   private[ops] def vectors(s: SparkSession, emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"),
-        col("embedding").cast(ArrayType(DoubleType)).as("v"))
-      .repartition(s.sparkContext.defaultParallelism)
+    // spread off the single fixture split; split-gated (r22) so a
+    // many-split embeddings scan feeds the train with no exchange
+    Sources.spreadIfNarrow(
+      emb.select(col("vec_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v")))
 
   /** Assignment under GIVEN centroids — `(vec_id, v, cluster_id)` —
     * so a caller that already trained (e.g. [[graft.ops.Ann]]'s

@@ -82,15 +82,15 @@ object Multimodal {
     */
   def mediaTable(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Sources.table(s, dir, "documents")
-      .select(col("doc_id"))
-      // re-spread before the codec stage: the encode (and the decode
-      // stages fed by it) costs codec-milliseconds per row, so input
-      // parallelism must come from ROWS, not from parquet split
-      // count — a sub-maxPartitionBytes file otherwise serializes the
-      // whole table through one task. The shuffle moves 8 bytes/row,
-      // the same expensive-map-stage re-spread dedupChunk documents.
-      .repartition(s.sparkContext.defaultParallelism)
+    // re-spread before the codec stage: the encode (and the decode
+    // stages fed by it) costs codec-milliseconds per row, so input
+    // parallelism must come from ROWS, not from parquet split
+    // count — a sub-maxPartitionBytes file otherwise serializes the
+    // whole table through one task. The shuffle moves 8 bytes/row.
+    // Split-gated (r22): once the scan has >= cores splits every core
+    // already has codec work and the exchange is skipped.
+    Sources.spreadIfNarrow(
+      Sources.table(s, dir, "documents").select(col("doc_id")))
       .as[Long]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false) // no temp-file cache in tasks

@@ -36,12 +36,12 @@ object NearDup {
     */
   private def shingleHashesOf(s: SparkSession, docs: DataFrame,
                               n: Int): DataFrame =
-    docs
-      // spread the per-token work: a small single-file corpus is one
-      // input split, which would pin the whole shingle+hash stage to a
-      // single task on local[32] (at real scale the input already has
-      // many splits and this shuffle moves only the raw text once)
-      .repartition(s.sparkContext.defaultParallelism)
+    // spread the per-token work: a small single-file corpus is one
+    // input split, which would pin the whole shingle+hash stage to a
+    // single task on local[32]. Gated on split count (r22): at real
+    // scale the input already has >= cores splits and the relation
+    // passes through with NO exchange.
+    Sources.spreadIfNarrow(docs)
       .select(col("doc_id"), explode(graft.functions.VectorFunctions
         .shingle(s, split(lower(col("text")), "\\s+"), n)).as("th"))
 
@@ -311,15 +311,14 @@ object NearDup {
     */
   private def portableShingleHashes(s: SparkSession,
                                     docs: DataFrame): DataFrame = {
-    val toks = docs
-      // spread the per-token work exactly like [[shingleHashesOf]]: a
-      // small single-file corpus is ONE input split, which pinned the
-      // whole tokenize + md5-per-shingle stage to a single task on
-      // local[32] — measured 0.79 s serial of dedup_simhash_pairs'
-      // 0.86 s total at sf0.1 (r21 stage probe) while 31 cores idled.
-      // At real scale the input already has many splits and this
-      // shuffle moves only the raw text once.
-      .repartition(s.sparkContext.defaultParallelism)
+    // spread the per-token work exactly like [[shingleHashesOf]]: a
+    // small single-file corpus is ONE input split, which pinned the
+    // whole tokenize + md5-per-shingle stage to a single task on
+    // local[32] — measured 0.79 s serial of dedup_simhash_pairs'
+    // 0.86 s total at sf0.1 (r21 stage probe) while 31 cores idled.
+    // Gated on split count (r22): a many-split input passes through
+    // with no exchange.
+    val toks = Sources.spreadIfNarrow(docs)
       .select(col("doc_id"),
         split(lower(col("text")), "\\s+").as("toks"))
     toks
@@ -902,9 +901,8 @@ object NearDup {
   private[graft] def containmentPairsPlan(s: SparkSession, docs: DataFrame,
                                           n: Int, maxDf: Int,
                                           minContain: Double): DataFrame = {
-    val perDoc = docs
-      // spread the per-token work (see [[shingleHashesOf]])
-      .repartition(s.sparkContext.defaultParallelism)
+    // spread the per-token work (see [[shingleHashesOf]]; split-gated)
+    val perDoc = Sources.spreadIfNarrow(docs)
       .select(col("doc_id"), array_distinct(graft.functions.VectorFunctions
         .shingle(s, split(lower(col("text")), "\\s+"), n)).as("grams"))
     val posts = perDoc
@@ -955,9 +953,8 @@ object NearDup {
   def decontaminate(s: SparkSession, dir: String,
                     maxDf: Int = DefaultMaxDf,
                     dfPrePass: Boolean = false): DataFrame = {
-    val gl = Sources.table(s, dir, "documents")
-      // spread the per-token work (see [[shingleHashesOf]])
-      .repartition(s.sparkContext.defaultParallelism)
+    // spread the per-token work (see [[shingleHashesOf]]; split-gated)
+    val gl = Sources.spreadIfNarrow(Sources.table(s, dir, "documents"))
       .select(col("doc_id"),
         (Sampling.hexNibble(col("doc_id")) >= "e").as("is_test"),
         explode(array_distinct(graft.functions.VectorFunctions
@@ -981,8 +978,7 @@ object NearDup {
         lit(false).as("is_test"))
       .unionByName(evalSet.select(col("doc_id"), col("text"),
         lit(true).as("is_test")))
-    val gl = both
-      .repartition(s.sparkContext.defaultParallelism)
+    val gl = Sources.spreadIfNarrow(both)
       .select(col("doc_id"), col("is_test"),
         explode(array_distinct(graft.functions.VectorFunctions
           .shingle(s, split(lower(col("text")), "\\s+"), n))).as("th"))
@@ -1227,8 +1223,7 @@ object NearDup {
       s"transform(array(words), w ->" +
         s" transform(sequence(0, CAST(ceil(size(w) / $chunk.0) AS INT) - 1)," +
         s" c -> concat_ws(' ', slice(w, c * $chunk + 1, $chunk))))[0]")
-    Sources.table(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
+    Sources.spreadIfNarrow(Sources.table(s, dir, "documents"))
       // lower() before splitting (r17 review): every other exact-dedup
       // path — [[TextSim.dedupText]], [[scrubSpans]], the shingle
       // family — is case-insensitive; without it "Terms Of Service"
@@ -1774,11 +1769,10 @@ object NearDup {
     */
   def scrubSpansText(s: SparkSession, docs: DataFrame, n: Int): DataFrame = {
     require(n >= 2, s"span width must be >= 2 tokens, got $n")
-    val words = docs
-      // spread the per-token stages across tasks (single-file corpus =
-      // one input split otherwise; at real scale the scan already has
-      // many splits and this moves each doc once)
-      .repartition(s.sparkContext.defaultParallelism)
+    // spread the per-token stages across tasks (single-file corpus =
+    // one input split otherwise; split-gated since r22 — a many-split
+    // scan passes through with no exchange)
+    val words = Sources.spreadIfNarrow(docs)
       .select(col("doc_id"),
         split(trim(lower(col("text"))), "\\s+").as("w"))
     // (doc_id, p, fingerprint) occurrences, p 0-based. The gram never

@@ -177,12 +177,51 @@ object Sources {
     * know a table dir's files changed (the cache assumes
     * snapshot-immutable dirs; see note below).
     */
-  def evictCache(spark: SparkSession): Unit =
-    tableCache.keySet.removeIf(_._1 eq spark): Unit
+  def evictCache(spark: SparkSession): Unit = {
+    tableCache.keySet.removeIf(_._1 eq spark)
+    splitCache.keySet.removeIf(_._1 eq spark): Unit
+  }
 
   /** Drop the whole relation cache (all sessions) — the escape hatch
     * for long-lived hosts. */
-  def clearCache(): Unit = tableCache.clear()
+  def clearCache(): Unit = { tableCache.clear(); splitCache.clear() }
+
+  // ---- scan-width spread gate (r22) -----------------------------------
+
+  // Memoized physical partition count per (session, canonical plan):
+  // driver-side planning only, no job runs. Keyed on the semantic hash
+  // so every query re-deriving the same relation (Sources.table caches
+  // the DataFrame, but entry points layer fresh selects on top) pays
+  // the planning pass once per session. A hash collision can only
+  // mis-steer the SPREAD HEURISTIC below, never correctness.
+  private val splitCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int), Integer]()
+
+  /** How many partitions the physical scan of `df` produces. */
+  def scanSplits(df: DataFrame): Int =
+    splitCache.computeIfAbsent((df.sparkSession, df.semanticHash()),
+      _ => df.rdd.getNumPartitions)
+
+  /** Round-robin-spread `df` across the session's cores ONLY when its
+    * backing scan has fewer splits than cores.
+    *
+    * This is the r22 gate on the r6/r21 "spread" convention (VERDICT
+    * r21 #1): a small single-file fixture is ONE input split, which
+    * pins any expensive map stage (tokenize / shingle / codec / pair
+    * scan) to a single task while the other cores idle — there the
+    * exchange pays for itself many times over. At real scale the scan
+    * already has >= cores splits, every core is busy straight off the
+    * scan, and an unconditional `repartition(defaultParallelism)`
+    * would shuffle the full raw payload for parallelism the splits
+    * already provide — pure waste at 100 TB. The gate makes the
+    * spread a no-op exactly there: splits >= cores -> `df` passes
+    * through untouched, NO exchange in the plan.
+    */
+  def spreadIfNarrow(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (scanSplits(df) >= cores) df
+    else df.repartition(cores)
+  }
 
   // One relation per (session, dir, table) — the registered-catalog
   // shape: file listing + schema read happen once per session instead

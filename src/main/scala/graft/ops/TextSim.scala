@@ -26,31 +26,24 @@ object TextSim {
   private def docs(s: SparkSession, dir: String) =
     Sources.table(s, dir, "documents")
 
-  /** [[docs]] spread across the session's cores — the entry for every
-    * query whose first move is per-token work (tokenize / shingle /
-    * explode): a small single-file corpus is ONE input split, which
-    * pinned those map stages to a single task on local[32] (r21 stage
-    * probe: 150–460 ms serial per text query at sf0.1 while 31 cores
-    * idled — the same finding NearDup.shingleHashesOf fixed for the
-    * hash families in r6). At real scale the input already has many
-    * splits and this shuffle moves only the raw text once. Light
-    * queries (plain token explode + hash-agg, per-doc metadata
-    * aggregates, projections) stay on [[docs]]: the r21 A/B measured
-    * the exchange costing MORE than the serial kernel for those
-    * (text_tokens 0.12 → 0.20 s, zipf_slope 0.17 → 0.27 s), while the
-    * heavy-kernel queries (char-class langId, Gopher rules,
-    * repetition folds, tfidf/bigram-LM streams) each won 25–60%.
-    * PURE PER-ROW PROJECTIONS (doc_winnow, doc_winnow_portable,
-    * doc_fingerprint) stay unspread even though their kernels are
-    * heavy: their committed contract is ZERO exchanges (PlanAuditSpec
-    * pins doc_winnow_portable's r17 re-plan), and at scale a shuffle
-    * of the raw text for a per-row statistic is pure waste — the
-    * queries kept here all feed an aggregate, so a shuffle exists in
-    * their lifecycle anyway and the spread only re-orders where the
-    * text crosses the wire.
-    */
-  private def spreadDocs(s: SparkSession, dir: String) =
-    docs(s, dir).repartition(s.sparkContext.defaultParallelism)
+  // NO text query round-robins the raw corpus anymore (r22, closing
+  // VERDICT r21 #1). The r21 `spreadDocs` repartition(defaultParallelism)
+  // is gone from this file:
+  //  - the per-row projections (doc_winnow*, doc_fingerprint,
+  //    text_entropy, lang_id, text_repetition, quality_gopher) never
+  //    legitimately shuffle — PlanAuditSpec pins zero exchanges;
+  //  - the aggregate-feeding trio (text_tfidf, text_logprob,
+  //    text_bigram_lm) was re-A/B'd at 32 AND 8 cores (r22): spread vs
+  //    unspread at 32 cores was a wash (0.503/0.513, 0.486/0.519,
+  //    0.623/0.615 min-of-pairs) while the spread inverted scaling
+  //    (every spread query ran FASTER on 8 cores than 32 — the full-
+  //    width exchange over-fragments); tfidf/logprob paid it TWICE
+  //    (the docs relation feeds two branches). At real scale the scan's
+  //    own splits feed every core and their (doc,token) aggregates
+  //    shuffle far fewer bytes than the raw text.
+  // The shingle/minhash families in NearDup keep their spread — those
+  // map stages are genuinely explode-heavy with driver-confirmed
+  // 1.3–2.5× wins — but split-gated via [[Sources.spreadIfNarrow]].
 
   /** Broadcast `rel` only while the optimizer's size estimate fits the
     * session broadcast threshold. Corpus-statistic relations (distinct
@@ -311,9 +304,10 @@ object TextSim {
       .filter(nonZeroNorm(s, col("embedding")))
       .select(col("vec_id"), vecAsDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(nd(col("v"), col("v"))))
-    // repartition the probe side: a small embeddings file is one input
+    // spread the probe side: a small embeddings file is one input
     // split, which would pin the whole N·M pair scan to a single task
-    val a = e.repartition(s.sparkContext.defaultParallelism)
+    // (gated on split count — many-split inputs pass through, r22)
+    val a = Sources.spreadIfNarrow(e)
       .select(col("vec_id").as("vec_a"), col("v").as("va"),
         col("nrm").as("na"))
     val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
@@ -351,7 +345,7 @@ object TextSim {
       .filter(nonZeroNorm(s, col("embedding")))
       .select(col("vec_id"), vecAsDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(nd(col("v"), col("v"))))
-    val probe = e.repartition(s.sparkContext.defaultParallelism)
+    val probe = Sources.spreadIfNarrow(e)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     val cand = e.select(col("vec_id").as("nid"), col("v").as("nv"),
       col("nrm").as("nn"))
@@ -392,7 +386,9 @@ object TextSim {
     * since every intermediate is an exact decimal or integer).
     */
   def textEntropy(s: SparkSession, dir: String): DataFrame =
-    textEntropy(spreadDocs(s, dir))
+    // unspread (r22): per-row statistic since the r14 re-plan — zero
+    // exchanges; shuffling the raw text for it is waste at any scale
+    textEntropy(docs(s, dir))
 
   /** [[textEntropy]] over any `(doc_id, text)` relation.
     *
@@ -466,7 +462,9 @@ object TextSim {
     * formulation the oracle uses.
     */
   def langId(s: SparkSession, dir: String): DataFrame =
-    langId(spreadDocs(s, dir))
+    // unspread (r22): pure narrow projection (scaladoc above) — the
+    // r21 spread contradicted its own zero-shuffle contract
+    langId(docs(s, dir))
 
   /** [[langId]] over any `(doc_id, text)` relation. */
   def langId(docs: DataFrame): DataFrame = {
@@ -585,7 +583,7 @@ object TextSim {
     * are long enough to flip the trade.
     */
   def textTfidf(s: SparkSession, dir: String, k: Int = 3): DataFrame =
-    textTfidf(spreadDocs(s, dir), k)
+    textTfidf(docs(s, dir), k)
 
   /** [[textTfidf]] over any `(doc_id, text)` relation. */
   def textTfidf(d: DataFrame, k: Int): DataFrame = {
@@ -643,7 +641,7 @@ object TextSim {
     * summation would drift with partition merge order).
     */
   def textLogprob(s: SparkSession, dir: String): DataFrame =
-    textLogprob(spreadDocs(s, dir))
+    textLogprob(docs(s, dir))
 
   /** [[textLogprob]] over any `(doc_id, text)` relation.
     *
@@ -718,7 +716,7 @@ object TextSim {
     * means.
     */
   def textBigramLm(s: SparkSession, dir: String): DataFrame =
-    textBigramLm(spreadDocs(s, dir))
+    textBigramLm(docs(s, dir))
 
   /** [[textBigramLm]] over any `(doc_id, text)` relation. */
   def textBigramLm(docs: DataFrame): DataFrame = {
@@ -990,7 +988,9 @@ object TextSim {
     * behavioral equality under composition.
     */
   def textRepetition(s: SparkSession, dir: String): DataFrame =
-    textRepetition(spreadDocs(s, dir))
+    // unspread (r22): pure projection — PlanAuditSpec pins zero
+    // exchanges of ANY kind on this query
+    textRepetition(docs(s, dir))
 
   /** [[textRepetition]] over any `(doc_id, text)` relation. */
   def textRepetition(docs: DataFrame): DataFrame = {
@@ -1304,7 +1304,9 @@ object TextSim {
     * 1000-executor cluster runs this with no data movement at all.
     */
   def qualityGopher(s: SparkSession, dir: String): DataFrame =
-    qualityGopher(spreadDocs(s, dir))
+    // unspread (r22): "no data movement at all" is this operator's
+    // documented contract — keep the scaladoc above true
+    qualityGopher(docs(s, dir))
 
   /** [[qualityGopher]] over any `(doc_id, text)` relation. */
   def qualityGopher(docs: DataFrame): DataFrame =

@@ -39,7 +39,9 @@ class CentroidSumSpec extends SparkSpec {
 
   private def newRound(assigned: DataFrame, matDf: DataFrame): DataFrame = {
     assigned.crossJoin(matDf)
-      .agg(VectorFunctions.centroidSums(spark,
+      // register on the INPUT's session — the non-finite test runs on
+      // ANSI-toggled child sessions, which have their own registries
+      .agg(VectorFunctions.centroidSums(assigned.sparkSession,
         col("cid"), col("v"), col("mat"), col("kk"), col("d")).as("st"))
       .select(expr("transform(sequence(0, greatest(size(st.old), 1) - 1), " +
           "i -> coalesce(" +
@@ -124,5 +126,45 @@ class CentroidSumSpec extends SparkSpec {
     val narrow = bitsOf(newRound(vecs.repartition(1), m))
     val old = bitsOf(oldRound(vecs.repartition(7), m))
     assert(wide == narrow && wide == old)
+  }
+
+  test("non-finite components match the cast spelling: counted, never " +
+      "summed under non-ANSI; throw under ANSI (r22 guard)") {
+    // Decimal(NaN) threw NumberFormatException unconditionally before
+    // the r22 isFinite guard, where cast(NaN as decimal(28,12)) yields
+    // null under non-ANSI (VERDICT r21 #9 / ADVICE). Unreachable via
+    // the trainer's finite-norm filter, but graft_centroid_sums is
+    // publicly registered.
+    def frames(s: org.apache.spark.sql.SparkSession) = {
+      val assigned = s.range(1).select(lit(0).as("cid"),
+        expr("array(cast('NaN' as double), cast('-Infinity' as double), " +
+          "4.0)").as("v"))
+      val m = s.range(1).select(
+        expr("transform(sequence(1, 3), i -> cast(i as double) / 7.0)")
+          .as("mat"), lit(1).as("kk"), lit(3).as("d"))
+      (assigned, m)
+    }
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.ansi.enabled", "false")
+    val (a2, m2) = frames(s2)
+    val o = bitsOf(oldRound(a2, m2))
+    val n = bitsOf(newRound(a2, m2))
+    assert(o == n, s"non-finite drift:\nold=$o\nnew=$n")
+    // the NaN/Inf dims fall back to the old matrix (count 1, sum null);
+    // the finite dim averages normally
+    val got = newRound(a2, m2)
+      .select(expr("mat[0]"), expr("mat[1]"), expr("mat[2]")).head()
+    assert(got.getDouble(0) == 1.0 / 7.0 && got.getDouble(1) == 2.0 / 7.0 &&
+      got.getDouble(2) == 4.0, s"fallback drift: $got")
+    val s3 = spark.newSession()
+    s3.conf.set("spark.sql.ansi.enabled", "true")
+    val (a3, m3) = frames(s3)
+    val e = intercept[Throwable] { bitsOf(newRound(a3, m3)) }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(e).exists(_.getMessage != null) &&
+      chain(e).exists(t => t.getMessage != null &&
+        t.getMessage.contains("cannot be represented as Decimal")),
+      s"ANSI path must throw the cast-parity error, got: $e")
   }
 }

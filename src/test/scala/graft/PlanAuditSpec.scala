@@ -99,14 +99,34 @@ class PlanAuditSpec extends SparkSpec {
 
   test("text_repetition is a pure projection — zero keyed exchanges") {
     // r8: the per-doc statistic never leaves its row (sorted-run fold),
-    // so only the presentation sort's range exchange may appear
+    // so only the presentation sort's range exchange may appear.
+    // r22: ANY exchange forbidden — the r21 round-robin spread slipped
+    // past the keyed-only pin (VERDICT r21 #1); a per-row statistic
+    // must not move the raw text at all.
     val p = plan(TextSim.textRepetition(spark, sf))
-    assert(!p.contains("Exchange hashpartitioning") &&
-      !p.contains("HashAggregate"),
+    assert(!p.contains("Exchange") && !p.contains("HashAggregate"),
       s"repetition stats must not shuffle or aggregate:\n${p.take(1500)}")
     assert(!p.contains("Generate"),
       s"the explode + two-level aggregate shape must not return:\n${p.take(1500)}")
     assert(!p.contains("Join"), "repetition stats must never join")
+  }
+
+  test("per-row text statistics never exchange (zero-exchange family, r22)") {
+    // text_entropy / lang_id / quality_gopher are per-row projections
+    // (each document's statistic folds inside its own row); the r21
+    // round-robin spread added a full raw-text shuffle to all three —
+    // pure waste at scale (VERDICT r21 #1). Pin them like
+    // doc_winnow_portable: no Exchange of ANY kind, no aggregate, no
+    // join. (text_repetition has its own pin above.)
+    for ((name, df) <- Seq(
+        "text_entropy" -> TextSim.textEntropy(spark, sf),
+        "lang_id" -> TextSim.langId(spark, sf),
+        "quality_gopher" -> TextSim.qualityGopher(spark, sf))) {
+      val p = plan(df)
+      assert(!p.contains("Exchange"),
+        s"$name must not move the raw text:\n${p.take(1500)}")
+      assert(!p.contains("Join"), s"$name must never join")
+    }
   }
 
   // ---- r7 re-plan pins: the four plan rewrites round 7 shipped,
