@@ -25,6 +25,17 @@ object Bench {
     // Overridable for A/B runs: SPARK_GRAFT_AQE=true,
     //   SPARK_GRAFT_PARTS=32, SPARK_GRAFT_RUNS=1
     val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "false")
+    // r22 re-audit of the static 8 at the sf1 rung (heavy-subset
+    // min-of-pairs, 32 cores): parts=8 total 196.1 s, parts=32 144.0
+    // (sim_knn_bucketed_full 1.76x BUT dedup_ngram/dedup_survivor
+    // 0.44x — their surviving pair sets are small and 32-wide
+    // shuffles are pure overhead), AQE+32 154.2 (re-planning latency
+    // on every exchange). No session-wide constant wins both
+    // regimes, so the width fix lives in the OPERATOR that needs it
+    // (fewKeySaltedJoin sizes its salted exchange to
+    // max(conf, cores)) and the session default stays 8 — best
+    // observed on everything else at BOTH rungs, and the committed
+    // numbers stay methodology-identical across rounds.
     val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", "8")
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
     // Extra SQL confs for A/B profiling runs, semicolon-separated:

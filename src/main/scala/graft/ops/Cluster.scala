@@ -510,12 +510,15 @@ object Cluster {
           lit(0.0), (acc, x) => acc + x).as("d2"),
         lit(cid).as("cid"))
     }
-    // NOT spread (r21 A/B): the O(N·k·d) interpreted fold reads as a
-    // serial stage in probes, but at fixture scale the repartition
-    // exchange cost more than it bought (cluster_assign_portable
-    // 0.28 → 0.32 s, dedup_semantic_portable 0.63 → 0.68 s) — the
-    // downstream pair stage is already spread by fewKeySaltedJoin.
-    e.select(col("vec_id"), array_min(array(candidates: _*)).as("best"))
+    // Split-gate-spread (r22, reversing the r21 "not spread" call on
+    // sf1 evidence): the O(N·k·d) interpreted fold ran as 2.2 s + 1.5 s
+    // SINGLE-TASK stages at the sf1 rung (one input split) — the r21
+    // sf0.1 A/B (0.28 → 0.32 s) only priced the exchange at a scale
+    // where the fold costs ~0.1 s. At >= cores splits the gate
+    // passes the scan through untouched, so real-scale plans are
+    // unchanged.
+    Sources.spreadIfNarrow(e)
+      .select(col("vec_id"), array_min(array(candidates: _*)).as("best"))
       .select(col("vec_id"), col("best.cid").as("cluster_id"),
         col("best.d2").as("dist2"))
   }

@@ -414,10 +414,31 @@ object Relational {
         s.sparkContext.defaultParallelism / math.max(nKeys, 1))
     }
     if (fan == 1) left.join(right, keys)
-    else left.withColumn("__salt", pmod(hash(saltOn), lit(fan)))
-      .join(right.withColumn("__salt",
-        explode(array((0 until fan).map(lit): _*))), keys :+ "__salt")
-      .drop("__salt")
+    else {
+      // Width the salted exchange to the cores the salt exists to
+      // fill (r22): a keyed join's stage width is the session's
+      // shuffle-partition conf, and a production conf is sized >= the
+      // cluster's cores, so max(conf, defaultParallelism) IS the conf
+      // at scale — no behavior change there. A local session whose
+      // conf is tuned for small shuffles (the bench's 8) otherwise
+      // caps the pair-scoring stage at conf tasks no matter the fan:
+      // the sf1 probe measured sim_knn_bucketed's scoring stage at
+      // 8 tasks x 14 s while 24 cores idled; the un-capped width
+      // benched 109 -> 62 s (sim_knn_bucketed_full) / 30 -> 17 s
+      // (sim_knn_bucketed). Both sides repartition to the SAME
+      // (keys, __salt, width) hash partitioning, which the join
+      // reuses — the exchanges REPLACE the join's own, they don't
+      // add any.
+      val width = math.max(s.sessionState.conf.numShufflePartitions,
+        s.sparkContext.defaultParallelism)
+      val keyCols = (keys :+ "__salt").map(col)
+      left.withColumn("__salt", pmod(hash(saltOn), lit(fan)))
+        .repartition(width, keyCols: _*)
+        .join(right.withColumn("__salt",
+            explode(array((0 until fan).map(lit): _*)))
+          .repartition(width, keyCols: _*), keys :+ "__salt")
+        .drop("__salt")
+    }
   }
 
   private def exactHotKeys(skewed: DataFrame, key: String,
@@ -743,8 +764,15 @@ object Relational {
     * distinct keys.
     */
   def mapFuncs(s: SparkSession, dir: String): DataFrame =
-    Sources.table(s, dir, "events")
-      .filter(col("props").isNotNull)
+    // split-gate-spread (r22): from_json over a MapType is ~3 µs/row
+    // and the events file under-splits vs the cores (sf1 probe: a
+    // 3-task scan stage carried 2.9 s of the query's 3.0 s while 29
+    // cores idled). The exchange moves only (props) once; the
+    // explode + keyed aggregate shuffle exists downstream anyway. At
+    // >= cores splits the gate is a no-op.
+    Sources.spreadIfNarrow(
+        graft.ops.Sources.table(s, dir, "events")
+          .filter(col("props").isNotNull).select(col("props")))
       .select(explode(from_json(col("props"),
         MapType(StringType, StringType))).as(Seq("k", "v")))
       .groupBy("k")

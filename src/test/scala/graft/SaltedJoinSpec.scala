@@ -121,6 +121,43 @@ class SaltedJoinSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("fewKeySaltedJoin sizes its salted exchange to max(conf, cores) " +
+      "and adds no exchange beyond the join's own (r22)") {
+    // A keyed join's stage width is the session's shuffle-partition
+    // conf; a conf below the core count caps the pair-scoring stage
+    // no matter the salt fan (sf1 probe: 8 tasks x 14 s on 32 cores).
+    // The salted exchange must therefore widen to defaultParallelism
+    // when the conf is below it — and stay AT the conf when the conf
+    // is wider (the production regime: conf >= cluster cores, no
+    // behavior change).
+    def widths(s: org.apache.spark.sql.SparkSession): (Seq[Int], Int) = {
+      import org.apache.spark.sql.functions.{col, lit}
+      val l = s.range(100).select(col("id").as("k"), lit(1).as("x"))
+      val r = s.range(100).select(col("id").as("k"), lit(2).as("y"))
+      val joined = Relational.fewKeySaltedJoin(s, l, r, Seq("k"),
+        col("k"), nKeys = 1) // nKeys=1 -> fan = cores, always salted
+      val p = joined.queryExecution.executedPlan.toString
+      val ws = "hashpartitioning\\([^)]*?(\\d+)\\)".r
+        .findAllMatchIn(p).map(_.group(1).toInt).toSeq
+      (ws, "Exchange hashpartitioning".r.findAllIn(p).size)
+    }
+    val narrow = spark.newSession() // conf 2 < cores 4 -> widen to 4
+    narrow.conf.set("spark.sql.shuffle.partitions", "2")
+    narrow.conf.set("spark.sql.adaptive.enabled", "false")
+    val (wN, nN) = widths(narrow)
+    assert(wN.nonEmpty && wN.forall(_ ==
+      narrow.sparkContext.defaultParallelism),
+      s"salted exchange must widen to the cores, got $wN")
+    assert(nN == 2, s"exactly the join's two exchanges, got $nN")
+    val wide = spark.newSession() // conf 16 > cores 4 -> stay at conf
+    wide.conf.set("spark.sql.shuffle.partitions", "16")
+    wide.conf.set("spark.sql.adaptive.enabled", "false")
+    val (wW, nW) = widths(wide)
+    assert(wW.nonEmpty && wW.forall(_ == 16),
+      s"production regime must keep the conf width, got $wW")
+    assert(nW == 2, s"exactly the join's two exchanges, got $nW")
+  }
+
   test("fewKeySaltedJoin refuses inputs that already carry __salt") {
     import spark.implicits._
     val clean = Seq((1L, 10L)).toDF("k", "v")
